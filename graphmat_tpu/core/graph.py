@@ -1,0 +1,251 @@
+"""The Graph object: static-shape, device-resident graph structure + state.
+
+TPU-native re-design of ``include/Graph.h:58-107``.  The reference stores the
+adjacency twice (``A`` and ``AT``, ``Graph.h:68-69``) as 2D MPI-tiled DCSC
+tiles; here the single-device graph keeps two *receiver-sorted edge arrays*:
+
+* ``out_edges``  — receiver = dst (used by ``Direction.OUT_EDGES``; the
+  analog of the SpMTSpV/AT path, ``GraphMatRuntime.h:160-167``),
+* ``in_edges``   — receiver = src (the SpMSpV/A path).
+
+Each is a struct-of-arrays (senders, receivers, values, valid-mask) padded to
+a static shape so every iteration compiles once and runs fully on device.
+Vertex properties are a pytree (dict) of ``[n_pad]`` arrays (struct-of-arrays
+— the TPU-friendly layout for what the reference holds as an
+``SpVec<DenseSegment<V>>`` array-of-structs), and the active frontier is a
+dense boolean mask (the analog of the reference's bitvector,
+``GMDP/utils/bitvector.h``).
+
+Vertex ids are 1-based in the public API (file formats and the reference's
+``get/setVertexproperty``, ``Graph.h:307-350``) and 0-based internally.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.edgelist import EdgeList, edgelist_from_arrays
+
+__all__ = ["Graph", "EdgeArrays", "round_up"]
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class EdgeArrays:
+    """Receiver-sorted COO edge arrays with static padding.
+
+    Padding entries point at the last (padding) vertex and are masked out by
+    ``valid`` — they contribute monoid identities and never set
+    ``got_message``.
+    """
+
+    senders: Any    # int32[e_pad]
+    receivers: Any  # int32[e_pad], sorted ascending
+    vals: Any       # W[e_pad]
+    valid: Any      # bool[e_pad]
+
+    def tree_flatten(self):
+        return (self.senders, self.receivers, self.vals, self.valid), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def e_pad(self) -> int:
+        return self.senders.shape[0]
+
+
+def _build_edge_arrays(senders0, receivers0, vals, n_pad, e_pad) -> EdgeArrays:
+    """Sort 0-based COO by (receiver, sender) and pad to ``e_pad``."""
+    order = np.lexsort((senders0, receivers0))
+    s = senders0[order]
+    r = receivers0[order]
+    v = vals[order]
+    nnz = s.shape[0]
+    pad = e_pad - nnz
+    s = np.concatenate([s, np.full(pad, n_pad - 1, np.int32)])
+    r = np.concatenate([r, np.full(pad, n_pad - 1, np.int32)])
+    v = np.concatenate([v, np.zeros(pad, v.dtype)])
+    valid = np.zeros(e_pad, bool)
+    valid[:nnz] = True
+    return EdgeArrays(jnp.asarray(s), jnp.asarray(r), jnp.asarray(v),
+                      jnp.asarray(valid))
+
+
+class _VpRef:
+    """Shared holder so two graphs can alias one vertex-property pytree
+    (``Graph::shareVertexProperty``, ``Graph.h:301-305`` — used by
+    DeltaStepping's light/heavy graph split)."""
+
+    __slots__ = ("vp",)
+
+    def __init__(self, vp):
+        self.vp = vp
+
+
+class Graph:
+    """A static-shape device graph.
+
+    Parameters
+    ----------
+    edgelist : EdgeList
+        1-based COO edges.  The graph is squared to
+        ``nvertices = max(m, n)`` like ``Graph::ReadMTX`` (``Graph.h:253-257``).
+    build_in_edges : bool
+        Whether to build the ``in_edges`` (receiver = src) ordering.  The
+        reference always stores both A and AT; skip for OUT_EDGES-only
+        programs to halve memory.
+    n_align : int
+        Vertex-count padding multiple (lane-width friendly).
+    """
+
+    def __init__(self, edgelist: EdgeList, build_in_edges: bool = True,
+                 build_out_edges: bool = True, n_align: int = 128,
+                 e_align: int = 1024):
+        n = max(edgelist.m, edgelist.n)
+        self.n = n
+        self.nnz = edgelist.nnz
+        self.n_pad = max(round_up(n + 1, n_align), n_align)
+        self.e_pad = max(round_up(max(edgelist.nnz, 1), e_align), e_align)
+        self.edge_dtype = edgelist.val.dtype
+
+        src0 = edgelist.src.astype(np.int32) - 1
+        dst0 = edgelist.dst.astype(np.int32) - 1
+        vals = np.asarray(edgelist.val)
+
+        self.out_edges: Optional[EdgeArrays] = None
+        self.in_edges: Optional[EdgeArrays] = None
+        if build_out_edges:
+            # receiver = dst
+            self.out_edges = _build_edge_arrays(src0, dst0, vals, self.n_pad,
+                                                self.e_pad)
+        if build_in_edges:
+            # receiver = src
+            self.in_edges = _build_edge_arrays(dst0, src0, vals, self.n_pad,
+                                               self.e_pad)
+
+        vv = np.zeros(self.n_pad, bool)
+        vv[:n] = True
+        self.valid_vertex = jnp.asarray(vv)
+
+        self._vpref = _VpRef({})
+        self.active = jnp.zeros(self.n_pad, bool)
+
+    # ------------------------------------------------------------------ vp
+
+    @property
+    def vp(self) -> Dict[str, jnp.ndarray]:
+        return self._vpref.vp
+
+    @vp.setter
+    def vp(self, value) -> None:
+        self._vpref.vp = value
+
+    def init_vertexproperty(self, **fields) -> None:
+        """Initialize the vertex-property pytree.
+
+        Each field is either a scalar (broadcast, like ``SpVec::setAll``) or
+        an array of length ``n`` (padded to ``n_pad`` with the same scalar
+        default of its dtype's zero).
+        """
+        vp = {}
+        for name, value in fields.items():
+            arr = np.asarray(value)
+            if arr.ndim == 0 or (arr.ndim >= 1 and arr.shape[0] != self.n):
+                # scalar (possibly with trailing feature dims) -> broadcast
+                full = np.broadcast_to(arr, (self.n_pad,) + arr.shape).copy()
+            else:
+                pad_shape = (self.n_pad - self.n,) + arr.shape[1:]
+                full = np.concatenate([arr, np.zeros(pad_shape, arr.dtype)])
+            vp[name] = jnp.asarray(full)
+        self.vp = vp
+
+    def set_all_vertexproperty(self, **fields) -> None:
+        self.init_vertexproperty(**fields)
+
+    def share_vertex_property(self, other: "Graph") -> None:
+        """Alias this graph's vertex properties to ``other``'s
+        (``Graph.h:301-305``)."""
+        if other.n_pad != self.n_pad:
+            raise ValueError("shareVertexProperty requires matching padded size")
+        self._vpref = other._vpref
+
+    def get_vertexproperty(self, vid1: int) -> Dict[str, Any]:
+        """Fetch one vertex's property dict (1-based id)."""
+        i = vid1 - 1
+        return {k: np.asarray(v[i]) for k, v in self.vp.items()}
+
+    def set_vertexproperty(self, vid1: int, **fields) -> None:
+        i = vid1 - 1
+        vp = dict(self.vp)
+        for k, val in fields.items():
+            vp[k] = vp[k].at[i].set(val)
+        self.vp = vp
+
+    def vp_numpy(self) -> Dict[str, np.ndarray]:
+        """Host copies of the unpadded vertex-property arrays."""
+        return {k: np.asarray(v[: self.n]) for k, v in self.vp.items()}
+
+    # -------------------------------------------------------------- active
+
+    def set_all_active(self) -> None:
+        self.active = self.valid_vertex
+
+    def set_all_inactive(self) -> None:
+        self.active = jnp.zeros(self.n_pad, bool)
+
+    def set_active(self, vid1: int) -> None:
+        self.active = self.active.at[vid1 - 1].set(True)
+
+    def set_inactive(self, vid1: int) -> None:
+        self.active = self.active.at[vid1 - 1].set(False)
+
+    # ------------------------------------------------------------- queries
+
+    @property
+    def nvertices(self) -> int:
+        return self.n
+
+    def get_edges(self) -> EdgeList:
+        """Export back to a 1-based EdgeList (``SpMat::get_edges`` analog)."""
+        ea = self.out_edges if self.out_edges is not None else self.in_edges
+        valid = np.asarray(ea.valid)
+        s = np.asarray(ea.senders)[valid]
+        r = np.asarray(ea.receivers)[valid]
+        v = np.asarray(ea.vals)[valid]
+        if ea is self.out_edges:
+            src, dst = s, r
+        else:
+            src, dst = r, s
+        return edgelist_from_arrays(src + 1, dst + 1, v, m=self.n, n=self.n)
+
+    def edges_for(self, direction_receiver: str) -> EdgeArrays:
+        """Edge arrays with the given receiver role ('dst' or 'src')."""
+        ea = self.out_edges if direction_receiver == "dst" else self.in_edges
+        if ea is None:
+            raise ValueError(
+                f"graph was built without the receiver={direction_receiver} "
+                f"ordering; pass build_{'out' if direction_receiver == 'dst' else 'in'}_edges=True")
+        return ea
+
+    def structure_pytree(self):
+        """All structure arrays as a pytree (to pass into jitted runs)."""
+        return {
+            "out": self.out_edges,
+            "in": self.in_edges,
+            "valid_vertex": self.valid_vertex,
+        }
+
+    def __repr__(self):
+        return (f"Graph(n={self.n}, nnz={self.nnz}, n_pad={self.n_pad}, "
+                f"e_pad={self.e_pad})")
