@@ -1,0 +1,123 @@
+"""SGD matrix completion / collaborative filtering (reference: ``src/SGD.cpp``).
+
+The rating matrix is a square graph whose vertices carry K-dim latent
+factors; ALL_EDGES + ALL_VERTICES means every edge contributes gradient
+pushes in both directions each iteration (:84-89).  This is the 3-operand
+(SpMSpV3) path: ``process_message`` reads the *receiver's* factors to form
+the prediction error (:95-106) — on TPU that is one extra gather feeding an
+``[e, K]`` elementwise block, and the factor matrices behave like sharded
+embedding tables with gather + segment-sum gradient pushes.
+
+Semantics:
+* message = sender's latent vector,
+* ⊗: ``err = rating − ⟨msg, vp_recv⟩``;  contribution = ``msg · err``,
+* ⊕ = sum,
+* apply: ``lv += step · (−lambda·lv + Σ)`` (:113-117).
+
+Init matches the reference bit-for-bit: vertex i's factors are
+``rand_r(seed=i)/RAND_MAX`` draws (:176-184, glibc LCG — see
+``utils.reference_rng``).  Defaults λ=0.001, step=3.5e-7, 10 iterations
+(:170,200).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.graph import Graph
+from ..core.program import GraphProgram
+from ..core.runtime import Engine
+from ..core.types import Activity, Direction, SUM
+from ..utils.reference_rng import rand_r_uniform_np
+
+__all__ = ["SGDProgram", "RMSEProgram", "run_sgd", "init_sgd_graph",
+           "rmse_per_edge"]
+
+
+class SGDProgram(GraphProgram):
+    order = Direction.ALL_EDGES
+    activity = Activity.ALL_VERTICES
+    reduce = SUM
+    process_requires_vertexprop = True
+
+    def __init__(self, lambda_: float = 0.001, step: float = 3.5e-7,
+                 dtype=jnp.float32):
+        self.lambda_ = lambda_
+        self.step = step
+        self.dtype = dtype
+
+    def send_message(self, state, vp):
+        return vp["lv"], None
+
+    def process_message(self, state, msg, edge_vals, vp_r):
+        est = jnp.sum(msg * vp_r["lv"], axis=1)
+        err = edge_vals.astype(self.dtype) - est
+        return msg * err[:, None]
+
+    def apply(self, state, reduced, vp):
+        lv = vp["lv"]
+        out = dict(vp)
+        out["lv"] = lv + jnp.array(self.step, self.dtype) * (
+            -jnp.array(self.lambda_, self.dtype) * lv + reduced)
+        return out
+
+    def changed(self, old_vp, new_vp):
+        return jnp.any(jnp.abs(old_vp["lv"] - new_vp["lv"]) > 1e-7, axis=1)
+
+
+class RMSEProgram(GraphProgram):
+    """Per-vertex squared error over IN_EDGES (:122-156)."""
+
+    order = Direction.IN_EDGES
+    activity = Activity.ACTIVE_ONLY
+    reduce = SUM
+    process_requires_vertexprop = True
+
+    def __init__(self, dtype=jnp.float32):
+        self.dtype = dtype
+
+    def send_message(self, state, vp):
+        return vp["lv"], None
+
+    def process_message(self, state, msg, edge_vals, vp_r):
+        est = jnp.sum(msg * vp_r["lv"], axis=1)
+        err = edge_vals.astype(self.dtype) - est
+        return err * err
+
+    def apply(self, state, reduced, vp):
+        out = dict(vp)
+        out["sqerr"] = reduced
+        return out
+
+
+def init_sgd_graph(graph: Graph, k: int = 20, dtype=jnp.float32) -> None:
+    """Reference init: vertex i (1-based) draws k uniforms via rand_r(i)."""
+    seeds = np.arange(1, graph.n + 1, dtype=np.uint32)
+    lv = rand_r_uniform_np(seeds, k).astype(np.dtype(dtype))
+    graph.init_vertexproperty(lv=lv,
+                              sqerr=np.array(0, np.dtype(dtype)))
+
+
+def rmse_per_edge(graph: Graph, dtype=jnp.float32) -> float:
+    """sqrt(Σ sqerr / nnz) — the reference's printed metric (:186-188)."""
+    graph.set_all_active()
+    Engine(RMSEProgram(dtype=dtype), graph).run(iterations=1)
+    err = float(graph.vp_numpy()["sqerr"].sum())
+    return float(np.sqrt(err / graph.nnz))
+
+
+def run_sgd(graph: Graph, k: int = 20, lambda_: float = 0.001,
+            step: float = 3.5e-7, iterations: int = 10, dtype=jnp.float32):
+    """Full reference flow (:160-220): init, RMSE, 10 SGD iters, RMSE.
+
+    Returns ``(lv[n,k], rmse_before, rmse_after)``.
+    """
+    init_sgd_graph(graph, k, dtype)
+    rmse0 = rmse_per_edge(graph, dtype)
+
+    graph.set_all_active()
+    Engine(SGDProgram(lambda_, step, dtype=dtype), graph).run(
+        iterations=iterations)
+    rmse1 = rmse_per_edge(graph, dtype)
+    return graph.vp_numpy()["lv"], rmse0, rmse1

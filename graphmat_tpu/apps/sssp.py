@@ -1,0 +1,65 @@
+"""Single-source shortest paths, Bellman-Ford style (reference: ``src/SSSP.cpp``).
+
+OUT_EDGES; ⊕ = min, ⊗ = message + edge weight (``src/SSSP.cpp:73-79``);
+apply: ``distance = min(distance, reduced)``.  Distances use int32 with an
+INF sentinel (the reference's unsigned int MAX_DIST); message addition
+saturates at INF to avoid wraparound.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.graph import Graph
+from ..core.program import GraphProgram
+from ..core.runtime import Engine
+from ..core.types import Activity, Direction, MIN, UNTIL_CONVERGENCE
+
+__all__ = ["SSSPProgram", "run_sssp", "INF_DIST"]
+
+INF_DIST = np.iinfo(np.int32).max
+
+
+class SSSPProgram(GraphProgram):
+    order = Direction.OUT_EDGES
+    activity = Activity.ACTIVE_ONLY
+    reduce = MIN
+    process_requires_vertexprop = False
+
+    def send_message(self, state, vp):
+        return vp["distance"], None
+
+    def process_message(self, state, msg, edge_vals, vp_r):
+        # saturating add: INF + w stays INF (reference relies on unsigned
+        # wrap being filtered by the min-apply; saturate instead)
+        ev = edge_vals.astype(jnp.int32)
+        return jnp.where(msg >= INF_DIST - ev, INF_DIST, msg + ev)
+
+    def apply(self, state, reduced, vp):
+        out = dict(vp)
+        out["distance"] = jnp.minimum(vp["distance"], reduced)
+        return out
+
+    def changed(self, old_vp, new_vp):
+        return old_vp["distance"] != new_vp["distance"]
+
+
+def init_sssp_graph(graph: Graph, source1: int) -> None:
+    graph.init_vertexproperty(distance=np.int32(INF_DIST))
+    graph.set_all_inactive()
+    graph.set_vertexproperty(source1, distance=0)
+    graph.set_active(source1)
+
+
+def run_sssp(graph: Graph, source1: int,
+             iterations: int = UNTIL_CONVERGENCE):
+    """Returns ``(distance[n], niter)``; unreachable = INF_DIST."""
+    init_sssp_graph(graph, source1)
+    eng = Engine(SSSPProgram(), graph)
+    niter = eng.run(iterations=iterations)
+    return graph.vp_numpy()["distance"], niter
+
+
+def reachable_count(graph: Graph) -> int:
+    return int((graph.vp_numpy()["distance"] < INF_DIST).sum())

@@ -1,0 +1,64 @@
+"""Triangle counting (reference: ``src/TriangleCounting.cpp``).
+
+Intended input: an upper-triangular DAG (each undirected edge stored once,
+low id → high id).  Two phases:
+
+1. **GetNeighbors** (:80-111): every vertex learns its out-neighbor id list.
+   The reference runs an IN_EDGES pass with variable-length
+   Boost-serialized vector messages; the TPU-native equivalent materializes
+   a padded ``[n, max_degree]`` sorted neighbor matrix
+   (``ops.neighbors.collect_neighbors`` — see that module for why).
+2. **CountTriangles** (:114-156): OUT_EDGES — each edge (s→r) contributes
+   ``|N(s) ∩ N(r)|`` to r's count; ⊕ = sum.  Runs through the standard
+   engine with the neighbor matrix as a vertex property, the intersection
+   vectorized as a batched binary search.
+
+Total triangles = Σ per-vertex counts (each triangle {a<b<c} is counted
+once: at edge a→b as |N(a)∩N(b)| ∋ c).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.graph import Graph
+from ..core.program import GraphProgram
+from ..core.runtime import Engine
+from ..core.types import Activity, Direction, SUM
+from ..ops.neighbors import collect_neighbors, intersect_sorted_counts
+
+__all__ = ["CountTrianglesProgram", "run_triangle_counting"]
+
+
+class CountTrianglesProgram(GraphProgram):
+    order = Direction.OUT_EDGES
+    activity = Activity.ALL_VERTICES
+    reduce = SUM
+    process_requires_vertexprop = True
+
+    def send_message(self, state, vp):
+        return vp["neighbors"], None
+
+    def process_message(self, state, msg, edge_vals, vp_r):
+        return intersect_sorted_counts(msg, vp_r["neighbors"])
+
+    def apply(self, state, reduced, vp):
+        out = dict(vp)
+        out["triangles"] = vp["triangles"] + reduced
+        return out
+
+    def changed(self, old_vp, new_vp):
+        return old_vp["triangles"] != new_vp["triangles"]
+
+
+def run_triangle_counting(graph: Graph, max_degree_pad: int | None = None):
+    """Returns ``(triangles[n], total)``."""
+    neighbors = collect_neighbors(graph, receiver="src",
+                                  pad_to=max_degree_pad)
+    graph.init_vertexproperty(triangles=np.int32(0))
+    graph.vp = {**graph.vp, "neighbors": neighbors}
+
+    Engine(CountTrianglesProgram(), graph).run(iterations=1)
+    tri = graph.vp_numpy()["triangles"]
+    return tri, int(tri.sum())

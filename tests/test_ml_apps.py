@@ -1,0 +1,202 @@
+"""SGD-CF, LDA, IncrementalPageRank, TriangleCounting tests.
+
+Oracles: per-edge numpy reimplementations of the reference math
+(independent of the JAX engine), plus closed-form invariants.
+"""
+
+import numpy as np
+import pytest
+
+from graphmat_tpu import Graph, load_edgelist
+from graphmat_tpu.apps.incremental_pagerank import run_incremental_pagerank
+from graphmat_tpu.apps.pagerank import run_pagerank
+from graphmat_tpu.apps.sgd import run_sgd
+from graphmat_tpu.apps.lda import run_lda
+from graphmat_tpu.apps.triangle_counting import run_triangle_counting
+from graphmat_tpu.io.transforms import convert_to_upper_triangular
+from graphmat_tpu.utils.generators import random_edgelist, \
+    upper_triangular_edgelist
+from graphmat_tpu.utils.reference_rng import rand_r_uniform_np
+
+
+# ------------------------------------------------------------ rand_r
+
+def test_rand_r_matches_glibc_vectors():
+    """Golden values computed with glibc rand_r (C, seed fixed)."""
+    # seed=1: glibc rand_r sequence starts 476707713, 1186278907, 505671508
+    out = np.asarray(rand_r_uniform_np(np.array([1], np.uint32), 3)
+                     * (2 ** 31 - 1)).round().astype(np.int64)
+    assert out[0].tolist() == [476707713, 1186278907, 505671508]
+
+
+def test_rand_r_jnp_matches_np():
+    import jax.numpy as jnp
+    from graphmat_tpu.utils.reference_rng import rand_r_jnp
+    seeds = np.array([1, 2, 3, 12345], np.uint32)
+    a = rand_r_uniform_np(seeds, 5, np.float32)
+    b = np.asarray(rand_r_jnp(jnp.asarray(seeds), 5))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+# ---------------------------------------------------------------- SGD
+
+def sgd_oracle(e, k, lambda_, step, iters):
+    """Per-edge numpy oracle of src/SGD.cpp semantics (float32)."""
+    n = max(e.m, e.n)
+    lv = rand_r_uniform_np(np.arange(1, n + 1, dtype=np.uint32), k,
+                           np.float32)
+    src, dst, val = e.src - 1, e.dst - 1, e.val.astype(np.float32)
+
+    def rmse(lv):
+        est = np.sum(lv[src] * lv[dst], axis=1)
+        return float(np.sqrt(np.sum((val - est) ** 2) / e.nnz))
+
+    r0 = rmse(lv)
+    for _ in range(iters):
+        grad = np.zeros_like(lv)
+        got = np.zeros(n, bool)
+        # both directions (ALL_EDGES)
+        for s, r in ((src, dst), (dst, src)):
+            est = np.sum(lv[s] * lv[r], axis=1)
+            err = (val - est)[:, None].astype(np.float32)
+            np.add.at(grad, r, lv[s] * err)
+            got[r] = True
+        lv = np.where(got[:, None],
+                      lv + np.float32(step) * (-np.float32(lambda_) * lv
+                                               + grad), lv).astype(np.float32)
+    return lv, r0, rmse(lv)
+
+
+def test_sgd_matches_oracle_ratings7():
+    e = load_edgelist("data/ratings7.bin.mtx")
+    lv_o, r0_o, r1_o = sgd_oracle(e, 20, 0.001, 3.5e-7, 10)
+    g = Graph(e)
+    lv, r0, r1 = run_sgd(g, k=20, iterations=10)
+    assert abs(r0 - r0_o) < 1e-5
+    assert abs(r1 - r1_o) < 1e-5
+    np.testing.assert_allclose(lv, lv_o, rtol=1e-5, atol=1e-6)
+
+
+def test_sgd_reduces_rmse_with_real_step():
+    """With a workable step size the RMSE must drop."""
+    e = random_edgelist(40, 4, seed=6, weight_range=5)
+    g = Graph(e)
+    lv, r0, r1 = run_sgd(g, k=8, lambda_=0.001, step=0.01, iterations=30)
+    assert r1 < r0 * 0.9
+
+
+# ---------------------------------------------------------------- LDA
+
+def lda_oracle(e, ndoc, nterms, k, iters, alpha=1.0, eta=5.0):
+    """Per-edge numpy oracle of src/LDA.cpp (float32)."""
+    n = max(e.m, e.n)
+    src, dst, val = e.src - 1, e.dst - 1, e.val.astype(np.float32)
+    is_doc = np.arange(n) < ndoc
+    # init: per-edge gamma seeded by edge value, both directions alike
+    gam = rand_r_uniform_np(e.val.astype(np.uint32), k, np.float32)
+    gam = gam / gam.sum(axis=1, keepdims=True) * val[:, None]
+    N = np.zeros((n, k), np.float32)
+    for s, r in ((src, dst), (dst, src)):
+        np.add.at(N, r, gam)
+    got0 = np.zeros(n, bool)
+    got0[np.concatenate([src, dst])] = True
+    N = np.where(got0[:, None], N, 0)
+
+    for _ in range(iters):
+        gN = N[~is_doc & (np.arange(n) < n)].sum(axis=0)
+        newN = np.zeros_like(N)
+        for s, r in ((src, dst), (dst, src)):
+            my = np.where(is_doc[r], alpha, eta)[:, None].astype(np.float32)
+            ot = np.where(is_doc[r], eta, alpha)[:, None].astype(np.float32)
+            gamma = (N[r] + my - 1.0) * (N[s] + ot - 1.0) / \
+                (gN + nterms * (eta - 1.0))[None, :]
+            gamma = gamma / gamma.sum(axis=1, keepdims=True) * val[:, None]
+            np.add.at(newN, r, gamma.astype(np.float32))
+        N = np.where(got0[:, None], newN, N).astype(np.float32)
+    return N
+
+
+def bipartite_edges(ndoc, nterms, seed=0, maxcount=5):
+    rng = np.random.default_rng(seed)
+    src, dst, val = [], [], []
+    for d in range(1, ndoc + 1):
+        terms = rng.choice(nterms, size=rng.integers(1, nterms + 1),
+                           replace=False)
+        for t in terms:
+            src.append(d)
+            dst.append(ndoc + 1 + int(t))
+            val.append(int(rng.integers(1, maxcount + 1)))
+    from graphmat_tpu import edgelist_from_arrays
+    n = ndoc + nterms
+    return edgelist_from_arrays(src, dst, val, m=n, n=n)
+
+
+def test_lda_matches_oracle():
+    ndoc, nterms, k = 6, 9, 4
+    e = bipartite_edges(ndoc, nterms, seed=11)
+    expect = lda_oracle(e, ndoc, nterms, k, iters=5)
+    g = Graph(e)
+    N, gN, ll = run_lda(g, ndoc, nterms, k=k, iterations=5)
+    np.testing.assert_allclose(N, expect, rtol=2e-4, atol=2e-4)
+    # token counts are conserved: per-vertex N sums to its token total
+    tok = np.zeros(ndoc + nterms)
+    for s, d, v in zip(e.src - 1, e.dst - 1, e.val):
+        tok[s] += v
+        tok[d] += v
+    np.testing.assert_allclose(N.sum(axis=1), tok, rtol=1e-3)
+    assert np.isfinite(ll)
+
+
+# --------------------------------------------------- TriangleCounting
+
+def count_triangles_oracle(e):
+    """Brute force on the undirected support of an upper-tri edge list."""
+    adj = set()
+    n = max(e.m, e.n)
+    for s, d, _ in e.as_records():
+        adj.add((s, d))
+    total = 0
+    import itertools
+    nodes = sorted({v for p in adj for v in p})
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj:
+            total += 1
+    return total
+
+
+def test_triangles_complete_graph():
+    n = 10
+    e = upper_triangular_edgelist(n)
+    tri, total = run_triangle_counting(Graph(e))
+    assert total == n * (n - 1) * (n - 2) // 6
+
+
+def test_triangles_random():
+    e = convert_to_upper_triangular(random_edgelist(25, 5, seed=13))
+    tri, total = run_triangle_counting(Graph(e))
+    assert total == count_triangles_oracle(e)
+
+
+def test_triangles_fixture_2_10():
+    e = load_edgelist("data/2_10_upper_triangle.bin.mtx")
+    tri, total = run_triangle_counting(Graph(e))
+    # invariant: recompute with scipy masked SpGEMM: tr(A·A∘A)
+    from scipy.sparse import coo_matrix
+    n = max(e.m, e.n)
+    a = coo_matrix((np.ones(e.nnz), (e.src - 1, e.dst - 1)),
+                   shape=(n, n)).tocsr()
+    expect = int((a @ a).multiply(a).sum())
+    assert total == expect
+
+
+# ------------------------------------------- IncrementalPageRank
+
+def test_incremental_pagerank_close_to_pagerank():
+    """Delta-PR converges to the same fixpoint as standard PR."""
+    e = random_edgelist(50, 4, seed=21)
+    g1 = Graph(e)
+    pr, _ = run_pagerank(g1)
+    g2 = Graph(e)
+    dpr, niter = run_incremental_pagerank(g2)
+    np.testing.assert_allclose(dpr, pr, atol=5e-4)
+    assert niter > 0

@@ -1,0 +1,152 @@
+"""BFS / SSSP / DeltaStepping / TopologicalSort tests.
+
+Mirrors ``test/test_bfs.cpp`` (graph families with closed-form answers)
+plus scipy oracles for shortest paths.
+"""
+
+import numpy as np
+import pytest
+from scipy.sparse import coo_matrix
+from scipy.sparse.csgraph import breadth_first_order, dijkstra
+
+from graphmat_tpu import Graph
+from graphmat_tpu.apps.bfs import INF_DEPTH, run_bfs
+from graphmat_tpu.apps.delta_stepping import run_delta_stepping
+from graphmat_tpu.apps.sssp import INF_DIST, run_sssp
+from graphmat_tpu.apps.topological_sort import (INF_ORDER,
+                                                run_topological_sort)
+from graphmat_tpu.io.edgelist import EdgeList
+from graphmat_tpu.utils.generators import (chain_edgelist,
+                                           circular_chain_edgelist,
+                                           random_edgelist,
+                                           upper_triangular_edgelist)
+
+
+def scipy_depths(e: EdgeList, source1: int) -> np.ndarray:
+    n = max(e.m, e.n)
+    a = coo_matrix((np.ones(e.nnz), (e.src - 1, e.dst - 1)), shape=(n, n))
+    d = dijkstra(a.tocsr(), directed=True, indices=source1 - 1,
+                 unweighted=True)
+    out = np.full(n, INF_DEPTH, np.int64)
+    out[np.isfinite(d)] = d[np.isfinite(d)].astype(np.int64)
+    return out
+
+
+def scipy_distances(e: EdgeList, source1: int) -> np.ndarray:
+    n = max(e.m, e.n)
+    a = coo_matrix((e.val.astype(np.float64), (e.src - 1, e.dst - 1)),
+                   shape=(n, n))
+    d = dijkstra(a.tocsr(), directed=True, indices=source1 - 1)
+    out = np.full(n, INF_DIST, np.int64)
+    out[np.isfinite(d)] = d[np.isfinite(d)].astype(np.int64)
+    return out
+
+
+# ----------------------------------------------------------------- BFS
+
+@pytest.mark.parametrize("source", [1, 5])
+@pytest.mark.parametrize("gen", [
+    lambda: chain_edgelist(17),
+    lambda: circular_chain_edgelist(12),
+    lambda: random_edgelist(80, 3, seed=1),
+    lambda: upper_triangular_edgelist(16),
+])
+def test_bfs_depths_match_scipy(gen, source):
+    e = gen()
+    depth, parent, _ = run_bfs(Graph(e, build_in_edges=False), source)
+    np.testing.assert_array_equal(depth, scipy_depths(e, source))
+
+
+def test_bfs_chain_exact():
+    n = 33
+    depth, parent, niter = run_bfs(Graph(chain_edgelist(n),
+                                         build_in_edges=False), 1)
+    np.testing.assert_array_equal(depth, np.arange(n))
+    # parent of vertex i (1-based) is i-1; source parent stays -1
+    np.testing.assert_array_equal(parent[1:], np.arange(1, n))
+    assert parent[0] == -1
+
+
+def test_bfs_parents_valid():
+    e = random_edgelist(60, 4, seed=3)
+    depth, parent, _ = run_bfs(Graph(e, build_in_edges=False), 1)
+    edges = e.as_records()
+    for v in range(60):
+        if depth[v] not in (0, INF_DEPTH):
+            p = parent[v]
+            assert depth[p - 1] == depth[v] - 1
+            assert any((p, v + 1, w) in edges for w in (1,))
+
+
+# ---------------------------------------------------------------- SSSP
+
+@pytest.mark.parametrize("gen,source", [
+    (lambda: chain_edgelist(20, weight=3), 1),
+    (lambda: random_edgelist(70, 4, seed=2, weight_range=10), 1),
+    (lambda: random_edgelist(70, 4, seed=5, weight_range=31), 7),
+])
+def test_sssp_matches_dijkstra(gen, source):
+    e = gen()
+    dist, _ = run_sssp(Graph(e, build_in_edges=False), source)
+    np.testing.assert_array_equal(dist, scipy_distances(e, source))
+
+
+def test_sssp_unreachable_stays_inf():
+    e = chain_edgelist(10)
+    dist, _ = run_sssp(Graph(e, build_in_edges=False), 5)
+    assert (dist[:4] == INF_DIST).all()
+    np.testing.assert_array_equal(dist[4:], np.arange(6))
+
+
+# ------------------------------------------------------- DeltaStepping
+
+@pytest.mark.parametrize("delta", [1, 4, 100])
+def test_delta_stepping_matches_dijkstra(delta):
+    e = random_edgelist(60, 4, seed=9, weight_range=10)
+    dist, nbuckets = run_delta_stepping(e, delta, 1)
+    np.testing.assert_array_equal(dist, scipy_distances(e, 1))
+    assert nbuckets >= 1
+
+
+def test_delta_stepping_matches_sssp_fixture():
+    from graphmat_tpu import load_edgelist
+    from graphmat_tpu.io.transforms import random_edge_weights
+    e = random_edge_weights(load_edgelist("data/test.bin.mtx"), 7, seed=2)
+    d1, _ = run_sssp(Graph(e, build_in_edges=False), 1)
+    d2, _ = run_delta_stepping(e, 3, 1)
+    np.testing.assert_array_equal(d1, d2)
+
+
+# ----------------------------------------------------- TopologicalSort
+
+def test_toposort_chain():
+    n = 12
+    order, has_cycle, _ = run_topological_sort(Graph(chain_edgelist(n)))
+    assert not has_cycle
+    np.testing.assert_array_equal(order, np.arange(n))
+
+
+def test_toposort_dag_valid():
+    e = upper_triangular_edgelist(15)
+    g = Graph(e)
+    order, has_cycle, _ = run_topological_sort(g)
+    assert not has_cycle
+    # every edge goes from lower to strictly higher order
+    for s, d, _v in e.as_records():
+        assert order[s - 1] < order[d - 1]
+
+
+def test_toposort_random_dag():
+    from graphmat_tpu.io.transforms import convert_to_upper_triangular
+    e = convert_to_upper_triangular(random_edgelist(50, 4, seed=4))
+    order, has_cycle, _ = run_topological_sort(Graph(e))
+    assert not has_cycle
+    for s, d, _v in e.as_records():
+        assert order[s - 1] < order[d - 1]
+
+
+def test_toposort_detects_cycle():
+    order, has_cycle, _ = run_topological_sort(
+        Graph(circular_chain_edgelist(8)))
+    assert has_cycle
+    assert (order == INF_ORDER).all()
