@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.graph import Graph
-from ..core.program import GraphProgram
+from ..core.program import GraphProgram, PallasSemiring
 from ..core.runtime import Engine
 from ..core.types import Activity, Direction, ANY, UNTIL_CONVERGENCE
 
@@ -56,6 +56,14 @@ class BFSProgram(GraphProgram):
 
     def do_every_iteration(self, state, vp, it, ctx):
         return state + 1
+
+    def pallas_semiring(self):
+        # overwrite-reduce realized as min over sender ids (ids < 2**24)
+        return PallasSemiring(
+            "min",
+            encode=lambda msg: msg.astype(jnp.float32),
+            decode=lambda y: jnp.where(jnp.isfinite(y), y,
+                                       0.0).astype(jnp.int32))
 
 
 def init_bfs_graph(graph: Graph, source1: int) -> None:

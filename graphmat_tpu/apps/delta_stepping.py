@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.graph import Graph
-from ..core.program import GraphProgram
+from ..core.program import GraphProgram, PallasSemiring
 from ..core.runtime import Engine
 from ..core.types import Activity, Direction, MIN, UNTIL_CONVERGENCE
 from ..io.edgelist import EdgeList
@@ -65,6 +65,15 @@ class DeltaSteppingProgram(GraphProgram):
 
     def changed(self, old_vp, new_vp):
         return old_vp["distance"] != new_vp["distance"]
+
+    def pallas_semiring(self):
+        return PallasSemiring(
+            "min",
+            process=lambda xv, ev: xv + ev,
+            encode=lambda msg: jnp.where(msg == INF_DIST, jnp.inf,
+                                         msg.astype(jnp.float32)),
+            decode=lambda y: jnp.where(
+                jnp.isfinite(y), y, jnp.float32(INF_DIST)).astype(jnp.int32))
 
 
 def run_delta_stepping(edges: EdgeList, delta: int, source1: int,

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.graph import Graph
-from ..core.program import GraphProgram
+from ..core.program import GraphProgram, PallasSemiring
 from ..core.runtime import Engine
 from ..core.types import Activity, Direction, SUM, UNTIL_CONVERGENCE
 from .pagerank import DegreeProgram
@@ -59,6 +59,12 @@ class DeltaPageRankProgram(GraphProgram):
 
     def changed(self, old_vp, new_vp):
         return jnp.abs(old_vp["pagerank"] - new_vp["pagerank"]) > self.tol
+
+    def pallas_semiring(self):
+        return PallasSemiring(
+            "sum",
+            encode=lambda msg: msg.astype(jnp.float32),
+            decode=lambda y: y.astype(self.dtype))
 
 
 def run_incremental_pagerank(graph: Graph, alpha: float = 0.3,

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.graph import Graph
-from ..core.program import GraphProgram
+from ..core.program import GraphProgram, PallasSemiring
 from ..core.runtime import Engine
 from ..core.types import Activity, Direction, SUM, UNTIL_CONVERGENCE
 
@@ -48,6 +48,12 @@ class DegreeProgram(GraphProgram):
         out = dict(vp)
         out[self.field] = reduced
         return out
+
+    def pallas_semiring(self):
+        return PallasSemiring(
+            "sum",
+            encode=lambda msg: msg.astype(jnp.float32),
+            decode=lambda y: jnp.rint(y).astype(jnp.int32))
 
 
 class PageRankProgram(GraphProgram):
@@ -79,6 +85,12 @@ class PageRankProgram(GraphProgram):
 
     def changed(self, old_vp, new_vp):
         return jnp.abs(old_vp["pagerank"] - new_vp["pagerank"]) > self.tol
+
+    def pallas_semiring(self):
+        return PallasSemiring(
+            "sum",
+            encode=lambda msg: msg.astype(jnp.float32),
+            decode=lambda y: y.astype(self.dtype))
 
 
 def init_pagerank_graph(graph: Graph, dtype=jnp.float32) -> None:

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.graph import Graph
-from ..core.program import GraphProgram
+from ..core.program import GraphProgram, PallasSemiring
 from ..core.runtime import Engine
 from ..core.types import Activity, Direction, SUM, UNTIL_CONVERGENCE
 
@@ -46,6 +46,12 @@ class InDegreeProgram(GraphProgram):
         out = dict(vp)
         out["in_degree"] = reduced
         return out
+
+    def pallas_semiring(self):
+        return PallasSemiring(
+            "sum",
+            encode=lambda msg: msg.astype(jnp.float32),
+            decode=lambda y: jnp.rint(y).astype(jnp.int32))
 
 
 class TopSortProgram(GraphProgram):
@@ -77,6 +83,12 @@ class TopSortProgram(GraphProgram):
 
     def do_every_iteration(self, state, vp, it, ctx):
         return state + 1
+
+    def pallas_semiring(self):
+        return PallasSemiring(
+            "sum",
+            encode=lambda msg: msg.astype(jnp.float32),
+            decode=lambda y: jnp.rint(y).astype(jnp.int32))
 
 
 def run_topological_sort(graph: Graph,

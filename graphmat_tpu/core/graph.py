@@ -125,14 +125,19 @@ class Graph:
 
         self.out_edges: Optional[EdgeArrays] = None
         self.in_edges: Optional[EdgeArrays] = None
+        # host copies kept for building Pallas edge plans lazily
+        self._host_edges = {}
         if build_out_edges:
             # receiver = dst
             self.out_edges = _build_edge_arrays(src0, dst0, vals, self.n_pad,
                                                 self.e_pad)
+            self._host_edges["dst"] = (src0.copy(), dst0.copy(), vals.copy())
         if build_in_edges:
             # receiver = src
             self.in_edges = _build_edge_arrays(dst0, src0, vals, self.n_pad,
                                                self.e_pad)
+            self._host_edges["src"] = (dst0.copy(), src0.copy(), vals.copy())
+        self._pallas_plans = {}
 
         vv = np.zeros(self.n_pad, bool)
         vv[:n] = True
@@ -237,6 +242,20 @@ class Graph:
                 f"graph was built without the receiver={direction_receiver} "
                 f"ordering; pass build_{'out' if direction_receiver == 'dst' else 'in'}_edges=True")
         return ea
+
+    def pallas_plan(self, receiver: str, wr: int = 512):
+        """Lazily built Pallas SpMV edge plan for the given receiver role
+        ('dst' for OUT_EDGES, 'src' for IN_EDGES).  Cached per graph."""
+        key = (receiver, wr)
+        if key not in self._pallas_plans:
+            if receiver not in self._host_edges:
+                raise ValueError(f"no host edges for receiver={receiver}")
+            from ..ops.pallas_spmv import build_spmv_plan
+            senders0, receivers0, vals = self._host_edges[receiver]
+            self._pallas_plans[key] = build_spmv_plan(
+                senders0, receivers0, vals, self.n_pad, wr=wr,
+                n_recv=self.n_pad)
+        return self._pallas_plans[key]
 
     def structure_pytree(self):
         """All structure arrays as a pytree (to pass into jitted runs)."""

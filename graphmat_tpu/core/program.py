@@ -29,14 +29,50 @@ so an entire ``run_graph_program`` is a single compiled ``while_loop``/
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional, Tuple
 
 import jax.numpy as jnp
 from jax import tree_util
 
 from .types import Activity, Direction, Monoid, SUM
 
-__all__ = ["GraphProgram", "IterationContext"]
+__all__ = ["GraphProgram", "IterationContext", "PallasSemiring"]
+
+
+def _identity_process(xv, ev):
+    return xv
+
+
+def _identity_codec(x):
+    return x
+
+
+@dataclass(frozen=True)
+class PallasSemiring:
+    """Opt-in declaration of a program's semiring for the Pallas SpMV path.
+
+    Declares ⊕/⊗ in the elementwise-f32 form the TPU kernel executes
+    (``ops.pallas_spmv``).  Requirements:
+
+    * ``reduce_kind`` ∈ {'sum', 'min', 'max'} — the ⊕ monoid;
+    * ``process(xv, edge_val)`` — elementwise jnp ⊗, and it must absorb the
+      ⊕ identity (``process(ident, ev) == ident``) since inactive senders
+      are encoded as the identity (0 for sum, ±inf for min/max);
+    * ``encode(msg)`` maps the message pytree to one f32[n] array
+      (sentinels such as INT32_MAX become ±inf here);
+    * ``decode(y)`` maps the reduced f32[n] back to the reduced-message
+      pytree consumed by ``apply``.
+
+    Integer payloads are exact up to 2^24 in f32 (vertex ids, depths,
+    bounded distances) — the kernel's gather/scatter paths are themselves
+    f32-exact via bf16 hi/lo splits.
+    """
+
+    reduce_kind: str = "sum"
+    process: Callable = _identity_process
+    encode: Callable = _identity_codec
+    decode: Callable = _identity_codec
 
 
 class IterationContext:
@@ -132,3 +168,8 @@ class GraphProgram:
         """Per-iteration state update hook (``GraphProgram.h:98``).  Must be
         traceable; runs inside the compiled loop after apply."""
         return state
+
+    def pallas_semiring(self) -> Optional["PallasSemiring"]:
+        """Return a :class:`PallasSemiring` to enable the TPU fast path,
+        or None to always use the XLA segment-reduce path."""
+        return None

@@ -24,11 +24,19 @@ import jax
 import jax.numpy as jnp
 from jax import tree_util
 
+import jax.numpy as _jnp
+
 from ..ops.segment import (masked_fill_identity, segment_any,
                            segment_reduce_tree)
 from .graph import EdgeArrays, Graph
-from .program import GraphProgram, IterationContext
+from .program import GraphProgram, IterationContext, PallasSemiring
 from .types import Activity, Direction, UNTIL_CONVERGENCE
+
+_PALLAS_IDENT = {"sum": 0.0, "min": float("inf"), "max": float("-inf")}
+# Finite stand-in for ±inf on the kernel's x stream: the bf16 hi/lo split
+# turns inf into inf-inf = NaN, so infinities are clamped to ±PALLAS_BIG
+# before the kernel and restored after.
+PALLAS_BIG = 1e30
 
 __all__ = ["Engine", "run_graph_program", "graph_program_init"]
 
@@ -65,14 +73,39 @@ class Engine:
     """
 
     def __init__(self, program: GraphProgram, graph: Graph,
-                 ctx: Optional[IterationContext] = None):
+                 ctx: Optional[IterationContext] = None,
+                 use_pallas: Optional[bool] = None):
         self.program = program
         self.graph = graph
         self.ctx = ctx if ctx is not None else IterationContext()
-        self._edges = {}
-        for recv in _direction_receivers(program.order):
-            self._edges[recv] = graph.edges_for(recv)
         self._n_pad = graph.n_pad
+
+        # ---- Pallas fast-path eligibility ------------------------------
+        semiring = program.pallas_semiring()
+        if use_pallas is None:
+            use_pallas = (jax.default_backend() == "tpu"
+                          and semiring is not None
+                          and not program.process_requires_vertexprop)
+        if use_pallas and semiring is None:
+            raise ValueError("use_pallas=True but program declares no "
+                             "pallas_semiring()")
+        self.use_pallas = bool(use_pallas)
+        self._semiring = semiring
+        self._plans = {}
+        self._edges = {}
+        if self.use_pallas:
+            for recv in _direction_receivers(program.order):
+                self._plans[recv] = graph.pallas_plan(recv)
+        else:
+            for recv in _direction_receivers(program.order):
+                self._edges[recv] = graph.edges_for(recv)
+        # Plan arrays must flow through jit ARGUMENTS, not closure captures —
+        # captured device arrays become inline constants in the compiled
+        # program (hundreds of MB for big graphs).
+        self._plan_args = {
+            recv: ((p.blkid, p.hiabs, p.slo, p.rrel, p.vals, p.mask),
+                   p.got_static)
+            for recv, p in self._plans.items()}
 
         def step(carry, structure):
             it, state, vp, active, _converged = carry
@@ -84,25 +117,30 @@ class Engine:
             if send_mask is not None:
                 sent = sent & send_mask
 
-            reduced = None
-            got = None
-            for recv in _direction_receivers(prog.order):
-                ea: EdgeArrays = structure["edges"][recv]
-                x_e = tree_util.tree_map(lambda a: a[ea.senders], msg)
-                e_ok = sent[ea.senders] & ea.valid
-                vp_r = None
-                if prog.process_requires_vertexprop:
-                    vp_r = tree_util.tree_map(lambda a: a[ea.receivers], vp)
-                u_e = prog.process_message(state, x_e, ea.vals, vp_r)
-                u_e = masked_fill_identity(prog.reduce, u_e, e_ok)
-                partial = segment_reduce_tree(prog.reduce, u_e, ea.receivers,
-                                              self._n_pad)
-                g = segment_any(e_ok, ea.receivers, self._n_pad)
-                if reduced is None:
-                    reduced, got = partial, g
-                else:
-                    reduced = _combine_tree(prog.reduce, reduced, partial)
-                    got = got | g
+            if self.use_pallas:
+                reduced, got = self._pallas_directions(
+                    state, msg, sent, structure["plans"])
+            else:
+                reduced = None
+                got = None
+                for recv in _direction_receivers(prog.order):
+                    ea: EdgeArrays = structure["edges"][recv]
+                    x_e = tree_util.tree_map(lambda a: a[ea.senders], msg)
+                    e_ok = sent[ea.senders] & ea.valid
+                    vp_r = None
+                    if prog.process_requires_vertexprop:
+                        vp_r = tree_util.tree_map(
+                            lambda a: a[ea.receivers], vp)
+                    u_e = prog.process_message(state, x_e, ea.vals, vp_r)
+                    u_e = masked_fill_identity(prog.reduce, u_e, e_ok)
+                    partial = segment_reduce_tree(prog.reduce, u_e,
+                                                  ea.receivers, self._n_pad)
+                    g = segment_any(e_ok, ea.receivers, self._n_pad)
+                    if reduced is None:
+                        reduced, got = partial, g
+                    else:
+                        reduced = _combine_tree(prog.reduce, reduced, partial)
+                        got = got | g
 
             applied = prog.apply(state, reduced, vp)
             vp_new = _where_tree(got & valid_vertex, applied, vp)
@@ -140,8 +178,66 @@ class Engine:
         self._run_fixed = jax.jit(run_fixed, static_argnums=(4,))
         self._run_conv = jax.jit(run_conv)
 
+    def _pallas_directions(self, state, msg, sent, plans):
+        """All directions through the Pallas SpMV kernel; returns
+        (reduced pytree, got bool[n_pad]).  ``plans`` carries the plan
+        arrays as traced arguments."""
+        from ..ops.pallas_spmv import _spmv_call
+        prog = self.program
+        sem: PallasSemiring = self._semiring
+        kind = sem.reduce_kind
+        interpret = jax.default_backend() != "tpu"
+
+        x = sem.encode(msg).astype(jnp.float32)
+        dense = (prog.activity == Activity.ALL_VERTICES)
+        if kind == "sum":
+            x = jnp.where(sent, x, 0.0)
+        else:
+            fill = jnp.float32(PALLAS_BIG if kind == "min" else -PALLAS_BIG)
+            x = jnp.where(sent, x, fill)
+            x = jnp.clip(x, -PALLAS_BIG, PALLAS_BIG)
+
+        y = None
+        got = None
+        for recv in _direction_receivers(prog.order):
+            plan = self._plans[recv]
+            plan_arrays, got_static = plans[recv]
+            plan_static = (plan.nc, plan.nb, plan.wr, plan.h, plan.n_pad)
+
+            def call(xin, kd, proc):
+                xp = xin
+                if xp.shape[0] < plan.n_send_pad:
+                    xp = jnp.pad(xp, (0, plan.n_send_pad - xp.shape[0]))
+                return _spmv_call(plan_arrays, plan_static,
+                                  xp[: plan.n_send_pad], kd, proc, interpret)
+
+            y_dir = call(x, kind, sem.process)[: self._n_pad]
+            if kind == "sum":
+                if dense:
+                    g_dir = got_static[: self._n_pad]
+                else:
+                    sentf = jnp.where(sent, 1.0, 0.0).astype(jnp.float32)
+                    from ..ops.pallas_spmv import _identity_process
+                    g_dir = call(sentf, "sum",
+                                 _identity_process)[: self._n_pad] > 0
+            elif kind == "min":
+                g_dir = y_dir < PALLAS_BIG / 2
+                y_dir = jnp.where(g_dir, y_dir, jnp.inf)
+            else:
+                g_dir = y_dir > -PALLAS_BIG / 2
+                y_dir = jnp.where(g_dir, y_dir, -jnp.inf)
+            if y is None:
+                y, got = y_dir, g_dir
+            else:
+                y = (y + y_dir if kind == "sum" else
+                     (jnp.minimum(y, y_dir) if kind == "min"
+                      else jnp.maximum(y, y_dir)))
+                got = got | g_dir
+        return sem.decode(y), got
+
     def _structure(self):
         return {"edges": self._edges,
+                "plans": self._plan_args,
                 "valid_vertex": self.graph.valid_vertex}
 
     def run(self, iterations: int = UNTIL_CONVERGENCE,

@@ -72,8 +72,9 @@ class SpmvPlan:
     nnz: int
     fill: float         # nnz / (nc * EDGES_PER_CHUNK)
     blkid: Any          # int32[nc]    receiver block per chunk (nondecreasing)
-    hib: Any            # int32[nc, 8] per-row X2-window base (8-aligned)
-    hirel: Any          # int32[nc, 8, 128] sender hi - base, in [0, 128)
+    hiabs: Any          # int32[nc, 8, 128] absolute sender hi (s >> 7); row
+                        #   padding lanes repeat the row's first hi so the
+                        #   in-kernel row-min recovers the 8-aligned window base
     slo: Any            # int32[nc, 8, 128] sender & 127
     rrel: Any           # int32[nc, 8, 128] receiver - block*wr, in [0, wr)
     vals: Any           # f32[nc, 8, 128] edge values
@@ -125,7 +126,7 @@ def build_spmv_plan(senders0: np.ndarray, receivers0: np.ndarray,
         i, end = int(blk_starts[b]), int(blk_starts[b + 1])
         cnt = 0
         while i < end:
-            base = int(hi[i] & ~np.int64(7))
+            base = min(int(hi[i] & ~np.int64(7)), h - 128)
             j = int(np.searchsorted(hi[i:end], base + 128)) + i
             stop = min(i + LANE, j)
             rows.append((b, i, stop, base))
@@ -138,8 +139,7 @@ def build_spmv_plan(senders0: np.ndarray, receivers0: np.ndarray,
     nc = int(chunks_per_block.sum())
 
     blkid = np.zeros(nc, np.int32)
-    hib = np.zeros((nc, ROWS_PER_CHUNK), np.int32)
-    hirel = np.zeros((nc, ROWS_PER_CHUNK, LANE), np.int32)
+    hiabs = np.zeros((nc, ROWS_PER_CHUNK, LANE), np.int32)
     slo = np.zeros((nc, ROWS_PER_CHUNK, LANE), np.int32)
     rrel = np.zeros((nc, ROWS_PER_CHUNK, LANE), np.int32)
     vv = np.zeros((nc, ROWS_PER_CHUNK, LANE), np.float32)
@@ -157,8 +157,8 @@ def build_spmv_plan(senders0: np.ndarray, receivers0: np.ndarray,
             ci = ci0 + k // ROWS_PER_CHUNK
             ri = k % ROWS_PER_CHUNK
             ln = sp - st
-            hib[ci, ri] = hb
-            hirel[ci, ri, :ln] = hi[st:sp] - hb
+            hiabs[ci, ri, :ln] = hi[st:sp]
+            hiabs[ci, ri, ln:] = hb
             slo[ci, ri, :ln] = s[st:sp] & 127
             rrel[ci, ri, :ln] = r[st:sp] - b * wr
             vv[ci, ri, :ln] = v[st:sp]
@@ -172,19 +172,19 @@ def build_spmv_plan(senders0: np.ndarray, receivers0: np.ndarray,
     return SpmvPlan(
         n_pad=n_pad, n_send_pad=n_send_pad, wr=wr, nb=nb, nc=nc, h=h, nnz=e,
         fill=e / max(nc * EDGES_PER_CHUNK, 1),
-        blkid=jnp.asarray(blkid), hib=jnp.asarray(hib),
-        hirel=jnp.asarray(hirel), slo=jnp.asarray(slo),
+        blkid=jnp.asarray(blkid),
+        hiabs=jnp.asarray(hiabs), slo=jnp.asarray(slo),
         rrel=jnp.asarray(rrel), vals=jnp.asarray(vv),
         mask=jnp.asarray(mm), got_static=jnp.asarray(got))
 
 
 # --------------------------------------------------------------- kernel
 
-def _make_kernel(reduce_kind: str, process: Callable, wr: int):
+def _make_kernel(reduce_kind: str, process: Callable, wr: int, h: int):
     ident = {"sum": 0.0, "min": np.float32(np.inf),
              "max": np.float32(-np.inf)}[reduce_kind]
 
-    def kernel(blk_ref, hib_ref, hirel_ref, slo_ref, rrel_ref, vals_ref,
+    def kernel(blk_ref, hiabs_ref, slo_ref, rrel_ref, vals_ref,
                mask_ref, xhi_ref, xlo_ref, y_ref, acc_ref):
         i = pl.program_id(0)
         first = jnp.logical_or(
@@ -199,10 +199,12 @@ def _make_kernel(reduce_kind: str, process: Callable, wr: int):
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (LANE, wr), 1)
 
         def row(rr, _):
-            base = pl.multiple_of(hib_ref[i, rr], 8)
+            habs = hiabs_ref[0, rr, :].reshape(1, LANE)
+            base = jnp.minimum((jnp.min(habs) // 8) * 8, h - LANE)
+            base = pl.multiple_of(base, 8)
             xh = xhi_ref[pl.ds(base, LANE), :]
             xl = xlo_ref[pl.ds(base, LANE), :]
-            hire = hirel_ref[0, rr, :].reshape(1, LANE)
+            hire = habs - base
             oh_hi = (hire == iota_s).astype(jnp.bfloat16)          # [h, e]
             mh = jax.lax.dot_general(oh_hi, xh, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
@@ -219,8 +221,11 @@ def _make_kernel(reduce_kind: str, process: Callable, wr: int):
             ohw = rcol == iota_w                                   # [e, w]
             if reduce_kind == "sum":
                 p = p * msk
-                ph = p.astype(jnp.bfloat16)
-                plo = (p - ph.astype(jnp.float32)).astype(jnp.bfloat16)
+                pu = jax.lax.bitcast_convert_type(p, jnp.uint32)
+                ph_f32 = jax.lax.bitcast_convert_type(
+                    pu & np.uint32(0xFFFF0000), jnp.float32)
+                ph = ph_f32.astype(jnp.bfloat16)
+                plo = (p - ph_f32).astype(jnp.bfloat16)
                 ohw16 = ohw.astype(jnp.bfloat16)
                 yh = jax.lax.dot_general(ph, ohw16,
                                          (((0,), (0,)), ((), ())),
@@ -251,36 +256,36 @@ def _make_kernel(reduce_kind: str, process: Callable, wr: int):
                                              "process", "interpret"))
 def _spmv_call(plan_arrays, plan_static, x, reduce_kind, process, interpret):
     nc, nb, wr, h, n_pad = plan_static
-    blkid, hib, hirel, slo, rrel, vals, mask = plan_arrays
+    blkid, hiabs, slo, rrel, vals, mask = plan_arrays
 
+    # bf16 hi/lo split via bit masking — NOT x - bf16(x), which XLA folds to
+    # zero under --xla_allow_excess_precision (forced by this runtime).
     x2 = x.reshape(h, LANE)
-    xhi = x2.astype(jnp.bfloat16)
-    xlo = (x2 - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    u = jax.lax.bitcast_convert_type(x2, jnp.uint32)
+    xhi_f32 = jax.lax.bitcast_convert_type(u & np.uint32(0xFFFF0000),
+                                           jnp.float32)
+    xhi = xhi_f32.astype(jnp.bfloat16)
+    xlo = (x2 - xhi_f32).astype(jnp.bfloat16)
 
-    kernel = _make_kernel(reduce_kind, process, wr)
+    kernel = _make_kernel(reduce_kind, process, wr, h)
 
     chunk_spec = pl.BlockSpec((1, ROWS_PER_CHUNK, LANE),
-                              lambda i, blk, hib: (i, 0, 0),
+                              lambda i, blk: (i, 0, 0),
                               memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(nc,),
         in_specs=[chunk_spec] * 5 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-        out_specs=pl.BlockSpec((1, 8, wr), lambda i, blk, hib: (blk[i], 0, 0),
+        out_specs=pl.BlockSpec((1, 8, wr), lambda i, blk: (blk[i], 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((1, wr), jnp.float32)],
     )
 
-    def wrap(blk_ref, hib_ref, hirel_ref, slo_ref, rrel_ref, vals_ref,
-             mask_ref, xhi_ref, xlo_ref, y_ref, acc_ref):
-        kernel(blk_ref, hib_ref, hirel_ref, slo_ref, rrel_ref, vals_ref,
-               mask_ref, xhi_ref, xlo_ref, y_ref, acc_ref)
-
     out = pl.pallas_call(
-        wrap, grid_spec=grid_spec,
+        kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, 8, wr), jnp.float32),
         interpret=interpret,
-    )(blkid, hib, hirel, slo, rrel, vals, mask, xhi, xlo)
+    )(blkid, hiabs, slo, rrel, vals, mask, xhi, xlo)
     return out[:, 0, :].reshape(nb * wr)[:n_pad]
 
 
@@ -301,7 +306,7 @@ def spmv(plan: SpmvPlan, x, reduce_kind: str = "sum",
     if x.shape[0] < plan.n_send_pad:
         x = jnp.pad(x, (0, plan.n_send_pad - x.shape[0]))
     x = x[: plan.n_send_pad].astype(jnp.float32)
-    plan_arrays = (plan.blkid, plan.hib, plan.hirel, plan.slo, plan.rrel,
+    plan_arrays = (plan.blkid, plan.hiabs, plan.slo, plan.rrel,
                    plan.vals, plan.mask)
     plan_static = (plan.nc, plan.nb, plan.wr, plan.h, plan.n_pad)
     return _spmv_call(plan_arrays, plan_static, x, reduce_kind, process,

@@ -103,3 +103,68 @@ def test_rmat_small():
     e = rmat_edgelist(9, 8, seed=7)
     y, expect, plan = run_case(e)
     np.testing.assert_allclose(y, expect, rtol=1e-3, atol=1e-3)
+
+
+# ------------------------- engine pallas path (interpret mode on CPU)
+
+def _run_app_pallas(app_fn, *args, **kw):
+    return app_fn(*args, **kw)
+
+
+def test_engine_pallas_pagerank_matches_xla():
+    from graphmat_tpu import Graph
+    from graphmat_tpu.apps.pagerank import (DegreeProgram, PageRankProgram,
+                                            init_pagerank_graph)
+    from graphmat_tpu.core.runtime import Engine
+    e = random_edgelist(300, 6, seed=21)
+    g1 = Graph(e)
+    init_pagerank_graph(g1)
+    g1.set_all_active()
+    Engine(DegreeProgram(), g1, use_pallas=False).run(iterations=1)
+    Engine(PageRankProgram(), g1, use_pallas=False).run()
+    ref = g1.vp_numpy()
+
+    g2 = Graph(e)
+    init_pagerank_graph(g2)
+    g2.set_all_active()
+    Engine(DegreeProgram(), g2, use_pallas=True).run(iterations=1)
+    it2 = Engine(PageRankProgram(), g2, use_pallas=True).run()
+    out = g2.vp_numpy()
+    np.testing.assert_array_equal(out["degree"], ref["degree"])
+    np.testing.assert_allclose(out["pagerank"], ref["pagerank"],
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_engine_pallas_bfs_matches_xla():
+    from graphmat_tpu import Graph
+    from graphmat_tpu.apps.bfs import BFSProgram, init_bfs_graph
+    from graphmat_tpu.core.runtime import Engine
+    e = random_edgelist(200, 3, seed=23)
+    g1 = Graph(e, build_in_edges=False)
+    init_bfs_graph(g1, 1)
+    it1 = Engine(BFSProgram(), g1, use_pallas=False).run()
+    ref = g1.vp_numpy()
+
+    g2 = Graph(e, build_in_edges=False)
+    init_bfs_graph(g2, 1)
+    it2 = Engine(BFSProgram(), g2, use_pallas=True).run()
+    out = g2.vp_numpy()
+    assert it1 == it2
+    np.testing.assert_array_equal(out["depth"], ref["depth"])
+    np.testing.assert_array_equal(out["parent"], ref["parent"])
+
+
+def test_engine_pallas_sssp_matches_xla():
+    from graphmat_tpu import Graph
+    from graphmat_tpu.apps.sssp import SSSPProgram, init_sssp_graph
+    from graphmat_tpu.core.runtime import Engine
+    e = random_edgelist(150, 4, seed=29, weight_range=9)
+    g1 = Graph(e, build_in_edges=False)
+    init_sssp_graph(g1, 1)
+    Engine(SSSPProgram(), g1, use_pallas=False).run()
+    ref = g1.vp_numpy()["distance"]
+
+    g2 = Graph(e, build_in_edges=False)
+    init_sssp_graph(g2, 1)
+    Engine(SSSPProgram(), g2, use_pallas=True).run()
+    np.testing.assert_array_equal(g2.vp_numpy()["distance"], ref)
