@@ -107,6 +107,12 @@ def build_spmv_plan(senders0: np.ndarray, receivers0: np.ndarray,
     n_pad = max(_round_up(n_recv, wr), wr)
     nb = n_pad // wr
     e = senders0.shape[0]
+
+    from ..native import load_planner
+    lib = load_planner()
+    if lib is not None and e > 0:
+        return _build_plan_native(lib, senders0, receivers0, vals, n_pad,
+                                  n_send_pad, h, wr, nb, e)
     s = np.ascontiguousarray(senders0.astype(np.int64))
     r = np.ascontiguousarray(receivers0.astype(np.int64))
     v = np.ascontiguousarray(vals.astype(np.float32))
@@ -175,6 +181,40 @@ def build_spmv_plan(senders0: np.ndarray, receivers0: np.ndarray,
         blkid=jnp.asarray(blkid),
         hiabs=jnp.asarray(hiabs), slo=jnp.asarray(slo),
         rrel=jnp.asarray(rrel), vals=jnp.asarray(vv),
+        mask=jnp.asarray(mm), got_static=jnp.asarray(got))
+
+
+def _build_plan_native(lib, senders0, receivers0, vals, n_pad, n_send_pad,
+                       h, wr, nb, e):
+    """C++/OpenMP plan build (graphmat_tpu/native/planner.cpp)."""
+    import ctypes
+
+    s = np.ascontiguousarray(senders0, np.int32)
+    r = np.ascontiguousarray(receivers0, np.int32)
+    v = np.ascontiguousarray(vals, np.float32)
+    nc_out = ctypes.c_int64()
+    handle = lib.gm_plan_create(s, r, v, e, h, wr, nb,
+                                ctypes.byref(nc_out))
+    nc = int(nc_out.value)
+    try:
+        blkid = np.empty(nc, np.int32)
+        hiabs = np.empty((nc, ROWS_PER_CHUNK, LANE), np.int32)
+        slo = np.empty((nc, ROWS_PER_CHUNK, LANE), np.int32)
+        rrel = np.empty((nc, ROWS_PER_CHUNK, LANE), np.int32)
+        vv = np.empty((nc, ROWS_PER_CHUNK, LANE), np.float32)
+        mm = np.empty((nc, ROWS_PER_CHUNK, LANE), np.float32)
+        lib.gm_plan_fill(handle, blkid, hiabs.reshape(-1), slo.reshape(-1),
+                         rrel.reshape(-1), vv.reshape(-1), mm.reshape(-1))
+    finally:
+        lib.gm_plan_destroy(handle)
+
+    got = np.zeros(n_pad, bool)
+    got[np.unique(receivers0)] = True
+    return SpmvPlan(
+        n_pad=n_pad, n_send_pad=n_send_pad, wr=wr, nb=nb, nc=nc, h=h, nnz=e,
+        fill=e / max(nc * EDGES_PER_CHUNK, 1),
+        blkid=jnp.asarray(blkid), hiabs=jnp.asarray(hiabs),
+        slo=jnp.asarray(slo), rrel=jnp.asarray(rrel), vals=jnp.asarray(vv),
         mask=jnp.asarray(mm), got_static=jnp.asarray(got))
 
 
