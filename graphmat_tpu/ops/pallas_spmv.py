@@ -220,12 +220,32 @@ def _build_plan_native(lib, senders0, receivers0, vals, n_pad, n_send_pad,
 
 # --------------------------------------------------------------- kernel
 
-def _make_kernel(reduce_kind: str, process: Callable, wr: int, h: int):
+def _split_bf16(x, n_splits):
+    """Exact bf16 decomposition of f32: x = sum(parts) with each part
+    exactly representable in bf16 (truncation via bit masking — safe under
+    --xla_allow_excess_precision, which folds the naive x - bf16(x) form).
+    n_splits=2 leaves ~2^-17 relative residual; 3 is f32-exact."""
+    parts = []
+    rem = x
+    for k in range(n_splits - 1):
+        u = jax.lax.bitcast_convert_type(rem, jnp.uint32)
+        hi = jax.lax.bitcast_convert_type(u & np.uint32(0xFFFF0000),
+                                          jnp.float32)
+        parts.append(hi.astype(jnp.bfloat16))
+        rem = rem - hi
+    parts.append(rem.astype(jnp.bfloat16))
+    return parts
+
+
+def _make_kernel(reduce_kind: str, process: Callable, wr: int, h: int,
+                 n_splits: int):
     ident = {"sum": 0.0, "min": np.float32(np.inf),
              "max": np.float32(-np.inf)}[reduce_kind]
 
     def kernel(blk_ref, hiabs_ref, slo_ref, rrel_ref, vals_ref,
-               mask_ref, xhi_ref, xlo_ref, y_ref, acc_ref):
+               mask_ref, *rest):
+        xsplit_refs = rest[:n_splits]
+        y_ref, acc_ref = rest[n_splits], rest[n_splits + 1]
         i = pl.program_id(0)
         first = jnp.logical_or(
             i == 0, blk_ref[i] != blk_ref[jnp.maximum(i - 1, 0)])
@@ -242,15 +262,15 @@ def _make_kernel(reduce_kind: str, process: Callable, wr: int, h: int):
             habs = hiabs_ref[0, rr, :].reshape(1, LANE)
             base = jnp.minimum((jnp.min(habs) // 8) * 8, h - LANE)
             base = pl.multiple_of(base, 8)
-            xh = xhi_ref[pl.ds(base, LANE), :]
-            xl = xlo_ref[pl.ds(base, LANE), :]
             hire = habs - base
             oh_hi = (hire == iota_s).astype(jnp.bfloat16)          # [h, e]
-            mh = jax.lax.dot_general(oh_hi, xh, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            ml = jax.lax.dot_general(oh_hi, xl, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            m = mh + ml                                            # [e, l]
+            m = None                                               # [e, l]
+            for xs_ref in xsplit_refs:
+                xw = xs_ref[pl.ds(base, LANE), :]
+                mk = jax.lax.dot_general(oh_hi, xw,
+                                         (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+                m = mk if m is None else m + mk
             lo_col = slo_ref[0, rr, :].reshape(LANE, 1)
             xv = jnp.sum(jnp.where(lo_col == iota_l, m, 0.0), axis=1,
                          keepdims=True)                            # [e, 1]
@@ -261,19 +281,14 @@ def _make_kernel(reduce_kind: str, process: Callable, wr: int, h: int):
             ohw = rcol == iota_w                                   # [e, w]
             if reduce_kind == "sum":
                 p = p * msk
-                pu = jax.lax.bitcast_convert_type(p, jnp.uint32)
-                ph_f32 = jax.lax.bitcast_convert_type(
-                    pu & np.uint32(0xFFFF0000), jnp.float32)
-                ph = ph_f32.astype(jnp.bfloat16)
-                plo = (p - ph_f32).astype(jnp.bfloat16)
                 ohw16 = ohw.astype(jnp.bfloat16)
-                yh = jax.lax.dot_general(ph, ohw16,
-                                         (((0,), (0,)), ((), ())),
-                                         preferred_element_type=jnp.float32)
-                yl = jax.lax.dot_general(plo, ohw16,
-                                         (((0,), (0,)), ((), ())),
-                                         preferred_element_type=jnp.float32)
-                acc_ref[:] = acc_ref[:] + yh + yl
+                yk = None
+                for part in _split_bf16(p, n_splits):
+                    t = jax.lax.dot_general(part, ohw16,
+                                            (((0,), (0,)), ((), ())),
+                                            preferred_element_type=jnp.float32)
+                    yk = t if yk is None else yk + t
+                acc_ref[:] = acc_ref[:] + yk
             else:
                 sel = ohw & (msk > 0)
                 pw = jnp.where(sel, p, ident)                      # [e, w]
@@ -293,21 +308,17 @@ def _make_kernel(reduce_kind: str, process: Callable, wr: int, h: int):
 
 
 @functools.partial(jax.jit, static_argnames=("plan_static", "reduce_kind",
-                                             "process", "interpret"))
-def _spmv_call(plan_arrays, plan_static, x, reduce_kind, process, interpret):
+                                             "process", "interpret",
+                                             "n_splits"))
+def _spmv_call(plan_arrays, plan_static, x, reduce_kind, process, interpret,
+               n_splits=3):
     nc, nb, wr, h, n_pad = plan_static
     blkid, hiabs, slo, rrel, vals, mask = plan_arrays
 
-    # bf16 hi/lo split via bit masking — NOT x - bf16(x), which XLA folds to
-    # zero under --xla_allow_excess_precision (forced by this runtime).
     x2 = x.reshape(h, LANE)
-    u = jax.lax.bitcast_convert_type(x2, jnp.uint32)
-    xhi_f32 = jax.lax.bitcast_convert_type(u & np.uint32(0xFFFF0000),
-                                           jnp.float32)
-    xhi = xhi_f32.astype(jnp.bfloat16)
-    xlo = (x2 - xhi_f32).astype(jnp.bfloat16)
+    xsplits = _split_bf16(x2, n_splits)
 
-    kernel = _make_kernel(reduce_kind, process, wr, h)
+    kernel = _make_kernel(reduce_kind, process, wr, h, n_splits)
 
     chunk_spec = pl.BlockSpec((1, ROWS_PER_CHUNK, LANE),
                               lambda i, blk: (i, 0, 0),
@@ -315,7 +326,8 @@ def _spmv_call(plan_arrays, plan_static, x, reduce_kind, process, interpret):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nc,),
-        in_specs=[chunk_spec] * 5 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        in_specs=([chunk_spec] * 5
+                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_splits),
         out_specs=pl.BlockSpec((1, 8, wr), lambda i, blk: (blk[i], 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((1, wr), jnp.float32)],
@@ -325,7 +337,7 @@ def _spmv_call(plan_arrays, plan_static, x, reduce_kind, process, interpret):
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, 8, wr), jnp.float32),
         interpret=interpret,
-    )(blkid, hiabs, slo, rrel, vals, mask, xhi, xlo)
+    )(blkid, hiabs, slo, rrel, vals, mask, *xsplits)
     return out[:, 0, :].reshape(nb * wr)[:n_pad]
 
 
@@ -334,7 +346,8 @@ def _identity_process(xv, ev):
 
 
 def spmv(plan: SpmvPlan, x, reduce_kind: str = "sum",
-         process: Optional[Callable] = None, interpret: bool = False):
+         process: Optional[Callable] = None, interpret: bool = False,
+         n_splits: int = 3):
     """Generalized SpMV: ``y[r] = ⊕_{(s→r)} process(x[s], val)``.
 
     ``x``: f32[plan.n_pad] (longer inputs are sliced).  Returns f32[n_pad].
@@ -350,4 +363,4 @@ def spmv(plan: SpmvPlan, x, reduce_kind: str = "sum",
                    plan.vals, plan.mask)
     plan_static = (plan.nc, plan.nb, plan.wr, plan.h, plan.n_pad)
     return _spmv_call(plan_arrays, plan_static, x, reduce_kind, process,
-                      interpret)
+                      interpret, n_splits)

@@ -148,6 +148,14 @@ class DistGraph:
             self.in_tiles = _build_tiles(src0, dst0, vals, False, R, C,
                                          self.S, mesh, e_align)
 
+        # host-side local edge copies per receiver role, for kernel plans
+        self._host_tiles = {}
+        if build_out_edges:
+            self._host_tiles["dst"] = self._localize(src0, dst0, vals, True)
+        if build_in_edges:
+            self._host_tiles["src"] = self._localize(src0, dst0, vals, False)
+        self._pallas_plans = {}
+
         self.vec_sharding = vector_sharding(mesh)
         vv = np.zeros(self.n_pad, bool)
         if self.perm is None:
@@ -158,6 +166,72 @@ class DistGraph:
         self.vp: Dict[str, Any] = {}
         self.active = jax.device_put(np.zeros(self.n_pad, bool),
                                      self.vec_sharding)
+
+    def _localize(self, src0, dst0, vals, receiver_is_dst):
+        """Per-tile (senders_local, receivers_local, vals) host arrays."""
+        R, C, S = self.R, self.C, self.S
+        recv, send = (dst0, src0) if receiver_is_dst else (src0, dst0)
+        seg_recv = recv // S
+        seg_send = send // S
+        tile_i = seg_recv // C
+        tile_j = seg_send % C
+        tile = tile_i * C + tile_j
+        recv_local = recv - tile_i * (C * S)
+        send_local = (seg_send // C) * S + (send % S)
+        out = []
+        order = np.argsort(tile, kind="stable")
+        tile_s = tile[order]
+        bounds = np.searchsorted(tile_s, np.arange(R * C + 1))
+        for t in range(R * C):
+            sel = order[bounds[t]: bounds[t + 1]]
+            out.append((send_local[sel].astype(np.int64),
+                        recv_local[sel].astype(np.int64),
+                        vals[sel]))
+        return out
+
+    def pallas_tile_plans(self, receiver: str, wr: int = 512):
+        """Stacked per-tile Pallas plans, padded to the max chunk count and
+        sharded over the mesh: arrays [R*C, nc_max, ...] (axis 0 on the
+        flattened mesh).  Returns (plan_arrays_tuple, static_tuple,
+        got_static) where static_tuple = (nc, nb, wr, h, n_row_local)."""
+        key = (receiver, wr)
+        if key in self._pallas_plans:
+            return self._pallas_plans[key]
+        if receiver not in self._host_tiles:
+            raise ValueError(f"no host tiles for receiver={receiver}")
+        from ..ops.pallas_spmv import build_spmv_plan
+        R, C, S = self.R, self.C, self.S
+        n_send = R * S
+        n_recv = C * S
+        plans = [build_spmv_plan(s, r, v, n_send, wr=wr, n_recv=n_recv)
+                 for (s, r, v) in self._host_tiles[receiver]]
+        nc_max = max(p.nc for p in plans)
+        nb = plans[0].nb
+        h = plans[0].h
+        n_pad = plans[0].n_pad
+
+        def pad_stack(name, fill):
+            outs = []
+            for p in plans:
+                a = np.asarray(getattr(p, name))
+                pad = nc_max - a.shape[0]
+                if pad:
+                    padval = np.full((pad,) + a.shape[1:], fill, a.dtype)
+                    if name == "blkid":
+                        padval[:] = nb - 1  # keep nondecreasing
+                    a = np.concatenate([a, padval])
+                outs.append(a)
+            return np.stack(outs)
+
+        arrays = tuple(jax.device_put(pad_stack(n, 0), tile_sharding(self.mesh))
+                       for n in ("blkid", "hiabs", "slo", "rrel", "vals",
+                                 "mask"))
+        got = np.stack([np.asarray(p.got_static) for p in plans])
+        got_d = jax.device_put(got, tile_sharding(self.mesh))
+        static = (nc_max, nb, wr, h, n_pad)
+        self._pallas_plans[key] = (arrays, static, got_d,
+                                   plans[0].n_send_pad)
+        return self._pallas_plans[key]
 
     # ------------------------------------------------------------ index
 

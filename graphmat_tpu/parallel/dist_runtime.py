@@ -19,11 +19,14 @@ The whole per-iteration dataflow — send, gather, ⊗, local segment-⊕,
 reduce-scatter, apply, convergence psum, the do_every_iteration hook — is
 one ``shard_map``-ped function wrapped in ``lax.while_loop`` /
 ``fori_loop``, so a full multi-device run is a single XLA program.
+
+On TPU, programs that declare a :class:`PallasSemiring` run each tile's
+local multiply through the Pallas SpMV kernel (per-tile edge plans from
+``DistGraph.pallas_tile_plans``); the mesh collectives are identical.
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Optional
 
 import jax
@@ -31,7 +34,8 @@ import jax.numpy as jnp
 from jax import lax, tree_util
 from jax.sharding import PartitionSpec as P
 
-from ..core.program import GraphProgram, IterationContext
+from ..core.program import GraphProgram, IterationContext, PallasSemiring
+from ..core.runtime import PALLAS_BIG
 from ..core.types import Activity, Direction, Monoid, UNTIL_CONVERGENCE
 from ..ops.segment import (masked_fill_identity, segment_any,
                            segment_reduce_tree)
@@ -87,10 +91,24 @@ def _reduce_scatter_monoid(monoid, tree, axis, num_chunks):
     return tree_util.tree_map(one, monoid, tree)
 
 
+def _reduce_scatter_f32(kind, leaf, axis, num_chunks):
+    if kind == "sum":
+        return lax.psum_scatter(leaf, axis, scatter_dimension=0, tiled=True)
+    exchanged = lax.all_to_all(leaf, axis, split_axis=0, concat_axis=0,
+                               tiled=True)
+    chunks = exchanged.reshape((num_chunks, -1) + leaf.shape[1:])
+    out = chunks[0]
+    op = jnp.minimum if kind == "min" else jnp.maximum
+    for i in range(1, num_chunks):
+        out = op(out, chunks[i])
+    return out
+
+
 class DistEngine:
     """Compiled 2D-sharded executor for one (program, DistGraph) pair."""
 
-    def __init__(self, program: GraphProgram, graph: DistGraph):
+    def __init__(self, program: GraphProgram, graph: DistGraph,
+                 use_pallas: Optional[bool] = None):
         self.program = program
         self.graph = graph
         mesh = graph.mesh
@@ -98,39 +116,36 @@ class DistEngine:
         self.ctx = IterationContext(
             psum=lambda t: lax.psum(t, (ROW_AXIS, COL_AXIS)))
 
-        tiles = {r: graph.tiles_for(r)
-                 for r in _direction_receivers(program.order)}
+        semiring = program.pallas_semiring()
+        if use_pallas is None:
+            use_pallas = (jax.default_backend() == "tpu"
+                          and semiring is not None
+                          and not program.process_requires_vertexprop)
+        if use_pallas and semiring is None:
+            raise ValueError("use_pallas=True but no pallas_semiring()")
+        self.use_pallas = bool(use_pallas)
+        self._semiring = semiring
+        self._pplans = {}
+        if self.use_pallas:
+            for recv in _direction_receivers(program.order):
+                self._pplans[recv] = graph.pallas_tile_plans(recv)
+
+        tiles = {}
+        if not self.use_pallas:
+            tiles = {r: graph.tiles_for(r)
+                     for r in _direction_receivers(program.order)}
         n_row_local = C * S  # receivers per row block
 
-        def local_step(carry, structure):
-            """Body on ONE device: local shards + explicit collectives."""
-            it, state, vp, active, _conv = carry
+        def xla_partials(state, vp_row, msg_col, sent_col, structure):
             prog = self.program
-            valid_vertex = structure["valid_vertex"]  # [S]
-
-            msg, send_mask = prog.send_message(state, vp)
-            sent = active & valid_vertex
-            if send_mask is not None:
-                sent = sent & send_mask
-
-            # column broadcast: gather sender segments down the row axis
-            x_col = lax.all_gather((msg, sent), ROW_AXIS, tiled=True)
-            msg_col, sent_col = x_col  # [R*S]
-
-            vp_row = None
-            if prog.process_requires_vertexprop:
-                # row broadcast (SpMSpV3 path): receiver properties
-                vp_row = lax.all_gather(vp, COL_AXIS, tiled=True)  # [C*S]
-
             reduced = None
             got = None
             for recv in _direction_receivers(prog.order):
                 ea: DistEdgeTiles = structure["tiles"][recv]
-                senders = ea.senders[0]      # [E_t] (leading tile axis == 1)
+                senders = ea.senders[0]
                 receivers = ea.receivers[0]
                 vals = ea.vals[0]
                 valid = ea.valid[0]
-
                 x_e = tree_util.tree_map(lambda a: a[senders], msg_col)
                 e_ok = sent_col[senders] & valid
                 vp_r = None
@@ -146,13 +161,103 @@ class DistEngine:
                 else:
                     reduced = _combine_tree(prog.reduce, reduced, partial)
                     got = got | g
-
-            # row reduction: fold partials across the column axis, keep
-            # this device's vertex segment
+            # fold partials across the column axis; keep this segment
             reduced = _reduce_scatter_monoid(prog.reduce, reduced,
                                              COL_AXIS, C)
             got = lax.psum_scatter(got.astype(jnp.int32), COL_AXIS,
                                    scatter_dimension=0, tiled=True) > 0
+            return reduced, got
+
+        def pallas_partials(state, msg, sent, structure):
+            """Local tile multiply via the Pallas kernel + mesh reduce."""
+            from ..ops.pallas_spmv import _identity_process, _spmv_call
+            prog = self.program
+            sem: PallasSemiring = self._semiring
+            kind = sem.reduce_kind
+            interpret = jax.default_backend() != "tpu"
+            dense = prog.activity == Activity.ALL_VERTICES
+
+            x = sem.encode(msg).astype(jnp.float32)  # [S]
+            if kind == "sum":
+                x = jnp.where(sent, x, 0.0)
+            else:
+                fill = jnp.float32(PALLAS_BIG if kind == "min"
+                                   else -PALLAS_BIG)
+                x = jnp.where(sent, x, fill)
+                x = jnp.clip(x, -PALLAS_BIG, PALLAS_BIG)
+            x_col = lax.all_gather(x, ROW_AXIS, tiled=True)       # [R*S]
+            sent_col = None
+            if kind == "sum" and not dense:
+                sentf = jnp.where(sent, 1.0, 0.0).astype(jnp.float32)
+                sent_col = lax.all_gather(sentf, ROW_AXIS, tiled=True)
+
+            y = None
+            gotf = None
+            for recv in _direction_receivers(prog.order):
+                (arrays, got_static) = structure["pplans"][recv]
+                static, n_send_pad = self._pplan_static_for(recv)
+                local = tuple(a[0] for a in arrays)
+
+                def call(xin, kd, proc):
+                    xp = xin
+                    if xp.shape[0] < n_send_pad:
+                        xp = jnp.pad(xp, (0, n_send_pad - xp.shape[0]))
+                    return _spmv_call(local, static, xp[:n_send_pad], kd,
+                                      proc, interpret)
+
+                y_dir = call(x_col, kind, sem.process)[:n_row_local]
+                if kind == "sum":
+                    if dense:
+                        g_dir = got_static[0][:n_row_local].astype(
+                            jnp.float32)
+                    else:
+                        g_dir = call(sent_col, "sum",
+                                     _identity_process)[:n_row_local]
+                    g_dir = g_dir
+                elif kind == "min":
+                    g_dir = (y_dir < PALLAS_BIG / 2).astype(jnp.float32)
+                else:
+                    g_dir = (y_dir > -PALLAS_BIG / 2).astype(jnp.float32)
+                if y is None:
+                    y, gotf = y_dir, g_dir
+                else:
+                    y = (y + y_dir if kind == "sum" else
+                         (jnp.minimum(y, y_dir) if kind == "min"
+                          else jnp.maximum(y, y_dir)))
+                    gotf = gotf + g_dir
+
+            y = _reduce_scatter_f32(kind, y, COL_AXIS, C)          # [S]
+            got = lax.psum_scatter(gotf, COL_AXIS, scatter_dimension=0,
+                                   tiled=True) > 0
+            if kind == "min":
+                y = jnp.where(y < PALLAS_BIG / 2, y, jnp.inf)
+            elif kind == "max":
+                y = jnp.where(y > -PALLAS_BIG / 2, y, -jnp.inf)
+            reduced = sem.decode(y)
+            return reduced, got
+
+        def local_step(carry, structure):
+            """Body on ONE device: local shards + explicit collectives."""
+            it, state, vp, active, _conv = carry
+            prog = self.program
+            valid_vertex = structure["valid_vertex"]  # [S]
+
+            msg, send_mask = prog.send_message(state, vp)
+            sent = active & valid_vertex
+            if send_mask is not None:
+                sent = sent & send_mask
+
+            if self.use_pallas:
+                reduced, got = pallas_partials(state, msg, sent, structure)
+            else:
+                # column broadcast down the row axis
+                msg_col, sent_col = lax.all_gather((msg, sent), ROW_AXIS,
+                                                   tiled=True)
+                vp_row = None
+                if prog.process_requires_vertexprop:
+                    vp_row = lax.all_gather(vp, COL_AXIS, tiled=True)
+                reduced, got = xla_partials(state, vp_row, msg_col,
+                                            sent_col, structure)
 
             applied = prog.apply(state, reduced, vp)
             vp_new = _where_tree(got & valid_vertex, applied, vp)
@@ -171,10 +276,15 @@ class DistEngine:
 
         tile_spec = DistEdgeTiles(*([P((ROW_AXIS, COL_AXIS))] * 4))
         structure_specs = {
-            "tiles": {r: tile_spec for r in tiles},
             "valid_vertex": P((ROW_AXIS, COL_AXIS)),
         }
-        # state replicated; vp/active sharded over the flat mesh
+        if self.use_pallas:
+            structure_specs["pplans"] = {
+                recv: (tuple([P((ROW_AXIS, COL_AXIS))] * 6),
+                       P((ROW_AXIS, COL_AXIS)))
+                for recv in self._pplans}
+        else:
+            structure_specs["tiles"] = {r: tile_spec for r in tiles}
         vp_spec = P((ROW_AXIS, COL_AXIS))
 
         def run_fixed(structure, state, vp, active, n_iters):
@@ -204,7 +314,7 @@ class DistEngine:
                         P())
             out_specs = (P(), spec_like(state, P()), spec_like(vp, vp_spec),
                          P((ROW_AXIS, COL_AXIS)), P())
-            f = jax.shard_map(partial(runner), mesh=mesh,
+            f = jax.shard_map(runner, mesh=mesh,
                               in_specs=in_specs, out_specs=out_specs,
                               check_vma=False)
             return f(structure, state, vp, active, extra)
@@ -218,8 +328,18 @@ class DistEngine:
             lambda structure, state, vp, active, mx:
             shmapped(run_conv, structure, state, vp, active, mx))
 
-        self._structure = {"tiles": tiles,
-                           "valid_vertex": graph.valid_vertex}
+        structure = {"valid_vertex": graph.valid_vertex}
+        if self.use_pallas:
+            structure["pplans"] = {
+                recv: (self._pplans[recv][0], self._pplans[recv][2])
+                for recv in self._pplans}
+        else:
+            structure["tiles"] = tiles
+        self._structure = structure
+
+    def _pplan_static_for(self, recv):
+        arrays, static, got_d, n_send_pad = self._pplans[recv]
+        return static, n_send_pad
 
     def run(self, iterations: int = UNTIL_CONVERGENCE,
             max_iterations: int = 1_000_000, state: Any = None) -> int:

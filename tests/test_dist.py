@@ -158,3 +158,34 @@ def test_dist_chain_convergence_loop(mesh):
     niter = DistEngine(BFSProgram(), g).run()
     assert niter == n
     np.testing.assert_array_equal(g.vp_numpy()["depth"], np.arange(n))
+
+
+def test_dist_pallas_pagerank_matches_xla(mesh):
+    """Sharded engine with per-tile Pallas kernels (interpret on CPU)."""
+    e = random_edgelist(100, 5, seed=17)
+    pr_ref, it_ref = dist_pagerank(e, mesh)
+
+    g = DistGraph(e, mesh)
+    g.init_vertexproperty(pagerank=np.float32(0.3), degree=np.int32(0))
+    g.set_all_active()
+    DistEngine(DegreeProgram(), g, use_pallas=True).run(iterations=1)
+    it2 = DistEngine(PageRankProgram(), g, use_pallas=True).run()
+    pr2 = g.vp_numpy()["pagerank"]
+    assert it2 == it_ref
+    np.testing.assert_allclose(pr2, pr_ref, rtol=2e-5, atol=2e-5)
+
+
+def test_dist_pallas_bfs_matches_xla(mesh):
+    e = random_edgelist(90, 3, seed=23)
+    g1 = DistGraph(e, mesh, build_in_edges=False)
+    init_dist_bfs(g1, 1)
+    it1 = DistEngine(BFSProgram(), g1, use_pallas=False).run()
+    ref = g1.vp_numpy()
+
+    g2 = DistGraph(e, mesh, build_in_edges=False)
+    init_dist_bfs(g2, 1)
+    it2 = DistEngine(BFSProgram(), g2, use_pallas=True).run()
+    out = g2.vp_numpy()
+    assert it1 == it2
+    np.testing.assert_array_equal(out["depth"], ref["depth"])
+    np.testing.assert_array_equal(out["parent"], ref["parent"])
