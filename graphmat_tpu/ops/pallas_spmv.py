@@ -254,55 +254,67 @@ def _make_kernel(reduce_kind: str, process: Callable, wr: int, h: int,
         def _():
             acc_ref[:] = jnp.full_like(acc_ref, ident)
 
-        iota_s = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
-        iota_l = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
-        iota_w = jax.lax.broadcasted_iota(jnp.int32, (LANE, wr), 1)
+        # All per-row vectors stay lane-major [1, 128]; one-hots are built
+        # as [sublane, lane] broadcast compares.  This avoids the
+        # (1,128)->(128,1) relayouts that dominated earlier revisions.
+        iota_h = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
+        iota_wsub = jax.lax.broadcasted_iota(jnp.int32, (wr, LANE), 0)
 
         def row(rr, _):
             habs = hiabs_ref[0, rr, :].reshape(1, LANE)
             base = jnp.minimum((jnp.min(habs) // 8) * 8, h - LANE)
             base = pl.multiple_of(base, 8)
-            hire = habs - base
-            oh_hi = (hire == iota_s).astype(jnp.bfloat16)          # [h, e]
-            m = None                                               # [e, l]
-            for xs_ref in xsplit_refs:
-                xw = xs_ref[pl.ds(base, LANE), :]
-                mk = jax.lax.dot_general(oh_hi, xw,
-                                         (((0,), (0,)), ((), ())),
+            oh = ((habs - base) == iota_h).astype(jnp.bfloat16)    # [h, e]
+            m2 = None
+            for xr in xsplit_refs:
+                xw = xr[pl.ds(base, LANE), :]                      # [h, l]
+                mk = jax.lax.dot_general(xw, oh, (((0,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32)
-                m = mk if m is None else m + mk
-            lo_col = slo_ref[0, rr, :].reshape(LANE, 1)
-            xv = jnp.sum(jnp.where(lo_col == iota_l, m, 0.0), axis=1,
-                         keepdims=True)                            # [e, 1]
-            ev = vals_ref[0, rr, :].reshape(LANE, 1)
-            msk = mask_ref[0, rr, :].reshape(LANE, 1)
-            p = process(xv, ev).astype(jnp.float32)                # [e, 1]
-            rcol = rrel_ref[0, rr, :].reshape(LANE, 1)
-            ohw = rcol == iota_w                                   # [e, w]
+                m2 = mk if m2 is None else m2 + mk                 # [l, e]
+            slo_row = slo_ref[0, rr, :].reshape(1, LANE)
+            ohlo = iota_h == slo_row                               # [l, e]
+            xv = jnp.sum(jnp.where(ohlo, m2, 0.0), axis=0,
+                         keepdims=True)                            # [1, e]
+            ev = vals_ref[0, rr, :].reshape(1, LANE)
+            msk = mask_ref[0, rr, :].reshape(1, LANE)
+            p = process(xv, ev).astype(jnp.float32)                # [1, e]
+            rc = rrel_ref[0, rr, :].reshape(1, LANE)
+            ohw2 = iota_wsub == rc                                 # [w, e]
             if reduce_kind == "sum":
                 p = p * msk
-                ohw16 = ohw.astype(jnp.bfloat16)
-                yk = None
-                for part in _split_bf16(p, n_splits):
-                    t = jax.lax.dot_general(part, ohw16,
-                                            (((0,), (0,)), ((), ())),
+                ohw = ohw2.astype(jnp.bfloat16).T                  # [e, w]
+                rem = p
+                contrib = None
+                for k in range(n_splits):
+                    if k < n_splits - 1:
+                        pu = jax.lax.bitcast_convert_type(rem, jnp.uint32)
+                        phf = jax.lax.bitcast_convert_type(
+                            pu & np.uint32(0xFFFF0000), jnp.float32)
+                        part = phf.astype(jnp.bfloat16)
+                        rem = rem - phf
+                    else:
+                        part = rem.astype(jnp.bfloat16)
+                    t = jax.lax.dot_general(part, ohw,
+                                            (((1,), (0,)), ((), ())),
                                             preferred_element_type=jnp.float32)
-                    yk = t if yk is None else yk + t
-                acc_ref[:] = acc_ref[:] + yk
+                    contrib = t if contrib is None else contrib + t
+                acc_ref[:] = acc_ref[:] + contrib
             else:
-                sel = ohw & (msk > 0)
-                pw = jnp.where(sel, p, ident)                      # [e, w]
-                if reduce_kind == "min":
-                    red = jnp.min(pw, axis=0, keepdims=True)
-                    acc_ref[:] = jnp.minimum(acc_ref[:], red)
-                else:
-                    red = jnp.max(pw, axis=0, keepdims=True)
-                    acc_ref[:] = jnp.maximum(acc_ref[:], red)
+                # acc is laid out [w, 1] for min/max so the lane-reduce
+                # lands in place; reshaped once at flush.
+                sel = ohw2 & (msk > 0)                             # [w, e]
+                pw = jnp.where(sel, jnp.broadcast_to(p, sel.shape), ident)
+                red = (jnp.min if reduce_kind == "min" else jnp.max)(
+                    pw, axis=1, keepdims=True)                     # [w, 1]
+                acc_ref[:] = (jnp.minimum if reduce_kind == "min"
+                              else jnp.maximum)(acc_ref[:], red)
             return 0
 
         jax.lax.fori_loop(0, ROWS_PER_CHUNK, row, 0)
-        # out block is (1, 8, wr) to satisfy TPU tiling; row 0 is the data
-        y_ref[0, 0:1, :] = acc_ref[:]
+        if reduce_kind == "sum":
+            y_ref[0, 0:1, :] = acc_ref[:]
+        else:
+            y_ref[0, 0:1, :] = acc_ref[:].reshape(1, wr)
 
     return kernel
 
@@ -330,7 +342,8 @@ def _spmv_call(plan_arrays, plan_static, x, reduce_kind, process, interpret,
                   + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_splits),
         out_specs=pl.BlockSpec((1, 8, wr), lambda i, blk: (blk[i], 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((1, wr), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((1, wr) if reduce_kind == "sum"
+                                   else (wr, 1), jnp.float32)],
     )
 
     out = pl.pallas_call(
