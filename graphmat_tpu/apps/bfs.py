@@ -92,3 +92,32 @@ def run_bfs(graph: Graph, source1: int,
 def reachable_count(graph: Graph) -> int:
     """``applyReduceAllVertices(reachable_or_not)`` analog (src/BFS.cpp:100-106)."""
     return int((graph.vp_numpy()["depth"] < INF_DEPTH).sum())
+
+
+def _main(argv=None):
+    """CLI parity with ``src/BFS.cpp``: <A.mtx> <source 1-based>."""
+    import sys
+    import time
+    from ._cli import load_graph_file
+    args = (argv if argv is not None else sys.argv[1:])
+    if len(args) < 2:
+        print("Correct format: bfs A.mtx source_vertex (1-based index)")
+        return 0
+    from ..core.graph import Graph
+    g = Graph(load_graph_file(args[0]), build_in_edges=False)
+    t0 = time.time()
+    depth, parent, niter = run_bfs(g, int(args[1]))
+    print(f"Completed {niter} iterations")
+    print(f"Time = {(time.time() - t0) * 1e3:.3f} ms")
+    print(f"Reachable vertices = {int((depth < INF_DEPTH).sum())}")
+    for i in range(min(10, g.n)):
+        if depth[i] < INF_DEPTH:
+            print(f"Depth {i + 1} : {depth[i]} parent: {parent[i]}")
+        else:
+            print(f"Depth {i + 1} : INF")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(_main())

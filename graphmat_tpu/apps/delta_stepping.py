@@ -108,3 +108,29 @@ def run_delta_stepping(edges: EdgeList, delta: int, source1: int,
         if bid >= max_buckets:
             raise RuntimeError("delta-stepping did not terminate")
     return g.vp_numpy()["distance"], bid
+
+
+def _main(argv=None):
+    """CLI parity with ``src/DeltaStepping.cpp``: <A.mtx> <delta> <source>."""
+    import sys
+    import time
+    from ._cli import load_graph_file
+    args = (argv if argv is not None else sys.argv[1:])
+    if len(args) < 3:
+        print("Correct format: delta_stepping A.mtx delta source")
+        return 0
+    e = load_graph_file(args[0])
+    t0 = time.time()
+    dist, nbuckets = run_delta_stepping(e, int(args[1]), int(args[2]))
+    print(f"Time = {(time.time() - t0) * 1e3:.3f} ms")
+    print(f"Number of buckets processed = {nbuckets}")
+    print(f"Reachable vertices = {int((dist < INF_DIST).sum())}")
+    for i in range(min(25, len(dist))):
+        d = "INF" if dist[i] >= INF_DIST else str(dist[i])
+        print(f"{i + 1} : distance = {d}")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(_main())

@@ -85,3 +85,29 @@ def run_incremental_pagerank(graph: Graph, alpha: float = 0.3,
     niter = Engine(prog, graph).run(iterations=iterations,
                                     max_iterations=max_iterations)
     return graph.vp_numpy()["pagerank"], niter
+
+
+def _main(argv=None):
+    """CLI parity with ``src/IncrementalPageRank.cpp``: <A.mtx>."""
+    import sys
+    import time
+    from ._cli import load_graph_file
+    args = (argv if argv is not None else sys.argv[1:])
+    if not args:
+        print("Correct format: incremental_pagerank A.mtx")
+        return 0
+    from ..core.graph import Graph
+    g = Graph(load_graph_file(args[0]))
+    t0 = time.time()
+    pr, niter = run_incremental_pagerank(g)
+    print(f"PR Time = {(time.time() - t0) * 1e3:.3f} ms "
+          f"({niter} iterations)")
+    deg = g.vp_numpy()["degree"]
+    for i in range(min(25, g.n)):
+        print(f"{i + 1} : {deg[i]} {pr[i]:.6f}")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(_main())

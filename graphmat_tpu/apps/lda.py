@@ -174,3 +174,27 @@ def run_lda(graph: Graph, ndoc: int, nterms: int, k: int = 20,
     vp = graph.vp_numpy()
     total_ll = float(vp["token_loglik"].sum())
     return vp["N"], np.asarray(global_n), total_ll
+
+
+def _main(argv=None):
+    """CLI parity with ``src/LDA.cpp``: <A.mtx> <NDOC> <NTERMS> [iters]."""
+    import sys
+    import time
+    from ._cli import load_graph_file
+    args = (argv if argv is not None else sys.argv[1:])
+    if len(args) < 3:
+        print("Correct format: lda A.mtx #DOC #TERMS {#iterations (default 10)}")
+        return 0
+    from ..core.graph import Graph
+    g = Graph(load_graph_file(args[0]))
+    iters = int(args[3]) if len(args) > 3 else 10
+    t0 = time.time()
+    N, gN, ll = run_lda(g, int(args[1]), int(args[2]), iterations=iters)
+    print(f"Time = {(time.time() - t0) * 1e3:.3f} ms")
+    print(f"Total Loglikelihood = {ll:.6f}")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(_main())

@@ -117,3 +117,28 @@ def run_pagerank(graph: Graph, alpha: float = 0.3,
     eng = Engine(pr, graph)
     niter = eng.run(iterations=iterations)
     return graph.vp_numpy()["pagerank"], niter
+
+
+def _main(argv=None):
+    """CLI parity with ``src/PageRank.cpp`` usage: <A.mtx>."""
+    import sys
+    import time
+    from ._cli import load_graph_file
+    args = (argv if argv is not None else sys.argv[1:])
+    if not args:
+        print("Correct format: pagerank A.mtx")
+        return 0
+    from ..core.graph import Graph
+    g = Graph(load_graph_file(args[0]))
+    t0 = time.time()
+    pr, niter = run_pagerank(g)
+    print(f"Completed {niter} iterations")
+    print(f"Time = {(time.time() - t0) * 1e3:.3f} ms")
+    for i in range(min(25, g.n)):
+        print(f"{i + 1} : {pr[i]:.6f}")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(_main())

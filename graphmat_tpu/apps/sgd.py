@@ -121,3 +121,27 @@ def run_sgd(graph: Graph, k: int = 20, lambda_: float = 0.001,
         iterations=iterations)
     rmse1 = rmse_per_edge(graph, dtype)
     return graph.vp_numpy()["lv"], rmse0, rmse1
+
+
+def _main(argv=None):
+    """CLI parity with ``src/SGD.cpp``: <ratings.mtx>."""
+    import sys
+    import time
+    from ._cli import load_graph_file
+    args = (argv if argv is not None else sys.argv[1:])
+    if not args:
+        print("Correct format: sgd ratings.mtx")
+        return 0
+    from ..core.graph import Graph
+    g = Graph(load_graph_file(args[0]))
+    t0 = time.time()
+    lv, rmse0, rmse1 = run_sgd(g)
+    print(f"RMSE error = {rmse0:.6f} per edge (before)")
+    print(f"Time = {(time.time() - t0) * 1e3:.3f} ms")
+    print(f"RMSE error = {rmse1:.6f} per edge (after)")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(_main())

@@ -73,3 +73,30 @@ def run_sssp(graph: Graph, source1: int,
 
 def reachable_count(graph: Graph) -> int:
     return int((graph.vp_numpy()["distance"] < INF_DIST).sum())
+
+
+def _main(argv=None):
+    """CLI parity with ``src/SSSP.cpp``: <A.mtx> <source 1-based>."""
+    import sys
+    import time
+    from ._cli import load_graph_file
+    args = (argv if argv is not None else sys.argv[1:])
+    if len(args) < 2:
+        print("Correct format: sssp A.mtx source_vertex (1-based index)")
+        return 0
+    from ..core.graph import Graph
+    g = Graph(load_graph_file(args[0]), build_in_edges=False)
+    t0 = time.time()
+    dist, niter = run_sssp(g, int(args[1]))
+    print(f"Completed {niter} iterations")
+    print(f"Time = {(time.time() - t0) * 1e3:.3f} ms")
+    print(f"Reachable vertices = {int((dist < INF_DIST).sum())}")
+    for i in range(min(25, g.n)):
+        d = "INF" if dist[i] >= INF_DIST else str(dist[i])
+        print(f"{i + 1} : distance = {d}")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(_main())

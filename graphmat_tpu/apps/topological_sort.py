@@ -115,3 +115,30 @@ def run_topological_sort(graph: Graph,
     order = graph.vp_numpy()["topsort_order"]
     has_cycle = bool((order == INF_ORDER).any())
     return order, has_cycle, niter
+
+
+def _main(argv=None):
+    """CLI parity with ``src/TopologicalSort.cpp``: <A.mtx>."""
+    import sys
+    import time
+    from ._cli import load_graph_file
+    args = (argv if argv is not None else sys.argv[1:])
+    if not args:
+        print("Correct format: topological_sort A.mtx")
+        return 0
+    from ..core.graph import Graph
+    g = Graph(load_graph_file(args[0]))
+    t0 = time.time()
+    order, has_cycle, niter = run_topological_sort(g)
+    print(f"Time = {(time.time() - t0) * 1e3:.3f} ms")
+    if has_cycle:
+        print("Topological Sort not possible. Graph has cycles.")
+        return 0
+    for i in range(min(10, g.n)):
+        print(f"Top Sort order {i + 1} : {order[i]}")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(_main())

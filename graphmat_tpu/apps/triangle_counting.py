@@ -62,3 +62,28 @@ def run_triangle_counting(graph: Graph, max_degree_pad: int | None = None):
     Engine(CountTrianglesProgram(), graph).run(iterations=1)
     tri = graph.vp_numpy()["triangles"]
     return tri, int(tri.sum())
+
+
+def _main(argv=None):
+    """CLI parity with ``src/TriangleCounting.cpp``: <A.mtx> (upper-tri)."""
+    import sys
+    import time
+    from ._cli import load_graph_file
+    args = (argv if argv is not None else sys.argv[1:])
+    if not args:
+        print("Correct format: triangle_counting A.mtx")
+        return 0
+    from ..core.graph import Graph
+    g = Graph(load_graph_file(args[0]))
+    t0 = time.time()
+    tri, total = run_triangle_counting(g)
+    print(f"Time = {(time.time() - t0) * 1e3:.3f} ms")
+    print(f"Total triangles = {total}")
+    for i in range(min(10, g.n)):
+        print(f"{i + 1} : {tri[i]}")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(_main())
