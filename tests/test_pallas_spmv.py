@@ -168,3 +168,19 @@ def test_engine_pallas_sssp_matches_xla():
     init_sssp_graph(g2, 1)
     Engine(SSSPProgram(), g2, use_pallas=True).run()
     np.testing.assert_array_equal(g2.vp_numpy()["distance"], ref)
+
+
+def test_awkward_vertex_counts():
+    """n just over a multiple of 16384 makes h=129 — the window clamp must
+    stay 8-aligned (regression: misaligned dynamic slices)."""
+    for n in (16384, 16400, 16513):
+        e = random_edgelist(n, 2, seed=31)
+        s0, r0, v = e.src - 1, e.dst - 1, e.val
+        from graphmat_tpu.ops.pallas_spmv import build_spmv_plan, spmv
+        plan = build_spmv_plan(s0, r0, v, n)
+        assert plan.h % 8 == 0
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal(plan.n_send_pad).astype(np.float32)
+        y = np.asarray(spmv(plan, jnp.asarray(x), interpret=True))
+        expect = oracle_spmv(s0, r0, v, x, plan.n_pad)
+        np.testing.assert_allclose(y, expect, rtol=1e-4, atol=1e-3)

@@ -97,3 +97,22 @@ def test_spmv_identity():
     gathered = jnp.where(ea.valid, gathered, 0)
     y = segment_reduce(SUM, gathered, ea.receivers, g.n_pad)
     np.testing.assert_allclose(np.asarray(y)[:n], x[:n], rtol=1e-6)
+
+
+def test_collect_neighbors_direct():
+    """GetNeighbors analog (``test/test_get_neighbors.cpp``): every vertex
+    collects its sorted out-neighbor ids."""
+    import jax.numpy as jnp
+    from graphmat_tpu import Graph
+    from graphmat_tpu.ops.neighbors import PAD_ID, collect_neighbors
+    from graphmat_tpu.utils.generators import random_edgelist
+    e = random_edgelist(40, 4, seed=19)
+    g = Graph(e)
+    nb = np.asarray(collect_neighbors(g, receiver="src"))
+    expect = {}
+    for s, d, _ in e.as_records():
+        expect.setdefault(s, []).append(d)
+    for v in range(1, 41):
+        want = sorted(expect.get(v, []))
+        got = [int(x) for x in nb[v - 1] if x != PAD_ID]
+        assert got == want, (v, got, want)
