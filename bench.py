@@ -48,12 +48,12 @@ def main() -> int:
     degree_s = time.time() - t0
 
     eng = Engine(PageRankProgram(), g)
-    # warm-up compiles the fixed-iteration loop
+    # warm-up with the SAME iteration count so the loop compiles once
     t0 = time.time()
-    eng.run(iterations=2)
+    eng.run(iterations=iters)
     warm_s = time.time() - t0
 
-    # measured run
+    # measured run (re-init state, reuse compiled loop)
     init_pagerank_graph(g)
     g.set_all_active()
     Engine(DegreeProgram(), g).run(iterations=1)

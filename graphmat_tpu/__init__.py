@@ -20,6 +20,18 @@ from .io.edgelist import EdgeList, load_edgelist, write_edgelist, \
     edgelist_from_arrays
 from .io import transforms
 
+
+def read_mtx(path, binaryformat=True, header=True, edgeweights=True,
+             wdtype=None, **graph_kw):
+    """``Graph::ReadMTX`` parity: load an edge list file (or shard prefix)
+    and build a :class:`Graph` squared to max(m, n) vertices."""
+    import numpy as _np
+    kw = dict(binaryformat=binaryformat, header=header,
+              edgeweights=edgeweights)
+    if wdtype is not None:
+        kw["wdtype"] = wdtype
+    return Graph(load_edgelist(path, **kw), **graph_kw)
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -27,5 +39,5 @@ __all__ = [
     "UNTIL_CONVERGENCE", "Graph", "GraphProgram", "IterationContext",
     "Engine", "graph_program_init", "run_graph_program",
     "EdgeList", "load_edgelist", "write_edgelist", "edgelist_from_arrays",
-    "transforms",
+    "transforms", "read_mtx",
 ]
