@@ -115,7 +115,10 @@ class Graph:
         n = max(edgelist.m, edgelist.n)
         self.n = n
         self.nnz = edgelist.nnz
-        self.n_pad = max(round_up(n + 1, n_align), n_align)
+        # padding edges are masked everywhere (valid=False), so no
+        # dedicated pad vertex is needed — keep n_pad tight: power-of-two
+        # vertex counts then map to exactly tile-aligned kernel operands
+        self.n_pad = max(round_up(n, n_align), n_align)
         self.e_pad = max(round_up(max(edgelist.nnz, 1), e_align), e_align)
         self.edge_dtype = edgelist.val.dtype
 

@@ -125,7 +125,7 @@ class DistGraph:
         self.n = n
         self.nnz = edgelist.nnz
 
-        self.S = max(round_up(-(-(n + 1) // (R * C)), seg_align), seg_align)
+        self.S = max(round_up(-(-n // (R * C)), seg_align), seg_align)
         self.n_pad = R * C * self.S
 
         src0 = edgelist.src.astype(np.int64) - 1
