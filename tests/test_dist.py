@@ -189,3 +189,17 @@ def test_dist_pallas_bfs_matches_xla(mesh):
     assert it1 == it2
     np.testing.assert_array_equal(out["depth"], ref["depth"])
     np.testing.assert_array_equal(out["parent"], ref["parent"])
+
+
+def test_multihost_helpers_single_process(tmp_path):
+    """Single-process behavior of the multi-host scaffolding."""
+    from graphmat_tpu.io.edgelist import write_edgelist
+    from graphmat_tpu.parallel.multihost import (initialize,
+                                                 load_edgelist_sharded)
+    initialize()  # no-op single process
+    e = random_edgelist(40, 4, seed=3)
+    prefix = str(tmp_path / "shard")
+    write_edgelist(e, prefix, nshards=3)
+    r = load_edgelist_sharded(prefix)
+    assert r.nnz == e.nnz
+    assert r.as_records() == e.as_records()
