@@ -286,7 +286,7 @@ def _make_kernel(reduce_kind: str, process: Callable, wr: int, h: int,
             ohw2 = iota_wsub == rc                                 # [w, e]
             if reduce_kind == "sum":
                 p = p * msk
-                ohw = ohw2.astype(jnp.bfloat16).T                  # [e, w]
+                ohw16 = ohw2.astype(jnp.bfloat16)                  # [w, e]
                 rem = p
                 contrib = None
                 for k in range(n_splits):
@@ -298,8 +298,9 @@ def _make_kernel(reduce_kind: str, process: Callable, wr: int, h: int,
                         rem = rem - phf
                     else:
                         part = rem.astype(jnp.bfloat16)
-                    t = jax.lax.dot_general(part, ohw,
-                                            (((1,), (0,)), ((), ())),
+                    # NT-form contraction over e — no transpose needed
+                    t = jax.lax.dot_general(part, ohw16,
+                                            (((1,), (1,)), ((), ())),
                                             preferred_element_type=jnp.float32)
                     contrib = t if contrib is None else contrib + t
                 acc_ref[:] = acc_ref[:] + contrib
