@@ -202,7 +202,8 @@ class Engine:
         for recv in _direction_receivers(prog.order):
             plan = self._plans[recv]
             plan_arrays, got_static = plans[recv]
-            plan_static = (plan.nc, plan.nb, plan.wr, plan.h, plan.n_pad)
+            plan_static = (plan.nc, plan.nb, plan.wr, plan.h, plan.n_pad,
+                           plan.row_e, plan.win)
 
             def call(xin, kd, proc):
                 xp = xin

@@ -68,7 +68,9 @@ class SpmvPlan:
     wr: int             # receiver block width
     nb: int             # number of receiver blocks = n_pad // wr
     nc: int             # number of chunks
-    h: int              # X2 rows = n_pad // 128
+    h: int              # X2 rows (senders / 128, tile-aligned)
+    row_e: int          # edges per greedy row (lane-width multiple)
+    win: int            # sender window height in X2 rows
     nnz: int
     fill: float         # nnz / (nc * EDGES_PER_CHUNK)
     blkid: Any          # int32[nc]    receiver block per chunk (nondecreasing)
@@ -88,12 +90,16 @@ def _round_up(x, m):
 
 def build_spmv_plan(senders0: np.ndarray, receivers0: np.ndarray,
                     vals: np.ndarray, n: int, wr: int = 512,
-                    n_recv: int | None = None) -> SpmvPlan:
+                    n_recv: int | None = None, row_e: int = 256,
+                    win: int = 256) -> SpmvPlan:
     """Pack a 0-based COO edge list into the chunked kernel layout.
 
-    Greedy row formation keeps fill high: within a receiver block, edges are
-    sender-sorted and consumed up to 128 at a time, breaking early when the
-    sender-hi span would exceed the 128-row window (8-aligned base).
+    Greedy row formation keeps fill high: within a receiver block, edges
+    are sender-sorted and consumed up to ``row_e`` at a time, breaking
+    early when the sender-hi span would exceed the ``win``-row window
+    (8-aligned base).  Wider rows amortize the kernel's per-row serial
+    issue cost (the measured bottleneck); wider windows cost gather MACs.
+    The (256, 256) default is the measured sweet spot on v5e.
 
     ``n`` is the sender-space size; ``n_recv`` (default ``n``) the receiver
     space — they differ for distributed tiles (column vs row block sizes).
@@ -107,6 +113,8 @@ def build_spmv_plan(senders0: np.ndarray, receivers0: np.ndarray,
     # slices (8200 rows ran 3.3x slower than 8192).
     h = max(_round_up(_round_up(n, LANE) // LANE, LANE), LANE)
     n_send_pad = h * LANE
+    win = min(win, h)
+    assert row_e % LANE == 0 and win % 8 == 0
     # receiver space sizing (y)
     n_pad = max(_round_up(n_recv, wr), wr)
     nb = n_pad // wr
@@ -114,7 +122,8 @@ def build_spmv_plan(senders0: np.ndarray, receivers0: np.ndarray,
 
     from ..native import load_planner
     lib = load_planner()
-    if lib is not None and e > 0:
+    if lib is not None and e > 0 and row_e == 128 and win == 128:
+        # the native planner currently implements the (128, 128) layout
         return _build_plan_native(lib, senders0, receivers0, vals, n_pad,
                                   n_send_pad, h, wr, nb, e)
     s = np.ascontiguousarray(senders0.astype(np.int64))
@@ -136,9 +145,9 @@ def build_spmv_plan(senders0: np.ndarray, receivers0: np.ndarray,
         i, end = int(blk_starts[b]), int(blk_starts[b + 1])
         cnt = 0
         while i < end:
-            base = min(int(hi[i] & ~np.int64(7)), h - 128)
-            j = int(np.searchsorted(hi[i:end], base + 128)) + i
-            stop = min(i + LANE, j)
+            base = min(int(hi[i] & ~np.int64(7)), h - win)
+            j = int(np.searchsorted(hi[i:end], base + win)) + i
+            stop = min(i + row_e, j)
             rows.append((b, i, stop, base))
             cnt += 1
             i = stop
@@ -149,11 +158,11 @@ def build_spmv_plan(senders0: np.ndarray, receivers0: np.ndarray,
     nc = int(chunks_per_block.sum())
 
     blkid = np.zeros(nc, np.int32)
-    hiabs = np.zeros((nc, ROWS_PER_CHUNK, LANE), np.int32)
-    slo = np.zeros((nc, ROWS_PER_CHUNK, LANE), np.int32)
-    rrel = np.zeros((nc, ROWS_PER_CHUNK, LANE), np.int32)
-    vv = np.zeros((nc, ROWS_PER_CHUNK, LANE), np.float32)
-    mm = np.zeros((nc, ROWS_PER_CHUNK, LANE), np.float32)
+    hiabs = np.zeros((nc, ROWS_PER_CHUNK, row_e), np.int32)
+    slo = np.zeros((nc, ROWS_PER_CHUNK, row_e), np.int32)
+    rrel = np.zeros((nc, ROWS_PER_CHUNK, row_e), np.int32)
+    vv = np.zeros((nc, ROWS_PER_CHUNK, row_e), np.float32)
+    mm = np.zeros((nc, ROWS_PER_CHUNK, row_e), np.float32)
 
     chunk_base = np.concatenate([[0], np.cumsum(chunks_per_block)])
     for b in range(nb):
@@ -180,8 +189,9 @@ def build_spmv_plan(senders0: np.ndarray, receivers0: np.ndarray,
         got[np.unique(receivers0)] = True
 
     return SpmvPlan(
-        n_pad=n_pad, n_send_pad=n_send_pad, wr=wr, nb=nb, nc=nc, h=h, nnz=e,
-        fill=e / max(nc * EDGES_PER_CHUNK, 1),
+        n_pad=n_pad, n_send_pad=n_send_pad, wr=wr, nb=nb, nc=nc, h=h,
+        row_e=row_e, win=win, nnz=e,
+        fill=e / max(nc * ROWS_PER_CHUNK * row_e, 1),
         blkid=jnp.asarray(blkid),
         hiabs=jnp.asarray(hiabs), slo=jnp.asarray(slo),
         rrel=jnp.asarray(rrel), vals=jnp.asarray(vv),
@@ -215,7 +225,8 @@ def _build_plan_native(lib, senders0, receivers0, vals, n_pad, n_send_pad,
     got = np.zeros(n_pad, bool)
     got[np.unique(receivers0)] = True
     return SpmvPlan(
-        n_pad=n_pad, n_send_pad=n_send_pad, wr=wr, nb=nb, nc=nc, h=h, nnz=e,
+        n_pad=n_pad, n_send_pad=n_send_pad, wr=wr, nb=nb, nc=nc, h=h,
+        row_e=128, win=128, nnz=e,
         fill=e / max(nc * EDGES_PER_CHUNK, 1),
         blkid=jnp.asarray(blkid), hiabs=jnp.asarray(hiabs),
         slo=jnp.asarray(slo), rrel=jnp.asarray(rrel), vals=jnp.asarray(vv),
@@ -242,7 +253,7 @@ def _split_bf16(x, n_splits):
 
 
 def _make_kernel(reduce_kind: str, process: Callable, wr: int, h: int,
-                 n_splits: int):
+                 n_splits: int, row_e: int, win: int):
     ident = {"sum": 0.0, "min": np.float32(np.inf),
              "max": np.float32(-np.inf)}[reduce_kind]
 
@@ -258,59 +269,70 @@ def _make_kernel(reduce_kind: str, process: Callable, wr: int, h: int,
         def _():
             acc_ref[:] = jnp.full_like(acc_ref, ident)
 
-        # All per-row vectors stay lane-major [1, 128]; one-hots are built
-        # as [sublane, lane] broadcast compares.  This avoids the
-        # (1,128)->(128,1) relayouts that dominated earlier revisions.
-        iota_h = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
-        iota_wsub = jax.lax.broadcasted_iota(jnp.int32, (wr, LANE), 0)
+        # All per-row vectors stay lane-major [1, row_e]; one-hots are
+        # built as [sublane, lane] broadcast compares (no relayouts).
+        iota_we = jax.lax.broadcasted_iota(jnp.int32, (win, row_e), 0)
+        iota_le = jax.lax.broadcasted_iota(jnp.int32, (LANE, row_e), 0)
+        iota_wre = jax.lax.broadcasted_iota(jnp.int32, (wr, row_e), 0)
+
+        def split3p(v):
+            parts = []
+            rem = v
+            for k in range(n_splits):
+                if k < n_splits - 1:
+                    pu = jax.lax.bitcast_convert_type(rem, jnp.uint32)
+                    phf = jax.lax.bitcast_convert_type(
+                        pu & np.uint32(0xFFFF0000), jnp.float32)
+                    parts.append(phf.astype(jnp.bfloat16))
+                    rem = rem - phf
+                else:
+                    parts.append(rem.astype(jnp.bfloat16))
+            return parts
 
         def row(rr, _):
-            habs = hiabs_ref[0, rr, :].reshape(1, LANE)
-            base = jnp.minimum((jnp.min(habs) // 8) * 8, h - LANE)
+            habs = hiabs_ref[0, rr, :].reshape(1, row_e)
+            base = jnp.minimum((jnp.min(habs) // 8) * 8, h - win)
             base = pl.multiple_of(base, 8)
-            oh = ((habs - base) == iota_h).astype(jnp.bfloat16)    # [h, e]
+            oh = ((habs - base) == iota_we).astype(jnp.bfloat16)  # [win, e]
             m2 = None
             for xr in xsplit_refs:
-                xw = xr[pl.ds(base, LANE), :]                      # [h, l]
+                xw = xr[pl.ds(base, win), :]                      # [win, l]
                 mk = jax.lax.dot_general(xw, oh, (((0,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32)
-                m2 = mk if m2 is None else m2 + mk                 # [l, e]
-            slo_row = slo_ref[0, rr, :].reshape(1, LANE)
-            ohlo = iota_h == slo_row                               # [l, e]
-            xv = jnp.sum(jnp.where(ohlo, m2, 0.0), axis=0,
-                         keepdims=True)                            # [1, e]
-            ev = vals_ref[0, rr, :].reshape(1, LANE)
-            msk = mask_ref[0, rr, :].reshape(1, LANE)
-            p = process(xv, ev).astype(jnp.float32)                # [1, e]
-            rc = rrel_ref[0, rr, :].reshape(1, LANE)
-            ohw2 = iota_wsub == rc                                 # [w, e]
+                m2 = mk if m2 is None else m2 + mk                # [l, e]
+            slo_row = slo_ref[0, rr, :].reshape(1, row_e)
+            xv = jnp.sum(jnp.where(iota_le == slo_row, m2, 0.0), axis=0,
+                         keepdims=True)                           # [1, e]
+            ev = vals_ref[0, rr, :].reshape(1, row_e)
+            msk = mask_ref[0, rr, :].reshape(1, row_e)
+            p = process(xv, ev).astype(jnp.float32)               # [1, e]
+            rc = rrel_ref[0, rr, :].reshape(1, row_e)
             if reduce_kind == "sum":
                 p = p * msk
-                ohw16 = ohw2.astype(jnp.bfloat16)                  # [w, e]
-                rem = p
-                contrib = None
-                for k in range(n_splits):
-                    if k < n_splits - 1:
-                        pu = jax.lax.bitcast_convert_type(rem, jnp.uint32)
-                        phf = jax.lax.bitcast_convert_type(
-                            pu & np.uint32(0xFFFF0000), jnp.float32)
-                        part = phf.astype(jnp.bfloat16)
-                        rem = rem - phf
-                    else:
-                        part = rem.astype(jnp.bfloat16)
-                    # NT-form contraction over e — no transpose needed
-                    t = jax.lax.dot_general(part, ohw16,
-                                            (((1,), (1,)), ((), ())),
-                                            preferred_element_type=jnp.float32)
-                    contrib = t if contrib is None else contrib + t
+                # factored scatter: wr = G x 128 lane groups; mask p by the
+                # receiver's group, one-hot only the low 7 bits (measured
+                # faster than one [wr, e] one-hot for wr >= 512)
+                rc_lo = rc & 127
+                rc_hi = rc >> 7
+                ohlo = (iota_le == rc_lo).astype(jnp.bfloat16)    # [128, e]
+                groups = []
+                for gidx in range(wr // LANE):
+                    pg = jnp.where(rc_hi == gidx, p, 0.0)
+                    acc_g = None
+                    for part in split3p(pg):
+                        t = jax.lax.dot_general(
+                            part, ohlo, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)   # [1, 128]
+                        acc_g = t if acc_g is None else acc_g + t
+                    groups.append(acc_g)
+                contrib = jnp.concatenate(groups, axis=1)         # [1, wr]
                 acc_ref[:] = acc_ref[:] + contrib
             else:
-                # acc is laid out [w, 1] for min/max so the lane-reduce
-                # lands in place; reshaped once at flush.
-                sel = ohw2 & (msk > 0)                             # [w, e]
+                # acc laid out [wr, 1] so the lane-reduce lands in place
+                sel = (iota_wre == rc) & (msk > 0)                # [wr, e]
                 pw = jnp.where(sel, jnp.broadcast_to(p, sel.shape), ident)
                 red = (jnp.min if reduce_kind == "min" else jnp.max)(
-                    pw, axis=1, keepdims=True)                     # [w, 1]
+                    pw, axis=1, keepdims=True)                    # [wr, 1]
                 acc_ref[:] = (jnp.minimum if reduce_kind == "min"
                               else jnp.maximum)(acc_ref[:], red)
             return 0
@@ -329,15 +351,15 @@ def _make_kernel(reduce_kind: str, process: Callable, wr: int, h: int,
                                              "n_splits"))
 def _spmv_call(plan_arrays, plan_static, x, reduce_kind, process, interpret,
                n_splits=3):
-    nc, nb, wr, h, n_pad = plan_static
+    nc, nb, wr, h, n_pad, row_e, win = plan_static
     blkid, hiabs, slo, rrel, vals, mask = plan_arrays
 
     x2 = x.reshape(h, LANE)
     xsplits = _split_bf16(x2, n_splits)
 
-    kernel = _make_kernel(reduce_kind, process, wr, h, n_splits)
+    kernel = _make_kernel(reduce_kind, process, wr, h, n_splits, row_e, win)
 
-    chunk_spec = pl.BlockSpec((1, ROWS_PER_CHUNK, LANE),
+    chunk_spec = pl.BlockSpec((1, ROWS_PER_CHUNK, row_e),
                               lambda i, blk: (i, 0, 0),
                               memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -379,6 +401,7 @@ def spmv(plan: SpmvPlan, x, reduce_kind: str = "sum",
     x = x[: plan.n_send_pad].astype(jnp.float32)
     plan_arrays = (plan.blkid, plan.hiabs, plan.slo, plan.rrel,
                    plan.vals, plan.mask)
-    plan_static = (plan.nc, plan.nb, plan.wr, plan.h, plan.n_pad)
+    plan_static = (plan.nc, plan.nb, plan.wr, plan.h, plan.n_pad,
+                   plan.row_e, plan.win)
     return _spmv_call(plan_arrays, plan_static, x, reduce_kind, process,
                       interpret, n_splits)

@@ -228,7 +228,7 @@ class DistGraph:
                                  "mask"))
         got = np.stack([np.asarray(p.got_static) for p in plans])
         got_d = jax.device_put(got, tile_sharding(self.mesh))
-        static = (nc_max, nb, wr, h, n_pad)
+        static = (nc_max, nb, wr, h, n_pad, plans[0].row_e, plans[0].win)
         self._pallas_plans[key] = (arrays, static, got_d,
                                    plans[0].n_send_pad)
         return self._pallas_plans[key]
