@@ -38,7 +38,7 @@ def main() -> int:
     gen_s = time.time() - t0
 
     t0 = time.time()
-    g = Graph(e, build_in_edges=True)
+    g = Graph(e, build_in_edges=True, permute="degree")
     build_s = time.time() - t0
 
     init_pagerank_graph(g)

@@ -111,7 +111,7 @@ class Graph:
 
     def __init__(self, edgelist: EdgeList, build_in_edges: bool = True,
                  build_out_edges: bool = True, n_align: int = 128,
-                 e_align: int = 1024):
+                 e_align: int = 1024, permute=False):
         n = max(edgelist.m, edgelist.n)
         self.n = n
         self.nnz = edgelist.nnz
@@ -125,6 +125,27 @@ class Graph:
         src0 = edgelist.src.astype(np.int32) - 1
         dst0 = edgelist.dst.astype(np.int32) - 1
         vals = np.asarray(edgelist.val)
+
+        # Internal vertex relabeling — the reference's vertexToNative
+        # permutation (Graph.h:112-150) served intra-tile load balance; here
+        # permute='degree' clusters high-out-degree senders at low ids,
+        # raising the kernel plan's sender-window fill (~20% fewer rows on
+        # RMAT).  permute may also be an explicit [n] permutation
+        # (perm[original0] = internal0) or True for a seeded random one.
+        self.perm = None
+        if permute is not False and permute is not None and n > 0:
+            if isinstance(permute, np.ndarray):
+                self.perm = permute.astype(np.int64)
+            elif permute == "degree":
+                deg = np.bincount(src0, minlength=n)
+                order = np.argsort(-deg, kind="stable")
+                self.perm = np.empty(n, np.int64)
+                self.perm[order] = np.arange(n)
+            else:
+                rng = np.random.default_rng(5)
+                self.perm = rng.permutation(n).astype(np.int64)
+            src0 = self.perm[src0].astype(np.int32)
+            dst0 = self.perm[dst0].astype(np.int32)
 
         self.out_edges: Optional[EdgeArrays] = None
         self.in_edges: Optional[EdgeArrays] = None
@@ -163,8 +184,8 @@ class Graph:
         """Initialize the vertex-property pytree.
 
         Each field is either a scalar (broadcast, like ``SpVec::setAll``) or
-        an array of length ``n`` (padded to ``n_pad`` with the same scalar
-        default of its dtype's zero).
+        an array of length ``n`` in ORIGINAL vertex order (padded to
+        ``n_pad``; internally permuted when the graph is relabeled).
         """
         vp = {}
         for name, value in fields.items():
@@ -173,8 +194,11 @@ class Graph:
                 # scalar (possibly with trailing feature dims) -> broadcast
                 full = np.broadcast_to(arr, (self.n_pad,) + arr.shape).copy()
             else:
-                pad_shape = (self.n_pad - self.n,) + arr.shape[1:]
-                full = np.concatenate([arr, np.zeros(pad_shape, arr.dtype)])
+                full = np.zeros((self.n_pad,) + arr.shape[1:], arr.dtype)
+                if self.perm is None:
+                    full[: self.n] = arr
+                else:
+                    full[self.perm] = arr
             vp[name] = jnp.asarray(full)
         self.vp = vp
 
@@ -188,21 +212,27 @@ class Graph:
             raise ValueError("shareVertexProperty requires matching padded size")
         self._vpref = other._vpref
 
+    def _idx(self, vid1: int) -> int:
+        i = vid1 - 1
+        return int(self.perm[i]) if self.perm is not None else i
+
     def get_vertexproperty(self, vid1: int) -> Dict[str, Any]:
         """Fetch one vertex's property dict (1-based id)."""
-        i = vid1 - 1
+        i = self._idx(vid1)
         return {k: np.asarray(v[i]) for k, v in self.vp.items()}
 
     def set_vertexproperty(self, vid1: int, **fields) -> None:
-        i = vid1 - 1
+        i = self._idx(vid1)
         vp = dict(self.vp)
         for k, val in fields.items():
             vp[k] = vp[k].at[i].set(val)
         self.vp = vp
 
     def vp_numpy(self) -> Dict[str, np.ndarray]:
-        """Host copies of the unpadded vertex-property arrays."""
-        return {k: np.asarray(v[: self.n]) for k, v in self.vp.items()}
+        """Host copies of the vertex-property arrays in ORIGINAL order."""
+        if self.perm is None:
+            return {k: np.asarray(v[: self.n]) for k, v in self.vp.items()}
+        return {k: np.asarray(v)[self.perm] for k, v in self.vp.items()}
 
     # -------------------------------------------------------------- active
 
@@ -213,10 +243,10 @@ class Graph:
         self.active = jnp.zeros(self.n_pad, bool)
 
     def set_active(self, vid1: int) -> None:
-        self.active = self.active.at[vid1 - 1].set(True)
+        self.active = self.active.at[self._idx(vid1)].set(True)
 
     def set_inactive(self, vid1: int) -> None:
-        self.active = self.active.at[vid1 - 1].set(False)
+        self.active = self.active.at[self._idx(vid1)].set(False)
 
     # ------------------------------------------------------------- queries
 
@@ -235,6 +265,11 @@ class Graph:
             src, dst = s, r
         else:
             src, dst = r, s
+        if self.perm is not None:
+            inv = np.empty(self.n, np.int64)
+            inv[self.perm] = np.arange(self.n)
+            src = inv[src]
+            dst = inv[dst]
         return edgelist_from_arrays(src + 1, dst + 1, v, m=self.n, n=self.n)
 
     def edges_for(self, direction_receiver: str) -> EdgeArrays:

@@ -70,3 +70,27 @@ def test_share_vertex_property():
     assert g2.get_vertexproperty(2)["x"] == np.float32(5.0)
     g2.set_vertexproperty(3, x=7.0)
     assert g1.get_vertexproperty(3)["x"] == np.float32(7.0)
+
+
+@pytest.mark.parametrize("mode", ["degree", True])
+def test_vertex_permutation_transparent(mode):
+    """Graph(permute=...) must be invisible through the public API."""
+    from graphmat_tpu.apps.pagerank import run_pagerank
+    e = random_edgelist(60, 4, seed=41)
+    g0 = Graph(e)
+    pr0, it0 = run_pagerank(g0)
+    g1 = Graph(e, permute=mode)
+    pr1, it1 = run_pagerank(g1)
+    assert it0 == it1
+    np.testing.assert_allclose(pr1, pr0, rtol=1e-5, atol=1e-6)
+    assert g1.get_edges().as_records() == e.as_records()
+    g1.init_vertexproperty(x=np.arange(60, dtype=np.int32))
+    assert g1.get_vertexproperty(17)["x"] == 16
+
+
+def test_vertex_permutation_bfs_source():
+    from graphmat_tpu.apps.bfs import run_bfs
+    e = random_edgelist(50, 3, seed=43)
+    d0, p0, _ = run_bfs(Graph(e, build_in_edges=False), 5)
+    d1, p1, _ = run_bfs(Graph(e, build_in_edges=False, permute="degree"), 5)
+    np.testing.assert_array_equal(d1, d0)
