@@ -57,7 +57,7 @@ def load_planner():
         lib.gm_plan_create.restype = ctypes.c_void_p
         lib.gm_plan_create.argtypes = [
             i32p, i32p, f32p, ctypes.c_int64, ctypes.c_int32,
-            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int64)]
         lib.gm_plan_fill.restype = None
         lib.gm_plan_fill.argtypes = [ctypes.c_void_p, i32p, i32p, i32p, i32p,

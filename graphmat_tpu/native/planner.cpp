@@ -28,7 +28,7 @@ constexpr int kRowsPerChunk = 8;
 
 struct Plan {
   int64_t e = 0;
-  int32_t h = 0, wr = 0, nb = 0;
+  int32_t h = 0, wr = 0, nb = 0, row_e = 128, win = 128;
   int64_t nc = 0;
   // edges sorted by (receiver block, sender)
   std::vector<int32_t> s, r;
@@ -48,12 +48,15 @@ extern "C" {
 // chunk count (so python can allocate the output arrays).
 void* gm_plan_create(const int32_t* senders, const int32_t* receivers,
                      const float* vals, int64_t e, int32_t h, int32_t wr,
-                     int32_t nb, int64_t* nc_out) {
+                     int32_t nb, int32_t row_e, int32_t win,
+                     int64_t* nc_out) {
   auto* p = new Plan();
   p->e = e;
   p->h = h;
   p->wr = wr;
   p->nb = nb;
+  p->row_e = row_e;
+  p->win = win;
 
   // ---- bucket edges by receiver block (stable counting sort), then sort
   // each block by sender in parallel.
@@ -85,7 +88,7 @@ void* gm_plan_create(const int32_t* senders, const int32_t* receivers,
       // sort index range [lo, hi) of (s, r, v) jointly by s
       std::vector<int64_t> idx(hi - lo);
       for (int64_t k = 0; k < hi - lo; ++k) idx[k] = lo + k;
-      std::sort(idx.begin(), idx.end(), [&](int64_t a, int64_t c) {
+      std::stable_sort(idx.begin(), idx.end(), [&](int64_t a, int64_t c) {
         return p->s[a] < p->s[c];
       });
       std::vector<int32_t> ts(hi - lo), tr(hi - lo);
@@ -111,10 +114,10 @@ void* gm_plan_create(const int32_t* senders, const int32_t* receivers,
     const int64_t end = counts[b + 1];
     while (i < end) {
       int32_t base = (p->s[i] >> 7) & ~7;
-      if (base > h - kLane) base = h - kLane;
-      const int32_t limit_sender = (base + kLane) << 7;
+      if (base > h - win) base = h - win;
+      const int32_t limit_sender = (base + win) << 7;
       int64_t stop = i;
-      const int64_t cap = std::min(i + kLane, end);
+      const int64_t cap = std::min<int64_t>(i + row_e, end);
       while (stop < cap && p->s[stop] < limit_sender) ++stop;
       starts[b].push_back(i);
       stops[b].push_back(stop);
@@ -158,7 +161,8 @@ void gm_plan_fill(void* handle, int32_t* blkid, int32_t* hiabs, int32_t* slo,
                   int32_t* rrel, float* vals, float* mask) {
   auto* p = static_cast<Plan*>(handle);
   const int64_t nc = p->nc;
-  const int64_t chunk_elems = (int64_t)kRowsPerChunk * kLane;
+  const int64_t row_e = p->row_e;
+  const int64_t chunk_elems = (int64_t)kRowsPerChunk * row_e;
 
 #pragma omp parallel for schedule(static)
   for (int64_t c = 0; c < nc; ++c) {
@@ -181,11 +185,11 @@ void gm_plan_fill(void* handle, int32_t* blkid, int32_t* hiabs, int32_t* slo,
       const int64_t row = row0 + k;
       const int64_t ci = c0 + k / kRowsPerChunk;
       const int64_t ri = k % kRowsPerChunk;
-      int32_t* hi_out = hiabs + (ci * kRowsPerChunk + ri) * kLane;
-      int32_t* slo_out = slo + (ci * kRowsPerChunk + ri) * kLane;
-      int32_t* rr_out = rrel + (ci * kRowsPerChunk + ri) * kLane;
-      float* v_out = vals + (ci * kRowsPerChunk + ri) * kLane;
-      float* m_out = mask + (ci * kRowsPerChunk + ri) * kLane;
+      int32_t* hi_out = hiabs + (ci * kRowsPerChunk + ri) * row_e;
+      int32_t* slo_out = slo + (ci * kRowsPerChunk + ri) * row_e;
+      int32_t* rr_out = rrel + (ci * kRowsPerChunk + ri) * row_e;
+      float* v_out = vals + (ci * kRowsPerChunk + ri) * row_e;
+      float* m_out = mask + (ci * kRowsPerChunk + ri) * row_e;
       const int64_t st = p->row_start[row], sp = p->row_stop[row];
       const int32_t base = p->row_base[row];
       for (int64_t t = 0; t < sp - st; ++t) {
@@ -196,7 +200,7 @@ void gm_plan_fill(void* handle, int32_t* blkid, int32_t* hiabs, int32_t* slo,
         v_out[t] = p->v[st + t];
         m_out[t] = 1.0f;
       }
-      for (int64_t t = sp - st; t < kLane; ++t) hi_out[t] = base;
+      for (int64_t t = sp - st; t < row_e; ++t) hi_out[t] = base;
     }
     // chunks with no rows (empty block placeholder) keep hiabs=0
   }

@@ -122,10 +122,9 @@ def build_spmv_plan(senders0: np.ndarray, receivers0: np.ndarray,
 
     from ..native import load_planner
     lib = load_planner()
-    if lib is not None and e > 0 and row_e == 128 and win == 128:
-        # the native planner currently implements the (128, 128) layout
+    if lib is not None and e > 0:
         return _build_plan_native(lib, senders0, receivers0, vals, n_pad,
-                                  n_send_pad, h, wr, nb, e)
+                                  n_send_pad, h, wr, nb, e, row_e, win)
     s = np.ascontiguousarray(senders0.astype(np.int64))
     r = np.ascontiguousarray(receivers0.astype(np.int64))
     v = np.ascontiguousarray(vals.astype(np.float32))
@@ -199,7 +198,7 @@ def build_spmv_plan(senders0: np.ndarray, receivers0: np.ndarray,
 
 
 def _build_plan_native(lib, senders0, receivers0, vals, n_pad, n_send_pad,
-                       h, wr, nb, e):
+                       h, wr, nb, e, row_e, win):
     """C++/OpenMP plan build (graphmat_tpu/native/planner.cpp)."""
     import ctypes
 
@@ -207,16 +206,16 @@ def _build_plan_native(lib, senders0, receivers0, vals, n_pad, n_send_pad,
     r = np.ascontiguousarray(receivers0, np.int32)
     v = np.ascontiguousarray(vals, np.float32)
     nc_out = ctypes.c_int64()
-    handle = lib.gm_plan_create(s, r, v, e, h, wr, nb,
+    handle = lib.gm_plan_create(s, r, v, e, h, wr, nb, row_e, win,
                                 ctypes.byref(nc_out))
     nc = int(nc_out.value)
     try:
         blkid = np.empty(nc, np.int32)
-        hiabs = np.empty((nc, ROWS_PER_CHUNK, LANE), np.int32)
-        slo = np.empty((nc, ROWS_PER_CHUNK, LANE), np.int32)
-        rrel = np.empty((nc, ROWS_PER_CHUNK, LANE), np.int32)
-        vv = np.empty((nc, ROWS_PER_CHUNK, LANE), np.float32)
-        mm = np.empty((nc, ROWS_PER_CHUNK, LANE), np.float32)
+        hiabs = np.empty((nc, ROWS_PER_CHUNK, row_e), np.int32)
+        slo = np.empty((nc, ROWS_PER_CHUNK, row_e), np.int32)
+        rrel = np.empty((nc, ROWS_PER_CHUNK, row_e), np.int32)
+        vv = np.empty((nc, ROWS_PER_CHUNK, row_e), np.float32)
+        mm = np.empty((nc, ROWS_PER_CHUNK, row_e), np.float32)
         lib.gm_plan_fill(handle, blkid, hiabs.reshape(-1), slo.reshape(-1),
                          rrel.reshape(-1), vv.reshape(-1), mm.reshape(-1))
     finally:
@@ -226,8 +225,8 @@ def _build_plan_native(lib, senders0, receivers0, vals, n_pad, n_send_pad,
     got[np.unique(receivers0)] = True
     return SpmvPlan(
         n_pad=n_pad, n_send_pad=n_send_pad, wr=wr, nb=nb, nc=nc, h=h,
-        row_e=128, win=128, nnz=e,
-        fill=e / max(nc * EDGES_PER_CHUNK, 1),
+        row_e=row_e, win=win, nnz=e,
+        fill=e / max(nc * ROWS_PER_CHUNK * row_e, 1),
         blkid=jnp.asarray(blkid), hiabs=jnp.asarray(hiabs),
         slo=jnp.asarray(slo), rrel=jnp.asarray(rrel), vals=jnp.asarray(vv),
         mask=jnp.asarray(mm), got_static=jnp.asarray(got))
