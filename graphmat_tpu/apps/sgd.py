@@ -26,10 +26,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.graph import Graph
-from ..core.program import GraphProgram
+from ..core.program import GraphProgram, PallasVecSemiring
 from ..core.runtime import Engine
 from ..core.types import Activity, Direction, SUM
 from ..utils.reference_rng import rand_r_uniform_np
+
+
+def _sgd_process(xv, ev, vpr, extra):
+    est = jnp.sum(xv * vpr, axis=0, keepdims=True)
+    return xv * (ev - est)
 
 __all__ = ["SGDProgram", "RMSEProgram", "run_sgd", "init_sgd_graph",
            "rmse_per_edge"]
@@ -42,10 +47,20 @@ class SGDProgram(GraphProgram):
     process_requires_vertexprop = True
 
     def __init__(self, lambda_: float = 0.001, step: float = 3.5e-7,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, k: int = 20):
         self.lambda_ = lambda_
         self.step = step
         self.dtype = dtype
+        self.k = k
+
+    def pallas_vec_semiring(self):
+        return PallasVecSemiring(
+            k=self.k,
+            process=_sgd_process,
+            encode=lambda state, msg: msg,
+            encode_vp=lambda state, vp: vp["lv"],
+            decode=lambda y: y.astype(self.dtype),
+            needs_vp=True)
 
     def send_message(self, state, vp):
         return vp["lv"], None
@@ -66,6 +81,16 @@ class SGDProgram(GraphProgram):
         return jnp.any(jnp.abs(old_vp["lv"] - new_vp["lv"]) > 1e-7, axis=1)
 
 
+def _make_rmse_process(k):
+    def _rmse_process(xv, ev, vpr, extra):
+        est = jnp.sum(xv * vpr, axis=0, keepdims=True)
+        err = ev - est
+        e2 = err * err
+        return jnp.concatenate(
+            [e2, jnp.zeros((k - 1, e2.shape[1]), e2.dtype)], axis=0)
+    return _rmse_process
+
+
 class RMSEProgram(GraphProgram):
     """Per-vertex squared error over IN_EDGES (:122-156)."""
 
@@ -74,8 +99,19 @@ class RMSEProgram(GraphProgram):
     reduce = SUM
     process_requires_vertexprop = True
 
-    def __init__(self, dtype=jnp.float32):
+    def __init__(self, dtype=jnp.float32, k: int = 20):
         self.dtype = dtype
+        self.k = k
+        self._proc = _make_rmse_process(k)
+
+    def pallas_vec_semiring(self):
+        return PallasVecSemiring(
+            k=self.k,
+            process=self._proc,
+            encode=lambda state, msg: msg,
+            encode_vp=lambda state, vp: vp["lv"],
+            decode=lambda y: y[:, 0].astype(self.dtype),
+            needs_vp=True)
 
     def send_message(self, state, vp):
         return vp["lv"], None
@@ -99,10 +135,10 @@ def init_sgd_graph(graph: Graph, k: int = 20, dtype=jnp.float32) -> None:
                               sqerr=np.array(0, np.dtype(dtype)))
 
 
-def rmse_per_edge(graph: Graph, dtype=jnp.float32) -> float:
+def rmse_per_edge(graph: Graph, dtype=jnp.float32, k: int = 20) -> float:
     """sqrt(Σ sqerr / nnz) — the reference's printed metric (:186-188)."""
     graph.set_all_active()
-    Engine(RMSEProgram(dtype=dtype), graph).run(iterations=1)
+    Engine(RMSEProgram(dtype=dtype, k=k), graph).run(iterations=1)
     err = float(graph.vp_numpy()["sqerr"].sum())
     return float(np.sqrt(err / graph.nnz))
 
@@ -114,12 +150,12 @@ def run_sgd(graph: Graph, k: int = 20, lambda_: float = 0.001,
     Returns ``(lv[n,k], rmse_before, rmse_after)``.
     """
     init_sgd_graph(graph, k, dtype)
-    rmse0 = rmse_per_edge(graph, dtype)
+    rmse0 = rmse_per_edge(graph, dtype, k)
 
     graph.set_all_active()
-    Engine(SGDProgram(lambda_, step, dtype=dtype), graph).run(
+    Engine(SGDProgram(lambda_, step, dtype=dtype, k=k), graph).run(
         iterations=iterations)
-    rmse1 = rmse_per_edge(graph, dtype)
+    rmse1 = rmse_per_edge(graph, dtype, k)
     return graph.vp_numpy()["lv"], rmse0, rmse1
 
 

@@ -37,7 +37,8 @@ from jax import tree_util
 
 from .types import Activity, Direction, Monoid, SUM
 
-__all__ = ["GraphProgram", "IterationContext", "PallasSemiring"]
+__all__ = ["GraphProgram", "IterationContext", "PallasSemiring",
+           "PallasVecSemiring"]
 
 
 def _identity_process(xv, ev):
@@ -73,6 +74,38 @@ class PallasSemiring:
     process: Callable = _identity_process
     encode: Callable = _identity_codec
     decode: Callable = _identity_codec
+
+
+@dataclass(frozen=True)
+class PallasVecSemiring:
+    """Opt-in declaration for the K-wide vector-message TPU kernel
+    (``ops.pallas_spmv_vec``) — the SpMSpV3 workloads (SGD/LDA).
+
+    * ``k``: message width;
+    * ``process(xv, ev, vpr, extra)``: ⊗ on ``[K, e]`` tiles — ``vpr`` is
+      the gathered receiver operand (None unless ``needs_vp``), ``extra``
+      a broadcast state vector (None unless ``extra_fn``);
+    * ``encode(state, msg_pytree) -> f32[n, K]``; with ``needs_vp``,
+      ``encode_vp(state, vp_pytree) -> f32[n, K]``;
+    * ``decode(y[n, K]) -> reduced pytree`` consumed by ``apply``;
+    * ``extra_fn(state) -> f32[1, K_extra]`` threads per-iteration state
+      (e.g. LDA's global topic totals) into the kernel;
+    * ``x_splits``/``vp_splits``: bf16 split counts (2 ≈ f32 to 2^-17).
+
+    ⊕ is sum; senders that did not send are encoded as zero, so ⊗ must
+    absorb zero messages (all reference vector workloads do: SGD/LDA
+    messages scale multiplicatively).
+    """
+
+    k: int = 1
+    process: Callable = lambda xv, ev, vpr, extra: xv
+    encode: Callable = None
+    encode_vp: Callable = None
+    decode: Callable = _identity_codec
+    needs_vp: bool = False
+    extra_fn: Callable = None
+    x_splits: int = 2
+    vp_splits: int = 2
 
 
 class IterationContext:
@@ -172,4 +205,9 @@ class GraphProgram:
     def pallas_semiring(self) -> Optional["PallasSemiring"]:
         """Return a :class:`PallasSemiring` to enable the TPU fast path,
         or None to always use the XLA segment-reduce path."""
+        return None
+
+    def pallas_vec_semiring(self) -> Optional["PallasVecSemiring"]:
+        """Return a :class:`PallasVecSemiring` to enable the K-wide TPU
+        fast path (vector messages / 3-operand programs)."""
         return None

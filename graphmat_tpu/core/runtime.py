@@ -29,7 +29,8 @@ import jax.numpy as _jnp
 from ..ops.segment import (masked_fill_identity, segment_any,
                            segment_reduce_tree)
 from .graph import EdgeArrays, Graph
-from .program import GraphProgram, IterationContext, PallasSemiring
+from .program import (GraphProgram, IterationContext, PallasSemiring,
+                      PallasVecSemiring)
 from .types import Activity, Direction, UNTIL_CONVERGENCE
 
 _PALLAS_IDENT = {"sum": 0.0, "min": float("inf"), "max": float("-inf")}
@@ -82,15 +83,24 @@ class Engine:
 
         # ---- Pallas fast-path eligibility ------------------------------
         semiring = program.pallas_semiring()
+        vec_semiring = program.pallas_vec_semiring()
+        self.use_pallas_vec = False
         if use_pallas is None:
-            use_pallas = (jax.default_backend() == "tpu"
-                          and semiring is not None
-                          and not program.process_requires_vertexprop)
-        if use_pallas and semiring is None:
+            on_tpu = jax.default_backend() == "tpu"
+            if on_tpu and vec_semiring is not None:
+                use_pallas = True
+                self.use_pallas_vec = True
+            else:
+                use_pallas = (on_tpu and semiring is not None
+                              and not program.process_requires_vertexprop)
+        elif use_pallas and vec_semiring is not None:
+            self.use_pallas_vec = True
+        if use_pallas and semiring is None and vec_semiring is None:
             raise ValueError("use_pallas=True but program declares no "
-                             "pallas_semiring()")
+                             "pallas semiring")
         self.use_pallas = bool(use_pallas)
         self._semiring = semiring
+        self._vec_semiring = vec_semiring
         self._plans = {}
         self._edges = {}
         if self.use_pallas:
@@ -117,7 +127,10 @@ class Engine:
             if send_mask is not None:
                 sent = sent & send_mask
 
-            if self.use_pallas:
+            if self.use_pallas_vec:
+                reduced, got = self._pallas_vec_directions(
+                    state, msg, sent, vp, structure["plans"])
+            elif self.use_pallas:
                 reduced, got = self._pallas_directions(
                     state, msg, sent, structure["plans"])
             else:
@@ -233,6 +246,55 @@ class Engine:
                 y = (y + y_dir if kind == "sum" else
                      (jnp.minimum(y, y_dir) if kind == "min"
                       else jnp.maximum(y, y_dir)))
+                got = got | g_dir
+        return sem.decode(y), got
+
+    def _pallas_vec_directions(self, state, msg, sent, vp, plans):
+        """K-wide vector-message directions (SpMSpV3 workloads)."""
+        from ..ops.pallas_spmv import _identity_process, _spmv_call
+        from ..ops.pallas_spmv_vec import _spmv_vec_call
+        prog = self.program
+        sem: PallasVecSemiring = self._vec_semiring
+        interpret = jax.default_backend() != "tpu"
+        dense = prog.activity == Activity.ALL_VERTICES
+
+        x = sem.encode(state, msg).astype(jnp.float32)       # [n_pad, K]
+        x = jnp.where(sent[:, None], x, 0.0)
+        vp_enc = None
+        if sem.needs_vp:
+            vp_enc = sem.encode_vp(state, vp).astype(jnp.float32)
+        extra = sem.extra_fn(state) if sem.extra_fn is not None else None
+
+        y = None
+        got = None
+        for recv in _direction_receivers(prog.order):
+            plan = self._plans[recv]
+            plan_arrays, got_static = plans[recv]
+            plan_static = (plan.nc, plan.nb, plan.wr, plan.h, plan.n_pad,
+                           plan.row_e, plan.win)
+            xp = x
+            if xp.shape[0] < plan.n_send_pad:
+                xp = jnp.pad(xp, ((0, plan.n_send_pad - xp.shape[0]),
+                                  (0, 0)))
+            y_dir = _spmv_vec_call(plan_arrays, plan_static,
+                                   xp[: plan.n_send_pad], vp_enc, extra,
+                                   sem.process, sem.k, sem.x_splits,
+                                   sem.vp_splits, interpret)[: self._n_pad]
+            if dense:
+                g_dir = got_static[: self._n_pad]
+            else:
+                sentf = jnp.where(sent, 1.0, 0.0).astype(jnp.float32)
+                sp = sentf
+                if sp.shape[0] < plan.n_send_pad:
+                    sp = jnp.pad(sp, (0, plan.n_send_pad - sp.shape[0]))
+                g_dir = _spmv_call(plan_arrays, plan_static,
+                                   sp[: plan.n_send_pad], "sum",
+                                   _identity_process,
+                                   interpret)[: self._n_pad] > 0
+            if y is None:
+                y, got = y_dir, g_dir
+            else:
+                y = y + y_dir
                 got = got | g_dir
         return sem.decode(y), got
 
