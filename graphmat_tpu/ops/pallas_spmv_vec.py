@@ -94,16 +94,21 @@ def _make_vec_kernel(process: Callable, wr: int, h: int, row_e: int,
             xw = xb_ref[pl.ds(base, win), :]                # [win, planes*128]
             m_all = jax.lax.dot_general(xw, oh, (((0,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
-            # [planes*128, e] -> [planes, 128, e]
-            m3 = m_all.reshape(planes, LANE, row_e)
+            # lane extraction per plane (rank-2 ops only — rank-3 masked
+            # reduces hit Mosaic relayout bugs)
             slo_row = slo_ref[0, rr, :].reshape(1, row_e)
-            lane_sel = (iota_le == slo_row)[None, :, :]
-            xv_planes = jnp.sum(jnp.where(lane_sel, m3, 0.0),
-                                axis=1)                        # [planes, e]
-            if x_splits > 1:
-                xv = xv_planes.reshape(k, x_splits, row_e).sum(axis=1)
-            else:
-                xv = xv_planes                                 # [K, e]
+            lane_sel = iota_le == slo_row                      # [128, e]
+            rows_k = []
+            for kk in range(k):
+                acc_k = None
+                for s in range(x_splits):
+                    pidx = kk * x_splits + s
+                    mp = m_all[pidx * LANE:(pidx + 1) * LANE, :]
+                    t = jnp.sum(jnp.where(lane_sel, mp, 0.0), axis=0,
+                                keepdims=True)                 # [1, e]
+                    acc_k = t if acc_k is None else acc_k + t
+                rows_k.append(acc_k)
+            xv = jnp.concatenate(rows_k, axis=0)               # [K, e]
 
             rc = rrel_ref[0, rr, :].reshape(1, row_e)
             rc_lo = rc & 127
@@ -155,8 +160,10 @@ def _make_vec_kernel(process: Callable, wr: int, h: int, row_e: int,
                     acc_g = t if acc_g is None else acc_g + t  # [K, 128]
                 contribs.append(acc_g)
             contrib = jnp.concatenate(contribs, axis=1)        # [K, wr]
-            pad = jnp.zeros((k_pad - k, wr), jnp.float32)
-            acc_ref[:] = acc_ref[:] + jnp.concatenate([contrib, pad], axis=0)
+            if k_pad > k:
+                pad = jnp.zeros((k_pad - k, wr), jnp.float32)
+                contrib = jnp.concatenate([contrib, pad], axis=0)
+            acc_ref[:] = acc_ref[:] + contrib
             return 0
 
         jax.lax.fori_loop(0, ROWS_PER_CHUNK, row, 0)
