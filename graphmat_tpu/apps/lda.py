@@ -24,10 +24,48 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.graph import Graph
-from ..core.program import GraphProgram
+from ..core.program import GraphProgram, PallasVecSemiring
 from ..core.runtime import Engine
 from ..core.types import Activity, Direction, SUM
 from ..utils.reference_rng import rand_r_jnp
+
+
+def _make_lda_init_process(k, dtype):
+    # per-edge gamma from the glibc LCG, rank-2 ops only (kernel-safe)
+    a = np.uint32(1103515245)
+    c = np.uint32(12345)
+    randmax = 2 ** 31 - 1
+
+    def proc(xv, ev, vpr, extra, rid):
+        nxt = ev.astype(jnp.uint32)            # [1, e]
+        rows = []
+        for _ in range(k):
+            nxt = nxt * a + c
+            r = ((nxt >> 16) % 2048).astype(jnp.int32)
+            nxt = nxt * a + c
+            r = (r << 10) ^ ((nxt >> 16) % 1024).astype(jnp.int32)
+            nxt = nxt * a + c
+            r = (r << 10) ^ ((nxt >> 16) % 1024).astype(jnp.int32)
+            rows.append((r / randmax).astype(dtype))
+        gamma = jnp.concatenate(rows, axis=0)  # [k, e]
+        gamma = gamma / jnp.sum(gamma, axis=0, keepdims=True)
+        return gamma * ev
+
+    return proc
+
+
+def _make_lda_process(k, alpha, eta, vocab_size, ndoc, dtype):
+    def proc(xv, ev, vpr, extra, rid):
+        gn = extra[0:1, 0:k].reshape(k, 1)
+        is_doc = rid < ndoc                    # [1, e]
+        my_off = jnp.where(is_doc, alpha, eta)
+        other_off = jnp.where(is_doc, eta, alpha)
+        denom = gn + vocab_size * (eta - 1.0)
+        gamma = (vpr + my_off - 1.0) * (xv + other_off - 1.0) / denom
+        gamma = gamma / jnp.sum(gamma, axis=0, keepdims=True)
+        return gamma * ev
+
+    return proc
 
 __all__ = ["LDAInitProgram", "LDAProgram", "LDALLProgram", "run_lda"]
 
@@ -41,6 +79,14 @@ class LDAInitProgram(GraphProgram):
     def __init__(self, k: int = 20, dtype=jnp.float32):
         self.k = k
         self.dtype = dtype
+        self._vec_proc = _make_lda_init_process(k, dtype)
+
+    def pallas_vec_semiring(self):
+        return PallasVecSemiring(
+            k=self.k,
+            process=self._vec_proc,
+            encode=lambda state, msg: msg,
+            decode=lambda y: y.astype(self.dtype))
 
     def send_message(self, state, vp):
         return vp["N"], None
@@ -72,12 +118,27 @@ class LDAProgram(GraphProgram):
     process_requires_vertexprop = True
 
     def __init__(self, k: int = 20, alpha: float = 1.0, eta: float = 5.0,
-                 vocab_size: int = 0, dtype=jnp.float32):
+                 vocab_size: int = 0, ndoc: int = 0, dtype=jnp.float32):
         self.k = k
         self.alpha = alpha
         self.eta = eta
         self.vocab_size = vocab_size
+        self.ndoc = ndoc
         self.dtype = dtype
+        self._vec_proc = _make_lda_process(k, alpha, eta, vocab_size, ndoc,
+                                           dtype)
+
+    def pallas_vec_semiring(self):
+        if self.ndoc <= 0:
+            return None  # needs the doc/term id split (no vertex permute)
+        return PallasVecSemiring(
+            k=self.k,
+            process=self._vec_proc,
+            encode=lambda state, msg: msg["N"],
+            encode_vp=lambda state, vp: vp["N"],
+            decode=lambda y: y.astype(self.dtype),
+            needs_vp=True,
+            extra_fn=lambda state: state.reshape(1, -1))
 
     def init_state(self, graph):
         # global_N; caller should refresh via calc_global_n before running
@@ -162,7 +223,8 @@ def run_lda(graph: Graph, ndoc: int, nterms: int, k: int = 20,
 
     Engine(LDAInitProgram(k, dtype=dtype), graph).run(iterations=1)
 
-    prog = LDAProgram(k, alpha, eta, vocab_size=nterms, dtype=dtype)
+    prog = LDAProgram(k, alpha, eta, vocab_size=nterms, ndoc=ndoc,
+                      dtype=dtype)
     eng = Engine(prog, graph)
     # ldap.calcGlobalN() before the run (:279)
     global_n = _global_topic_totals(graph.vp, eng.ctx, dtype)

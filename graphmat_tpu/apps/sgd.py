@@ -32,7 +32,7 @@ from ..core.types import Activity, Direction, SUM
 from ..utils.reference_rng import rand_r_uniform_np
 
 
-def _sgd_process(xv, ev, vpr, extra):
+def _sgd_process(xv, ev, vpr, extra, rid):
     est = jnp.sum(xv * vpr, axis=0, keepdims=True)
     return xv * (ev - est)
 
@@ -82,7 +82,7 @@ class SGDProgram(GraphProgram):
 
 
 def _make_rmse_process(k):
-    def _rmse_process(xv, ev, vpr, extra):
+    def _rmse_process(xv, ev, vpr, extra, rid):
         est = jnp.sum(xv * vpr, axis=0, keepdims=True)
         err = ev - est
         e2 = err * err

@@ -15,8 +15,9 @@ unchanged; what differs from the scalar kernel:
 * **receiver vectors**: laid out ``[nb, K_pad, wr]`` and block-fetched with
   the output window; gathered per edge by reusing the scatter one-hots
   (``vpr = Σ_g VPwin[:, g] @ ohlo_g``);
-* **⊗**: ``process(xv, ev, vpr) -> p`` on ``[K, e]`` tiles — e.g. SGD's
-  ``p = xv * (ev − Σ_k xv·vpr)``;
+* **⊗**: ``process(xv, ev, vpr, extra, rid) -> p`` on ``[K, e]`` tiles —
+  e.g. SGD's ``p = xv * (ev − Σ_k xv·vpr)``; ``rid`` carries global
+  receiver ids (LDA's doc/term split), ``extra`` a broadcast state tile;
 * **scatter**: the factored group one-hots contract ``[K, e]`` against
   ``[128, e]`` — one matmul per group per split, K-wide for free.
 
@@ -140,7 +141,9 @@ def _make_vec_kernel(process: Callable, wr: int, h: int, row_e: int,
             ev = vals_ref[0, rr, :].reshape(1, row_e)
             msk = mask_ref[0, rr, :].reshape(1, row_e)
             extra = extra_ref[:] if has_extra else None
-            p = process(xv, ev, vpr, extra).astype(jnp.float32)  # [K, e]
+            # global receiver ids (for id-partitioned programs like LDA)
+            rid = blk_ref[i] * wr + rc                           # [1, e]
+            p = process(xv, ev, vpr, extra, rid).astype(jnp.float32)
             p = p * msk
 
             # factored scatter, K rows per matmul

@@ -22,7 +22,7 @@ def test_vec_gather_sum():
     """process = xv (copy K-vectors along edges, sum per receiver)."""
     e, s0, r0, v, plan, x, vp = setup()
     y = np.asarray(spmv_vec(plan, jnp.asarray(x),
-                            lambda xv, ev, vpr, extra: xv, interpret=True))
+                            lambda xv, ev, vpr, extra, rid: xv, interpret=True))
     expect = np.zeros((plan.n_pad, x.shape[1]))
     np.add.at(expect, r0, x[s0].astype(np.float64))
     np.testing.assert_allclose(y, expect, rtol=1e-4, atol=1e-4)
@@ -32,7 +32,7 @@ def test_vec_three_operand_sgd_shape():
     """SGD ⊗: p = xv * (rating − ⟨xv, vpr⟩)."""
     e, s0, r0, v, plan, x, vp = setup()
 
-    def proc(xv, ev, vpr, extra):
+    def proc(xv, ev, vpr, extra, rid):
         est = jnp.sum(xv * vpr, axis=0, keepdims=True)
         return xv * (ev - est)
 
@@ -48,7 +48,7 @@ def test_vec_three_operand_sgd_shape():
 def test_vec_edge_value_scale():
     e, s0, r0, v, plan, x, vp = setup(k=4, seed=9)
     y = np.asarray(spmv_vec(plan, jnp.asarray(x),
-                            lambda xv, ev, vpr, extra: xv * ev, interpret=True))
+                            lambda xv, ev, vpr, extra, rid: xv * ev, interpret=True))
     expect = np.zeros((plan.n_pad, 4))
     np.add.at(expect, r0, (x[s0] * v[:, None]).astype(np.float64))
     np.testing.assert_allclose(y, expect, rtol=1e-3, atol=1e-3)
@@ -59,7 +59,7 @@ def test_vec_extra_operand():
     e, s0, r0, v, plan, x, vp = setup(k=4, seed=11)
     extra = jnp.asarray(np.arange(4, dtype=np.float32) + 1.0)
 
-    def proc(xv, ev, vpr, ex):
+    def proc(xv, ev, vpr, ex, rid):
         scale = ex[0:1, 0:4].reshape(4, 1)
         return xv * scale
 
@@ -114,3 +114,34 @@ def test_engine_vec_rmse_matches_xla():
     import math
     r_vec = math.sqrt(float(g2.vp_numpy()["sqerr"].sum()) / g2.nnz)
     assert abs(r_vec - r_ref) < 1e-3
+
+
+def test_engine_vec_lda_matches_xla():
+    """LDA init + iterations through the vector Pallas path (interpret)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_ml_apps import bipartite_edges
+    from graphmat_tpu import Graph
+    from graphmat_tpu.apps.lda import run_lda
+    from graphmat_tpu.core import runtime as rt
+
+    ndoc, nterms, k = 5, 7, 4
+    e = bipartite_edges(ndoc, nterms, seed=31)
+
+    g1 = Graph(e)
+    N1, gN1, ll1 = run_lda(g1, ndoc, nterms, k=k, iterations=3)
+
+    # run again forcing the vec path through every engine
+    orig_init = rt.Engine.__init__
+    def patched(self, program, graph, ctx=None, use_pallas=None):
+        if use_pallas is None and program.pallas_vec_semiring() is not None:
+            use_pallas = True
+        orig_init(self, program, graph, ctx=ctx, use_pallas=use_pallas)
+    rt.Engine.__init__ = patched
+    try:
+        g2 = Graph(e)
+        N2, gN2, ll2 = run_lda(g2, ndoc, nterms, k=k, iterations=3)
+    finally:
+        rt.Engine.__init__ = orig_init
+    np.testing.assert_allclose(N2, N1, rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(gN2, gN1, rtol=3e-4)
