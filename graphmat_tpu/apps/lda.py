@@ -31,21 +31,25 @@ from ..utils.reference_rng import rand_r_jnp
 
 
 def _make_lda_init_process(k, dtype):
-    # per-edge gamma from the glibc LCG, rank-2 ops only (kernel-safe)
-    a = np.uint32(1103515245)
-    c = np.uint32(12345)
+    # per-edge gamma from the glibc LCG, rank-2 ops only and all-int32
+    # (Mosaic supports neither f32->u32 casts nor uint arithmetic well);
+    # int32 wraparound is bit-identical to uint32, and logical shifts +
+    # bit masks replace the unsigned >> and %.
+    import jax.lax as lax
+    a = np.int32(1103515245)
+    c = np.int32(12345)
     randmax = 2 ** 31 - 1
 
     def proc(xv, ev, vpr, extra, rid):
-        nxt = ev.astype(jnp.uint32)            # [1, e]
+        nxt = ev.astype(jnp.int32)             # [1, e] (counts are small)
         rows = []
         for _ in range(k):
             nxt = nxt * a + c
-            r = ((nxt >> 16) % 2048).astype(jnp.int32)
+            r = lax.shift_right_logical(nxt, 16) & 2047
             nxt = nxt * a + c
-            r = (r << 10) ^ ((nxt >> 16) % 1024).astype(jnp.int32)
+            r = (r << 10) ^ (lax.shift_right_logical(nxt, 16) & 1023)
             nxt = nxt * a + c
-            r = (r << 10) ^ ((nxt >> 16) % 1024).astype(jnp.int32)
+            r = (r << 10) ^ (lax.shift_right_logical(nxt, 16) & 1023)
             rows.append((r / randmax).astype(dtype))
         gamma = jnp.concatenate(rows, axis=0)  # [k, e]
         gamma = gamma / jnp.sum(gamma, axis=0, keepdims=True)
