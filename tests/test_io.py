@@ -87,3 +87,25 @@ def test_sharded_roundtrip(tmp_path):
 def test_load_missing_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         load_edgelist(str(tmp_path / "nope"))
+
+
+def test_app_cli_mains_smoke(capsys):
+    """Every app CLI entry point runs on the fixtures (reference binary
+    parity)."""
+    from graphmat_tpu.apps import (bfs, delta_stepping, incremental_pagerank,
+                                   pagerank, sgd, sssp, topological_sort,
+                                   triangle_counting)
+    assert pagerank._main(["data/test.bin.mtx"]) == 0
+    assert bfs._main(["data/test.bin.mtx", "1"]) == 0
+    assert sssp._main(["data/test.bin.mtx", "1"]) == 0
+    assert delta_stepping._main(["data/test.bin.mtx", "3", "1"]) == 0
+    assert topological_sort._main(["data/test.bin.mtx"]) == 0
+    assert incremental_pagerank._main(["data/test.bin.mtx"]) == 0
+    assert triangle_counting._main(["data/2_10_upper_triangle.bin.mtx"]) == 0
+    assert sgd._main(["data/ratings7.bin.mtx"]) == 0
+    out = capsys.readouterr().out
+    assert "Reachable vertices = 8" in out
+    assert "Total triangles = 17158" in out
+    # usage lines on missing args
+    assert pagerank._main([]) == 0
+    assert bfs._main([]) == 0
