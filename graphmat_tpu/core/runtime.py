@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 from jax import tree_util
 
-import jax.numpy as _jnp
 
 from ..ops.segment import (masked_fill_identity, segment_any,
                            segment_reduce_tree)

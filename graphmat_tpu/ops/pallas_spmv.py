@@ -56,7 +56,7 @@ __all__ = ["SpmvPlan", "build_spmv_plan", "spmv"]
 
 LANE = 128
 ROWS_PER_CHUNK = 8
-EDGES_PER_CHUNK = LANE * ROWS_PER_CHUNK
+EDGES_PER_CHUNK = LANE * ROWS_PER_CHUNK  # (128-edge-row layouts)
 
 
 @dataclass
