@@ -147,19 +147,14 @@ class Graph:
             src0 = self.perm[src0].astype(np.int32)
             dst0 = self.perm[dst0].astype(np.int32)
 
-        self.out_edges: Optional[EdgeArrays] = None
-        self.in_edges: Optional[EdgeArrays] = None
-        # host copies kept for building Pallas edge plans lazily
+        # host copies kept for building edge arrays / Pallas plans lazily
+        # (the XLA edge arrays are only materialized on first use — the
+        # Pallas path never needs them)
         self._host_edges = {}
+        self._edge_arrays = {}
         if build_out_edges:
-            # receiver = dst
-            self.out_edges = _build_edge_arrays(src0, dst0, vals, self.n_pad,
-                                                self.e_pad)
             self._host_edges["dst"] = (src0.copy(), dst0.copy(), vals.copy())
         if build_in_edges:
-            # receiver = src
-            self.in_edges = _build_edge_arrays(dst0, src0, vals, self.n_pad,
-                                               self.e_pad)
             self._host_edges["src"] = (dst0.copy(), src0.copy(), vals.copy())
         self._pallas_plans = {}
 
@@ -256,7 +251,7 @@ class Graph:
 
     def get_edges(self) -> EdgeList:
         """Export back to a 1-based EdgeList (``SpMat::get_edges`` analog)."""
-        ea = self.out_edges if self.out_edges is not None else self.in_edges
+        ea = (self.out_edges if "dst" in self._host_edges else self.in_edges)
         valid = np.asarray(ea.valid)
         s = np.asarray(ea.senders)[valid]
         r = np.asarray(ea.receivers)[valid]
@@ -273,13 +268,25 @@ class Graph:
         return edgelist_from_arrays(src + 1, dst + 1, v, m=self.n, n=self.n)
 
     def edges_for(self, direction_receiver: str) -> EdgeArrays:
-        """Edge arrays with the given receiver role ('dst' or 'src')."""
-        ea = self.out_edges if direction_receiver == "dst" else self.in_edges
-        if ea is None:
+        """Edge arrays with the given receiver role ('dst' or 'src');
+        built lazily on first use."""
+        if direction_receiver not in self._host_edges:
             raise ValueError(
                 f"graph was built without the receiver={direction_receiver} "
                 f"ordering; pass build_{'out' if direction_receiver == 'dst' else 'in'}_edges=True")
-        return ea
+        if direction_receiver not in self._edge_arrays:
+            s0, r0, v = self._host_edges[direction_receiver]
+            self._edge_arrays[direction_receiver] = _build_edge_arrays(
+                s0, r0, v, self.n_pad, self.e_pad)
+        return self._edge_arrays[direction_receiver]
+
+    @property
+    def out_edges(self) -> Optional[EdgeArrays]:
+        return (self.edges_for("dst") if "dst" in self._host_edges else None)
+
+    @property
+    def in_edges(self) -> Optional[EdgeArrays]:
+        return (self.edges_for("src") if "src" in self._host_edges else None)
 
     def pallas_plan(self, receiver: str, wr: int = 512):
         """Lazily built Pallas SpMV edge plan for the given receiver role

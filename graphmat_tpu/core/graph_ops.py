@@ -87,13 +87,15 @@ def apply_to_all_edges(graph: Graph, fn: Callable) -> None:
         return EdgeArrays(ea.senders, ea.receivers,
                           new_vals.astype(ea.vals.dtype), ea.valid)
 
-    if graph.out_edges is not None:
-        graph.out_edges = run(graph.out_edges, sender_is_src=True)
-    if graph.in_edges is not None:
-        graph.in_edges = run(graph.in_edges, sender_is_src=False)
+    if "dst" in graph._host_edges:
+        graph._edge_arrays["dst"] = run(graph.edges_for("dst"),
+                                        sender_is_src=True)
+    if "src" in graph._host_edges:
+        graph._edge_arrays["src"] = run(graph.edges_for("src"),
+                                        sender_is_src=False)
     # host copies / kernel plans are stale now
     for recv, (s0, r0, _v) in list(graph._host_edges.items()):
-        ea = graph.out_edges if recv == "dst" else graph.in_edges
+        ea = graph._edge_arrays.get(recv)
         if ea is None:
             continue
         valid = np.asarray(ea.valid)
