@@ -258,8 +258,8 @@ def _make_kernel(reduce_kind: str, process: Callable, wr: int, h: int,
 
     def kernel(blk_ref, hiabs_ref, slo_ref, rrel_ref, vals_ref,
                mask_ref, *rest):
-        xsplit_refs = rest[:n_splits]
-        y_ref, acc_ref = rest[n_splits], rest[n_splits + 1]
+        xsplit_refs = rest[:1]
+        y_ref, acc_ref = rest[1], rest[2]
         i = pl.program_id(0)
         first = jnp.logical_or(
             i == 0, blk_ref[i] != blk_ref[jnp.maximum(i - 1, 0)])
@@ -272,6 +272,8 @@ def _make_kernel(reduce_kind: str, process: Callable, wr: int, h: int,
         # built as [sublane, lane] broadcast compares (no relayouts).
         iota_we = jax.lax.broadcasted_iota(jnp.int32, (win, row_e), 0)
         iota_le = jax.lax.broadcasted_iota(jnp.int32, (LANE, row_e), 0)
+        iota_ns = jax.lax.broadcasted_iota(
+            jnp.int32, (n_splits * LANE, row_e), 0) % LANE
         iota_wre = jax.lax.broadcasted_iota(jnp.int32, (wr, row_e), 0)
 
         def split3p(v):
@@ -293,14 +295,14 @@ def _make_kernel(reduce_kind: str, process: Callable, wr: int, h: int,
             base = jnp.minimum((jnp.min(habs) // 8) * 8, h - win)
             base = pl.multiple_of(base, 8)
             oh = ((habs - base) == iota_we).astype(jnp.bfloat16)  # [win, e]
-            m2 = None
-            for xr in xsplit_refs:
-                xw = xr[pl.ds(base, win), :]                      # [win, l]
-                mk = jax.lax.dot_general(xw, oh, (((0,), (0,)), ((), ())),
-                                         preferred_element_type=jnp.float32)
-                m2 = mk if m2 is None else m2 + mk                # [l, e]
+            # single window slice + matmul over all split planes; the
+            # (iota % 128 == lo) masked reduce sums planes and lanes at
+            # once — which IS the f32 reconstruction of the splits
+            xw = xsplit_refs[0][pl.ds(base, win), :]     # [win, ns*128]
+            m2 = jax.lax.dot_general(xw, oh, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
             slo_row = slo_ref[0, rr, :].reshape(1, row_e)
-            xv = jnp.sum(jnp.where(iota_le == slo_row, m2, 0.0), axis=0,
+            xv = jnp.sum(jnp.where(iota_ns == slo_row, m2, 0.0), axis=0,
                          keepdims=True)                           # [1, e]
             ev = vals_ref[0, rr, :].reshape(1, row_e)
             msk = mask_ref[0, rr, :].reshape(1, row_e)
@@ -354,7 +356,7 @@ def _spmv_call(plan_arrays, plan_static, x, reduce_kind, process, interpret,
     blkid, hiabs, slo, rrel, vals, mask = plan_arrays
 
     x2 = x.reshape(h, LANE)
-    xsplits = _split_bf16(x2, n_splits)
+    xsplits = [jnp.concatenate(_split_bf16(x2, n_splits), axis=1)]
 
     kernel = _make_kernel(reduce_kind, process, wr, h, n_splits, row_e, win)
 
@@ -365,7 +367,7 @@ def _spmv_call(plan_arrays, plan_static, x, reduce_kind, process, interpret,
         num_scalar_prefetch=1,
         grid=(nc,),
         in_specs=([chunk_spec] * 5
-                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_splits),
+                  + [pl.BlockSpec(memory_space=pltpu.VMEM)]),
         out_specs=pl.BlockSpec((1, 8, wr), lambda i, blk: (blk[i], 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((1, wr) if reduce_kind == "sum"

@@ -133,9 +133,18 @@ class DistGraph:
         vals = np.asarray(edgelist.val)
 
         self.perm = None  # perm[original0] = internal0
-        if permute:
-            rng = np.random.default_rng(permute_seed)
-            self.perm = rng.permutation(n).astype(np.int64)
+        if permute is not False and permute is not None:
+            if isinstance(permute, np.ndarray):
+                self.perm = permute.astype(np.int64)
+            elif permute == "degree":
+                # hub senders to low ids — raises kernel window fill
+                deg = np.bincount(src0, minlength=n)
+                order = np.argsort(-deg, kind="stable")
+                self.perm = np.empty(n, np.int64)
+                self.perm[order] = np.arange(n)
+            else:
+                rng = np.random.default_rng(permute_seed)
+                self.perm = rng.permutation(n).astype(np.int64)
             src0 = self.perm[src0]
             dst0 = self.perm[dst0]
 

@@ -203,3 +203,16 @@ def test_multihost_helpers_single_process(tmp_path):
     r = load_edgelist_sharded(prefix)
     assert r.nnz == e.nnz
     assert r.as_records() == e.as_records()
+
+
+def test_dist_degree_permute(mesh):
+    e = random_edgelist(80, 4, seed=51)
+    pr_ref, it_ref = dist_pagerank(e, mesh)
+    g = DistGraph(e, mesh, permute="degree")
+    g.init_vertexproperty(pagerank=np.float32(0.3), degree=np.int32(0))
+    g.set_all_active()
+    DistEngine(DegreeProgram(), g).run(iterations=1)
+    it2 = DistEngine(PageRankProgram(), g).run()
+    np.testing.assert_allclose(g.vp_numpy()["pagerank"], pr_ref,
+                               rtol=1e-5, atol=1e-6)
+    assert it2 == it_ref
