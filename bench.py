@@ -2,11 +2,15 @@
 
 Runs the reference's headline workload — PageRank iterations over an RMAT
 graph (BASELINE.json: RMAT + reference graphs, target >= 1.5 GTEPS/chip) —
-through the real engine (degree pass + compiled PageRank iterations) and
-prints ONE json line:
+through the real engine and prints ONE json line:
 
     {"metric": "pagerank_gteps_per_chip", "value": ..., "unit": "GTEPS",
      "vs_baseline": value / 1.5, ...}
+
+The out-degree operand is precomputed on host (the benchmark measures the
+PageRank SpMV iterations; running the Degree program first gives identical
+values but doubles the cold-compile surface — the reference times its
+degree pass separately too, src/PageRank.cpp:82-93).
 
 Scale/iterations are adjustable via env: GRAPHMAT_BENCH_SCALE (default 20),
 GRAPHMAT_BENCH_ITERS (default 10).
@@ -16,19 +20,21 @@ import json
 import os
 import sys
 import time
+import traceback
 
 import numpy as np
 
 
-def main() -> int:
+def run_bench():
     scale = int(os.environ.get("GRAPHMAT_BENCH_SCALE", "20"))
     iters = int(os.environ.get("GRAPHMAT_BENCH_ITERS", "10"))
     edge_factor = int(os.environ.get("GRAPHMAT_BENCH_EDGEFACTOR", "16"))
 
     import jax
+    import jax.numpy as jnp
 
     from graphmat_tpu import Graph
-    from graphmat_tpu.apps.pagerank import (DegreeProgram, PageRankProgram,
+    from graphmat_tpu.apps.pagerank import (PageRankProgram,
                                             init_pagerank_graph)
     from graphmat_tpu.core.runtime import Engine
     from graphmat_tpu.utils.generators import rmat_edgelist
@@ -38,25 +44,32 @@ def main() -> int:
     gen_s = time.time() - t0
 
     t0 = time.time()
-    g = Graph(e, build_in_edges=True, permute="degree")
+    g = Graph(e, build_in_edges=False, permute="degree")
     build_s = time.time() - t0
 
-    init_pagerank_graph(g)
-    g.set_all_active()
-    t0 = time.time()
-    Engine(DegreeProgram(), g).run(iterations=1)
-    degree_s = time.time() - t0
+    # host degree operand (identical to the Degree program's output)
+    n = max(e.m, e.n)
+    deg = np.bincount(e.src - 1, minlength=n).astype(np.int32)
 
+    def setup():
+        init_pagerank_graph(g)
+        gvp = dict(g.vp)
+        full = np.zeros(g.n_pad, np.int32)
+        if g.perm is None:
+            full[:n] = deg
+        else:
+            full[g.perm] = deg
+        gvp["degree"] = jnp.asarray(full)
+        g.vp = gvp
+        g.set_all_active()
+
+    setup()
     eng = Engine(PageRankProgram(), g)
-    # warm-up with the SAME iteration count so the loop compiles once
     t0 = time.time()
-    eng.run(iterations=iters)
+    eng.run(iterations=iters)  # compile with the same static iter count
     warm_s = time.time() - t0
 
-    # measured run (re-init state, reuse compiled loop)
-    init_pagerank_graph(g)
-    g.set_all_active()
-    Engine(DegreeProgram(), g).run(iterations=1)
+    setup()
     t0 = time.time()
     eng.run(iterations=iters)
     run_s = time.time() - t0
@@ -65,7 +78,7 @@ def main() -> int:
     assert np.isfinite(pr).all(), "non-finite pagerank output"
 
     gteps = g.nnz * iters / run_s / 1e9
-    print(json.dumps({
+    return {
         "metric": "pagerank_gteps_per_chip",
         "value": round(gteps, 4),
         "unit": "GTEPS",
@@ -80,11 +93,25 @@ def main() -> int:
         "timings_s": {
             "rmat_gen": round(gen_s, 2),
             "graph_build": round(build_s, 2),
-            "degree_pass": round(degree_s, 2),
             "warmup_compile": round(warm_s, 2),
             "measured_run": round(run_s, 3),
         },
-    }))
+    }
+
+
+def main() -> int:
+    try:
+        result = run_bench()
+    except Exception as exc:  # always emit a line for the driver
+        result = {
+            "metric": "pagerank_gteps_per_chip",
+            "value": 0.0,
+            "unit": "GTEPS",
+            "vs_baseline": 0.0,
+            "error": f"{type(exc).__name__}: {exc}",
+        }
+        traceback.print_exc(file=sys.stderr)
+    print(json.dumps(result))
     return 0
 
 
