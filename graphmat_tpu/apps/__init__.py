@@ -3,6 +3,8 @@ PageRank, IncrementalPageRank, BFS, SSSP, DeltaStepping, TriangleCounting,
 TopologicalSort, SGD matrix completion, LDA."""
 
 from .bfs import BFSProgram, run_bfs
+from .connected_components import (ConnectedComponentsProgram,
+                                   run_connected_components)
 from .delta_stepping import DeltaSteppingProgram, run_delta_stepping
 from .incremental_pagerank import DeltaPageRankProgram, \
     run_incremental_pagerank
@@ -15,6 +17,7 @@ from .triangle_counting import CountTrianglesProgram, run_triangle_counting
 
 __all__ = [
     "BFSProgram", "run_bfs",
+    "ConnectedComponentsProgram", "run_connected_components",
     "DeltaSteppingProgram", "run_delta_stepping",
     "DeltaPageRankProgram", "run_incremental_pagerank",
     "LDAInitProgram", "LDALLProgram", "LDAProgram", "run_lda",

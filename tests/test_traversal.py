@@ -150,3 +150,33 @@ def test_toposort_detects_cycle():
         Graph(circular_chain_edgelist(8)))
     assert has_cycle
     assert (order == INF_ORDER).all()
+
+
+# ------------------------------------------------ ConnectedComponents
+
+def test_connected_components_matches_scipy():
+    from scipy.sparse.csgraph import connected_components as cc_scipy
+    from graphmat_tpu.apps.connected_components import \
+        run_connected_components
+    e = random_edgelist(120, 2, seed=33)
+    n = max(e.m, e.n)
+    a = coo_matrix((np.ones(e.nnz), (e.src - 1, e.dst - 1)), shape=(n, n))
+    ncomp_ref, labels_ref = cc_scipy(a, directed=False)
+
+    labels, ncomp, _ = run_connected_components(Graph(e))
+    assert ncomp == ncomp_ref
+    # same partition (label values differ: ours are min vertex ids)
+    for comp in range(ncomp_ref):
+        members = np.where(labels_ref == comp)[0]
+        assert np.unique(labels[members]).size == 1
+
+
+def test_connected_components_two_islands():
+    from graphmat_tpu.apps.connected_components import \
+        run_connected_components
+    from graphmat_tpu.io.edgelist import edgelist_from_arrays
+    e = edgelist_from_arrays([1, 2, 4, 5], [2, 3, 5, 6], m=6, n=6)
+    labels, ncomp, _ = run_connected_components(Graph(e))
+    assert ncomp == 2
+    assert labels[0] == labels[1] == labels[2] == 1
+    assert labels[3] == labels[4] == labels[5] == 4
