@@ -1,0 +1,431 @@
+"""Pallas TPU generalized-SpMV v2 — VPU-gather / MXU-scatter kernel.
+
+Replaces the v1 one-hot-matmul gather (``pallas_spmv.py``), whose cost was
+``window x n_splits*128`` MACs *per edge* — the measured wall at RMAT-20
+scale.  v2 re-expresses the gather as a *cross-sublane dynamic gather*
+(``take_along_axis`` over 8-row granules of the lane-tiled operand
+``X2[h, l] = x[h*128 + l]``, an exact-f32 VPU op) and moves all remaining
+MXU work into one factored scatter matmul per 2048-edge chunk.
+
+Plan layout (host-built, once per graph):
+
+* Edges are sorted by (receiver-block of width ``wr``, sender) and placed
+  into 2048-slot chunks shaped ``[16, 128]`` where **each edge sits in the
+  lane of its sender** (``s & 127``) — the reference's COOSIMD32
+  conflict-free 32-bin reordering (``COOSIMD32Tile.h:235-318``) transposed
+  onto vector lanes.  The gather then needs no lane extraction:
+  ``take_along_axis(granule, row_idx, axis=0)`` fetches each edge's sender
+  value exactly, in f32.
+
+* **Hub chunks**: senders below ``hub`` (default 2048) gather from a static
+  table.  The top 128 senders are replicated across *all* lanes
+  (``xtop[m, j] = x[m]``) so the planner may put a hub edge in any lane —
+  hub degrees would otherwise pile thousands of edges onto one lane and
+  destroy chunk fill.
+
+* **Window chunks**: remaining edges get the smallest aligned sender
+  window (class sizes ``windows``, in 128-sender X2 rows) whose
+  (block, window) cell holds enough edges to fill chunks; sparse cells
+  escalate to coarser classes, the coarsest being the full operand.  The
+  kernel walks ``ngran[i]`` 8-row granules from ``base[i]`` with dynamic
+  slices of X2 — no window copy, no MXU participation.
+
+* **Scatter (⊕ = sum)**: per chunk, products are reshaped to ``[1, 2048]``,
+  split exactly into ``n_splits`` bf16 planes, masked into ``wr/128``
+  receiver groups, and contracted against a 128-wide lane one-hot in a
+  single ``[splits*G, 2048] x [128, 2048]`` MXU matmul.  Padded slots carry
+  receiver sentinel ``wr``, which matches no group — no mask stream.
+
+Chunks of one receiver block are consecutive in the grid, so the block's
+``[G, 128]`` accumulator lives in VMEM scratch across chunks, mirroring the
+reference's 32-row-aligned private partitions (``DCSCTile.h:247-249``).
+
+min/max semirings and the K-wide vector path still run on the v1 kernels;
+the engine picks per semiring.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["Spmv2Plan", "build_spmv2_plan", "spmv2"]
+
+LANE = 128
+ROWS = 16                 # chunk sublanes
+CHUNK = ROWS * LANE       # 2048 edge slots per chunk
+HUB_GRANULES = 18         # 16 xtop granules + 2 lane-bound x2 granules
+KIND_HUB = 0
+KIND_WINDOW = 1
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class Spmv2Plan:
+    n_pad: int            # padded receiver count (multiple of wr)
+    n_send_pad: int       # h * 128
+    h: int                # X2 rows
+    wr: int               # receiver block width (G = wr/128 groups)
+    nb: int
+    nc: int
+    hub: int              # hub sender boundary
+    nnz: int
+    fill: float
+    classes: tuple        # window class sizes (static, kernel branches)
+    kindid: Any           # i32[nc]  0 = hub, 1+k = window class k
+    blkid: Any            # i32[nc]  receiver block (nondecreasing)
+    base: Any             # i32[nc]  X2 window base row (8-aligned)
+    ngran: Any            # i32[nc]  8-row granules to walk
+    idx: Any              # i32[nc,16,128] gather row index
+    val: Any              # f32[nc,16,128] edge values (pads 0)
+    rcf: Any              # i32[nc,16,128] receiver - blk*wr; pads = wr
+    got_static: Any       # bool[n_pad]
+
+
+def _pack_lanes(cell, lane, n_cells, cap=ROWS):
+    """Lane-binned chunk packing.  Within each (cell, lane) queue the k-th
+    edge goes to chunk ``chunk_base[cell] + k // cap``, row ``k % cap``.
+    Returns (chunk, row, chunks_per_cell)."""
+    key = cell.astype(np.int64) * LANE + lane
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    grp_start = np.r_[0, np.flatnonzero(ks[1:] != ks[:-1]) + 1]
+    seq = np.arange(len(ks), dtype=np.int64)
+    seq -= np.repeat(grp_start, np.diff(np.r_[grp_start, len(ks)]))
+    k = np.empty(len(ks), np.int64)
+    k[order] = seq
+    maxk = np.zeros(n_cells, np.int64)
+    np.maximum.at(maxk, cell, k + 1)
+    cpc = -(-maxk // cap)
+    base = np.r_[0, np.cumsum(cpc)]
+    chunk = base[cell] + k // cap
+    row = k % cap
+    return chunk, row, cpc
+
+
+def build_spmv2_plan(senders0: np.ndarray, receivers0: np.ndarray,
+                     vals: np.ndarray, n: int, n_recv: int | None = None,
+                     wr: int = 4096, hub: int = 2048,
+                     windows=(64, 256, 1024, 2048),
+                     cell_min: int = 1200) -> Spmv2Plan:
+    """Pack a 0-based COO edge list into the v2 chunked layout."""
+    if n_recv is None:
+        n_recv = n
+    h = max(_round_up(_round_up(n, LANE) // LANE, LANE), LANE)
+    n_send_pad = h * LANE
+    n_pad = max(_round_up(n_recv, wr), wr)
+    nb = n_pad // wr
+    e = len(senders0)
+
+    s = np.asarray(senders0, np.int64)
+    r = np.asarray(receivers0, np.int64)
+    v = np.asarray(vals, np.float32)
+    hub = int(min(hub, 16 * LANE))   # hub table holds <= 16 x2 rows
+    rblk = r // wr
+
+    # chunk groups collected as (kind, blk[], base[], ngran[], chunk, row,
+    # lane, idx_e, val_e, rc_e) then merged sorted by blk
+    groups = []
+
+    # ---------------- hub chunks (s < hub): static table ----------------
+    hm = s < hub
+    if hm.any():
+        sh, rh, vh, bh = s[hm], r[hm], v[hm], rblk[hm]
+        o = np.argsort(bh, kind="stable")
+        sh, rh, vh, bh = sh[o], rh[o], vh[o], bh[o]
+        top = sh < LANE
+        lane = (sh & (LANE - 1)).astype(np.int64)
+        ti = np.flatnonzero(top)
+        if len(ti):
+            # free lane choice for replicated top senders: round-robin
+            tb = bh[ti]
+            start = np.r_[0, np.flatnonzero(tb[1:] != tb[:-1]) + 1]
+            seq = np.arange(len(ti), dtype=np.int64)
+            seq -= np.repeat(start, np.diff(np.r_[start, len(ti)]))
+            lane[ti] = seq % LANE
+        idx_e = np.where(top, sh, LANE + (sh >> 7)).astype(np.int32)
+        chunk, row, cpc = _pack_lanes(bh, lane, nb)
+        nc = int(cpc.sum())
+        blk_c = np.repeat(np.arange(nb), cpc)
+        groups.append((KIND_HUB, blk_c, np.zeros(nc, np.int64),
+                       np.full(nc, HUB_GRANULES, np.int64), chunk, row,
+                       lane, idx_e, vh, (rh - bh * wr), nc))
+
+    # ---------------- window chunks ----------------
+    rem = ~hm
+    windows = sorted({int(min(w, h)) for w in windows}) or [min(2048, h)]
+    for wi, W in enumerate(windows):
+        if not rem.any():
+            break
+        assert W % 8 == 0
+        last = wi == len(windows) - 1
+        hi = s >> 7
+        nwin = -(-h // W)
+        win_id = hi // W
+        cell = rblk * nwin + win_id
+        if not last:
+            cnt = np.bincount(cell[rem], minlength=nb * nwin)
+            take = rem & (cnt[cell] >= cell_min)
+        else:
+            take = rem.copy()
+        if not take.any():
+            continue
+        st, rt, vt, bt, ct = (s[take], r[take], v[take], rblk[take],
+                              cell[take])
+        o = np.argsort(ct, kind="stable")
+        st, rt, vt, bt, ct = st[o], rt[o], vt[o], bt[o], ct[o]
+        uc, ci = np.unique(ct, return_inverse=True)
+        lane = (st & (LANE - 1)).astype(np.int64)
+        chunk, row, cpc = _pack_lanes(ci, lane, len(uc))
+        nc = int(cpc.sum())
+        cell_blk = uc // nwin
+        # clamp the last window of the operand so base + W stays within h
+        cell_base = np.minimum((uc % nwin) * W, h - W)
+        blk_c = np.repeat(cell_blk, cpc)
+        base_c = np.repeat(cell_base, cpc)
+        idx_e = (st >> 7) - cell_base[ci]
+        groups.append((1 + wi, blk_c, base_c,
+                       np.full(nc, W // 8, np.int64), chunk, row, lane,
+                       idx_e.astype(np.int32), vt, (rt - bt * wr), nc))
+        rem = rem & ~take
+
+    # ---------------- merge groups, sorted by block ----------------
+    total_nc = sum(g[10] for g in groups)
+    covered = np.zeros(nb, bool)
+    for g in groups:
+        covered[g[1]] = True
+    missing = np.flatnonzero(~covered)
+    nc_all = total_nc + len(missing)
+
+    kindid = np.zeros(nc_all, np.int32)
+    blkid = np.zeros(nc_all, np.int32)
+    baseid = np.zeros(nc_all, np.int32)
+    ngran = np.zeros(nc_all, np.int32)
+    idx = np.zeros((nc_all, ROWS, LANE), np.int32)
+    val = np.zeros((nc_all, ROWS, LANE), np.float32)
+    rcf = np.full((nc_all, ROWS, LANE), wr, np.int32)
+
+    # global chunk order: by (block, group, local chunk)
+    all_blk = np.concatenate(
+        [g[1] for g in groups] + [missing]) if nc_all else np.zeros(0)
+    all_grp = np.concatenate(
+        [np.full(g[10], gi) for gi, g in enumerate(groups)]
+        + [np.full(len(missing), len(groups))])
+    all_loc = np.concatenate(
+        [np.arange(g[10]) for g in groups] + [np.arange(len(missing))])
+    order = np.lexsort((all_loc, all_grp, all_blk))
+    rank = np.empty(nc_all, np.int64)
+    rank[order] = np.arange(nc_all)
+
+    off = 0
+    for gi, g in enumerate(groups):
+        (kind, blk_c, base_c, ng_c, chunk, row, lane, idx_e, val_e,
+         rc_e, nc) = g
+        gc = rank[off + chunk]                      # global chunk ids
+        gmeta = rank[off:off + nc]
+        kindid[gmeta] = kind
+        blkid[gmeta] = blk_c
+        baseid[gmeta] = base_c
+        ngran[gmeta] = ng_c
+        idx[gc, row, lane] = idx_e
+        val[gc, row, lane] = val_e
+        rcf[gc, row, lane] = rc_e
+        off += nc
+    if len(missing):
+        gmeta = rank[off:off + len(missing)]
+        kindid[gmeta] = KIND_HUB
+        blkid[gmeta] = missing
+        ngran[gmeta] = HUB_GRANULES
+
+    assert (np.diff(blkid) >= 0).all()
+    got = np.zeros(n_pad, bool)
+    if e:
+        got[np.unique(np.asarray(receivers0))] = True
+
+    return Spmv2Plan(
+        n_pad=n_pad, n_send_pad=n_send_pad, h=h, wr=wr, nb=nb, nc=nc_all,
+        hub=hub, nnz=e, fill=e / max(nc_all * CHUNK, 1),
+        classes=tuple(windows),
+        kindid=jnp.asarray(kindid), blkid=jnp.asarray(blkid),
+        base=jnp.asarray(baseid), ngran=jnp.asarray(ngran),
+        idx=jnp.asarray(idx), val=jnp.asarray(val), rcf=jnp.asarray(rcf),
+        got_static=jnp.asarray(got))
+
+
+# ------------------------------------------------------------------ kernel
+
+def _split_bf16(x, n_splits):
+    """Exact bf16 decomposition: x == sum(parts) for n_splits >= 3."""
+    parts = []
+    rem = x
+    for _ in range(n_splits - 1):
+        u = jax.lax.bitcast_convert_type(rem, jnp.uint32)
+        hi = jax.lax.bitcast_convert_type(u & np.uint32(0xFFFF0000),
+                                          jnp.float32)
+        parts.append(hi.astype(jnp.bfloat16))
+        rem = rem - hi
+    parts.append(rem.astype(jnp.bfloat16))
+    return parts
+
+
+def _make_kernel(process: Callable, wr: int, h: int, n_splits: int,
+                 classes, debug=None):
+    G = wr // LANE
+    wmax = max(classes)
+
+    def kernel(kind_ref, blk_ref, base_ref, ngran_ref, idx_ref, val_ref,
+               rcf_ref, x2_ref, xtop_ref, y_ref, acc_ref, wscr_ref):
+        i = pl.program_id(0)
+        first = jnp.logical_or(
+            i == 0, blk_ref[i] != blk_ref[jnp.maximum(i - 1, 0)])
+
+        @pl.when(first)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        subs = [idx_ref[0, 8 * t: 8 * t + 8, :] & 7 for t in range(2)]
+        gsels = [idx_ref[0, 8 * t: 8 * t + 8, :] >> 3 for t in range(2)]
+
+        def gather_from(tbl_for_g, ngran):
+            """Statically unrolled granule walk (the dynamic-trip loop
+            variant measured ~86 ns/granule in loop+slice overhead alone)."""
+            xvs = [jnp.zeros((8, LANE), jnp.float32) for _ in range(2)]
+            for g in range(ngran):
+                tbl = tbl_for_g(g)
+                for t in range(2):
+                    got = jnp.take_along_axis(tbl, subs[t], axis=0)
+                    xvs[t] = jnp.where(gsels[t] == g, got, xvs[t])
+            return tuple(xvs)
+
+        def hub_branch():
+            def tbl(g):
+                if g < 16:
+                    return xtop_ref[8 * g: 8 * g + 8, :]
+                return x2_ref[8 * (g - 16): 8 * (g - 16) + 8, :]
+            return gather_from(tbl, HUB_GRANULES)
+
+        def window_branch(W):
+            def inner():
+                base = pl.multiple_of(base_ref[i], 8)
+                wscr_ref[0:W, :] = x2_ref[pl.ds(base, W), :]
+                return gather_from(lambda g: wscr_ref[8 * g: 8 * g + 8, :],
+                                   W // 8)
+            return inner
+
+        if debug == "nogather":
+            xv0 = jnp.full((8, LANE), 1.0, jnp.float32)
+            xv1 = jnp.full((8, LANE), 1.0, jnp.float32)
+        else:
+            branches = [hub_branch] + [window_branch(W) for W in classes]
+            xv0, xv1 = jax.lax.switch(kind_ref[i], branches)
+
+        p0 = process(xv0, val_ref[0, 0:8, :]).astype(jnp.float32)
+        p1 = process(xv1, val_ref[0, 8:16, :]).astype(jnp.float32)
+        p = jnp.concatenate([p0, p1], axis=0)         # [16, 128]
+        if debug == "noscatter":
+            acc_ref[0:1, :] = acc_ref[0:1, :] + jnp.sum(
+                p, axis=0, keepdims=True)
+            y_ref[0] = acc_ref[:]
+            return
+        if debug == "noreshape":
+            pf = jnp.sum(p, axis=0, keepdims=True)
+            pf = jnp.broadcast_to(pf, (1, CHUNK))[:, :CHUNK]
+        else:
+            pf = p.reshape(1, CHUNK)                  # [1, 2048]
+
+        # ---- factored scatter: one MXU matmul ----
+        rcf = rcf_ref[0].reshape(1, CHUNK)
+        rcg = rcf >> 7
+        rcl = rcf & (LANE - 1)
+        iota_g = jax.lax.broadcasted_iota(jnp.int32, (G, CHUNK), 0)
+        iota_l = jax.lax.broadcasted_iota(jnp.int32, (LANE, CHUNK), 0)
+        ohlo = (iota_l == rcl).astype(jnp.bfloat16)   # [128, 2048]
+        gm = iota_g == rcg                            # [G, 2048]
+        planes = [jnp.where(gm,
+                            jnp.broadcast_to(part.astype(jnp.float32),
+                                             gm.shape), 0.0)
+                  for part in _split_bf16(pf, n_splits)]
+        P = jnp.concatenate(planes, axis=0).astype(jnp.bfloat16)
+        M = jax.lax.dot_general(P, ohlo, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        contrib = M[0:G]
+        for k in range(1, n_splits):
+            contrib = contrib + M[k * G:(k + 1) * G]
+        acc_ref[:] = acc_ref[:] + contrib             # [G, 128]
+        y_ref[0] = acc_ref[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("plan_static", "process",
+                                              "n_splits", "interpret",
+                                              "debug"))
+def _spmv2_call(plan_arrays, plan_static, x, process, n_splits, interpret,
+                debug=None):
+    h, wr, nb, nc, n_pad, classes = plan_static
+    kindid, blkid, base, ngran, idx, val, rcf = plan_arrays
+    G = wr // LANE
+    x2 = x.reshape(h, LANE)
+    xtop = jnp.broadcast_to(x[:LANE, None], (LANE, LANE))
+
+    kernel = _make_kernel(process, wr, h, n_splits, classes, debug)
+    wmax = max(classes) if classes else 8
+    nmap = lambda i, *_: (i, 0, 0)
+    chunk_spec = pl.BlockSpec((1, ROWS, LANE), nmap,
+                              memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nc,),
+        in_specs=[chunk_spec, chunk_spec, chunk_spec,
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, G, LANE),
+                               lambda i, kind, blk, bs, ng: (blk[i], 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((G, LANE), jnp.float32),
+                        pltpu.VMEM((wmax, LANE), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, G, LANE), jnp.float32),
+        interpret=interpret,
+    )(kindid, blkid, base, ngran, idx, val, rcf, x2, xtop)
+    return out.reshape(nb * wr)[:n_pad]
+
+
+def _identity_process(xv, ev):
+    return xv
+
+
+def spmv2(plan: Spmv2Plan, x, reduce_kind: str = "sum",
+          process: Optional[Callable] = None, interpret: bool = False,
+          n_splits: int = 3):
+    """Generalized SpMV: ``y[r] = sum_{(s->r)} process(x[s], val)``.
+
+    ``x``: f32[plan.n_send_pad] (shorter inputs are padded).  Returns
+    f32[plan.n_pad].  v2 supports ⊕ = sum; the engine routes min/max to
+    the v1 kernel.
+    """
+    if reduce_kind != "sum":
+        raise NotImplementedError("spmv2 supports sum only")
+    if process is None:
+        process = _identity_process
+    if x.shape[0] < plan.n_send_pad:
+        x = jnp.pad(x, (0, plan.n_send_pad - x.shape[0]))
+    x = x[: plan.n_send_pad].astype(jnp.float32)
+    plan_arrays = (plan.kindid, plan.blkid, plan.base, plan.ngran,
+                   plan.idx, plan.val, plan.rcf)
+    plan_static = (plan.h, plan.wr, plan.nb, plan.nc, plan.n_pad,
+                   plan.classes)
+    return _spmv2_call(plan_arrays, plan_static, x, process, n_splits,
+                       interpret)

@@ -1,0 +1,88 @@
+"""spmv2 (VPU-gather kernel) vs dense oracle, interpret mode on CPU."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from graphmat_tpu.ops.pallas_spmv2 import (CHUNK, build_spmv2_plan, spmv2)
+
+
+def _rand_graph(rng, n, e, hubby=True):
+    s = rng.integers(0, n, e).astype(np.int64)
+    r = rng.integers(0, n, e).astype(np.int64)
+    if hubby:
+        nh = e // 3
+        s[:nh] = rng.integers(0, min(100, n), nh)
+    v = rng.standard_normal(e).astype(np.float32)
+    return s, r, v
+
+
+@pytest.mark.parametrize("n,e", [(300, 2000), (5000, 40000)])
+def test_spmv2_matches_oracle(n, e):
+    rng = np.random.default_rng(0)
+    s, r, v = _rand_graph(rng, n, e)
+    plan = build_spmv2_plan(s, r, v, n, wr=512, windows=(16, 64),
+                            cell_min=64)
+    x = rng.standard_normal(n).astype(np.float32)
+    xp = np.zeros(plan.n_send_pad, np.float32)
+    xp[:n] = x
+    y = np.asarray(spmv2(plan, jnp.asarray(xp), "sum",
+                         process=lambda xv, ev: xv * ev, interpret=True))
+    ref = sp.csr_matrix((v, (r, s)), shape=(n, n)) @ x.astype(np.float64)
+    assert np.allclose(y[:n], ref, rtol=2e-6, atol=1e-5)
+    # receivers without edges hold the sum identity
+    noin = np.setdiff1d(np.arange(n), r)
+    assert (y[noin] == 0).all()
+
+
+def test_spmv2_plan_invariants():
+    rng = np.random.default_rng(1)
+    n, e = 4000, 30000
+    s, r, v = _rand_graph(rng, n, e)
+    plan = build_spmv2_plan(s, r, v, n, wr=512, windows=(16, 64),
+                            cell_min=64)
+    blk = np.asarray(plan.blkid)
+    assert (np.diff(blk) >= 0).all()
+    # every receiver block appears (VMEM accumulator coverage)
+    assert set(range(plan.nb)) == set(blk.tolist())
+    assert plan.nnz == e
+    assert 0 < plan.fill <= 1
+    # slot conservation: every real edge value lands exactly once
+    assert np.isclose(np.asarray(plan.val).sum(), v.sum(), rtol=1e-3)
+
+
+def test_spmv2_custom_process_and_got():
+    rng = np.random.default_rng(2)
+    n, e = 1000, 8000
+    s, r, v = _rand_graph(rng, n, e, hubby=False)
+    plan = build_spmv2_plan(s, r, v, n, wr=512, windows=(16,), cell_min=32)
+    x = np.abs(rng.standard_normal(n)).astype(np.float32) + 1.0
+    xp = np.zeros(plan.n_send_pad, np.float32)
+    xp[:n] = x
+    # process ignoring the edge value (pads must not contribute)
+    y = np.asarray(spmv2(plan, jnp.asarray(xp), "sum",
+                         process=lambda xv, ev: xv + 0.0 * ev,
+                         interpret=True))
+    ref = sp.csr_matrix((np.ones(e, np.float32), (r, s)),
+                        shape=(n, n)) @ x.astype(np.float64)
+    assert np.allclose(y[:n], ref, rtol=2e-6, atol=1e-5)
+    got = np.asarray(plan.got_static)
+    assert got[:n].sum() == len(np.unique(r))
+
+
+def test_spmv2_empty_and_tiny():
+    plan = build_spmv2_plan(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                            np.zeros(0, np.float32), 10)
+    x = jnp.zeros(plan.n_send_pad, jnp.float32)
+    y = np.asarray(spmv2(plan, x, "sum", interpret=True))
+    assert (y == 0).all()
+    # single edge
+    plan = build_spmv2_plan(np.array([3]), np.array([7]),
+                            np.array([2.0], np.float32), 10)
+    xp = np.zeros(plan.n_send_pad, np.float32)
+    xp[3] = 5.0
+    y = np.asarray(spmv2(plan, jnp.asarray(xp), "sum",
+                         process=lambda xv, ev: xv * ev, interpret=True))
+    assert y[7] == 10.0 and np.count_nonzero(y) == 1
