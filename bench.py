@@ -13,7 +13,10 @@ values but doubles the cold-compile surface — the reference times its
 degree pass separately too, src/PageRank.cpp:82-93).
 
 Scale/iterations are adjustable via env: GRAPHMAT_BENCH_SCALE (default 20),
-GRAPHMAT_BENCH_ITERS (default 10).
+GRAPHMAT_BENCH_ITERS (default 50).  All iterations run inside ONE jitted
+fori_loop dispatch; 50 iterations amortize the axon tunnel's ~130 ms
+per-dispatch round-trip (host latency, not device time) below 3 ms/iter
+while staying in the range a real until-convergence PageRank run uses.
 """
 
 import json
@@ -27,7 +30,7 @@ import numpy as np
 
 def run_bench():
     scale = int(os.environ.get("GRAPHMAT_BENCH_SCALE", "20"))
-    iters = int(os.environ.get("GRAPHMAT_BENCH_ITERS", "10"))
+    iters = int(os.environ.get("GRAPHMAT_BENCH_ITERS", "50"))
     edge_factor = int(os.environ.get("GRAPHMAT_BENCH_EDGEFACTOR", "16"))
 
     import jax

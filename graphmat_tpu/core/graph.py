@@ -289,7 +289,7 @@ class Graph:
         return (self.edges_for("src") if "src" in self._host_edges else None)
 
     def pallas_plan(self, receiver: str, wr: int = 512):
-        """Lazily built Pallas SpMV edge plan for the given receiver role
+        """Lazily built v1 Pallas SpMV edge plan for the given receiver role
         ('dst' for OUT_EDGES, 'src' for IN_EDGES).  Cached per graph."""
         key = (receiver, wr)
         if key not in self._pallas_plans:
@@ -300,6 +300,19 @@ class Graph:
             self._pallas_plans[key] = build_spmv_plan(
                 senders0, receivers0, vals, self.n_pad, wr=wr,
                 n_recv=self.n_pad)
+        return self._pallas_plans[key]
+
+    def pallas_plan2(self, receiver: str, wr: int = 4096):
+        """Lazily built v2 (VPU-gather) plan; used for ⊕ = sum programs."""
+        key = ("v2", receiver, wr)
+        if key not in self._pallas_plans:
+            if receiver not in self._host_edges:
+                raise ValueError(f"no host edges for receiver={receiver}")
+            from ..ops.pallas_spmv2 import build_spmv2_plan
+            senders0, receivers0, vals = self._host_edges[receiver]
+            self._pallas_plans[key] = build_spmv2_plan(
+                senders0, receivers0, vals, self.n_pad,
+                n_recv=self.n_pad, wr=wr)
         return self._pallas_plans[key]
 
     def structure_pytree(self):

@@ -102,19 +102,34 @@ class Engine:
         self._vec_semiring = vec_semiring
         self._plans = {}
         self._edges = {}
+        # v2 (VPU-gather) kernel serves scalar ⊕ = sum programs; min/max
+        # and the K-wide vector path stay on v1.
+        self.pallas_version = 1
         if self.use_pallas:
+            if (not self.use_pallas_vec and semiring is not None
+                    and semiring.reduce_kind == "sum"):
+                self.pallas_version = 2
             for recv in _direction_receivers(program.order):
-                self._plans[recv] = graph.pallas_plan(recv)
+                if self.pallas_version == 2:
+                    self._plans[recv] = graph.pallas_plan2(recv)
+                else:
+                    self._plans[recv] = graph.pallas_plan(recv)
         else:
             for recv in _direction_receivers(program.order):
                 self._edges[recv] = graph.edges_for(recv)
         # Plan arrays must flow through jit ARGUMENTS, not closure captures —
         # captured device arrays become inline constants in the compiled
         # program (hundreds of MB for big graphs).
-        self._plan_args = {
-            recv: ((p.blkid, p.hiabs, p.slo, p.rrel, p.vals, p.mask),
-                   p.got_static)
-            for recv, p in self._plans.items()}
+        if self.pallas_version == 2:
+            self._plan_args = {
+                recv: ((p.kindid, p.blkid, p.base, p.ngran, p.idx, p.val,
+                        p.rcf), p.got_static)
+                for recv, p in self._plans.items()}
+        else:
+            self._plan_args = {
+                recv: ((p.blkid, p.hiabs, p.slo, p.rrel, p.vals, p.mask),
+                       p.got_static)
+                for recv, p in self._plans.items()}
 
         def step(carry, structure):
             it, state, vp, active, _converged = carry
@@ -195,9 +210,11 @@ class Engine:
         (reduced pytree, got bool[n_pad]).  ``plans`` carries the plan
         arrays as traced arguments."""
         from ..ops.pallas_spmv import _spmv_call
+        from ..ops.pallas_spmv2 import _spmv2_call
         prog = self.program
         sem: PallasSemiring = self._semiring
         kind = sem.reduce_kind
+        v2 = self.pallas_version == 2
         interpret = jax.default_backend() != "tpu"
 
         x = sem.encode(msg).astype(jnp.float32)
@@ -214,13 +231,21 @@ class Engine:
         for recv in _direction_receivers(prog.order):
             plan = self._plans[recv]
             plan_arrays, got_static = plans[recv]
-            plan_static = (plan.nc, plan.nb, plan.wr, plan.h, plan.n_pad,
-                           plan.row_e, plan.win)
+            if v2:
+                plan_static = (plan.h, plan.wr, plan.nb, plan.nc,
+                               plan.n_pad, plan.classes)
+            else:
+                plan_static = (plan.nc, plan.nb, plan.wr, plan.h,
+                               plan.n_pad, plan.row_e, plan.win)
 
             def call(xin, kd, proc):
                 xp = xin
                 if xp.shape[0] < plan.n_send_pad:
                     xp = jnp.pad(xp, (0, plan.n_send_pad - xp.shape[0]))
+                if v2:
+                    return _spmv2_call(plan_arrays, plan_static,
+                                       xp[: plan.n_send_pad], proc,
+                                       3, interpret)
                 return _spmv_call(plan_arrays, plan_static,
                                   xp[: plan.n_send_pad], kd, proc, interpret)
 

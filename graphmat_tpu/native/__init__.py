@@ -64,6 +64,17 @@ def load_planner():
                                      f32p, f32p]
         lib.gm_plan_destroy.restype = None
         lib.gm_plan_destroy.argtypes = [ctypes.c_void_p]
+        lib.gm_plan2_create.restype = ctypes.c_void_p
+        lib.gm_plan2_create.argtypes = [
+            i32p, i32p, f32p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i32p,
+            ctypes.c_int32, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.gm_plan2_fill.restype = None
+        lib.gm_plan2_fill.argtypes = [ctypes.c_void_p, i32p, i32p, i32p,
+                                      i32p, i32p, f32p, i32p]
+        lib.gm_plan2_destroy.restype = None
+        lib.gm_plan2_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 

@@ -217,3 +217,271 @@ int gm_omp_threads() {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// v2 plan builder — C++ counterpart of pallas_spmv2.py::build_spmv2_plan.
+// Lane-binned [16,128] chunks, hub stream + aligned sender-window classes.
+// No explicit edge sort: per-(cell,lane) counters replicate the python
+// packer's stable order (original edge order within each cell).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int kRows2 = 16;        // chunk sublanes
+constexpr int kHubGran = 18;
+
+struct Plan2 {
+  int64_t e = 0;
+  int32_t h = 0, wr = 0, nb = 0, hub = 0;
+  std::vector<int32_t> windows;   // ascending, clamped to h
+  // per edge
+  std::vector<int32_t> cellid;    // compact active-cell index
+  std::vector<int8_t> lane;       // chunk lane (sender lane / hub RR)
+  std::vector<int32_t> gidx;      // gather row index
+  // edges bucketed by compact cell (stable) for the parallel fill
+  std::vector<int64_t> edge_order, cell_edge_start;
+  // per active cell (in final chunk order)
+  std::vector<int64_t> cell_chunk_base;  // prefix over cells
+  std::vector<int32_t> cell_kind, cell_blk, cell_base, cell_ngran;
+  int64_t nc = 0;
+  const int32_t* s = nullptr;     // borrowed views (numpy keeps them alive
+  const int32_t* r = nullptr;     //  across create/fill on the python side)
+  const float* v = nullptr;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* gm_plan2_create(const int32_t* senders, const int32_t* receivers,
+                      const float* vals, int64_t e, int32_t h, int32_t wr,
+                      int32_t nb, int32_t hub, const int32_t* windows,
+                      int32_t nw, int64_t cell_min, int64_t* nc_out) {
+  auto* p = new Plan2();
+  p->e = e; p->h = h; p->wr = wr; p->nb = nb; p->hub = hub;
+  p->s = senders; p->r = receivers; p->v = vals;
+  for (int32_t k = 0; k < nw; ++k)
+    p->windows.push_back(std::min(windows[k], h));
+
+  const int K = (int)p->windows.size();
+  // raw cell key per (class, edge): hub -> blk; class k -> blk*nwin + win
+  std::vector<int64_t> nwin(K), class_cells_ofs(K + 1, 0);
+  for (int k = 0; k < K; ++k) {
+    nwin[k] = (h + p->windows[k] - 1) / p->windows[k];
+    class_cells_ofs[k + 1] = class_cells_ofs[k] + (int64_t)nb * nwin[k];
+  }
+  const int64_t hub_cells = nb;
+  const int64_t raw_cells = hub_cells + class_cells_ofs[K];
+
+  // ---- classify edges into (kind, raw cell) -------------------------------
+  std::vector<int32_t> kind(e, -1);
+  std::vector<int64_t> rawcell(e);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < e; ++i) {
+    if (senders[i] < hub) {
+      kind[i] = 0;
+      rawcell[i] = receivers[i] / wr;
+    }
+  }
+  std::vector<int64_t> cellcnt;
+  for (int k = 0; k < K; ++k) {
+    const bool last = (k == K - 1);
+    const int32_t W = p->windows[k];
+    cellcnt.assign((size_t)nb * nwin[k], 0);
+    if (!last) {
+      for (int64_t i = 0; i < e; ++i)
+        if (kind[i] < 0)
+          cellcnt[(receivers[i] / wr) * nwin[k] + ((senders[i] >> 7) / W)]++;
+    }
+    for (int64_t i = 0; i < e; ++i) {
+      if (kind[i] >= 0) continue;
+      const int64_t c =
+          (receivers[i] / wr) * nwin[k] + ((senders[i] >> 7) / W);
+      if (last || cellcnt[c] >= cell_min) {
+        kind[i] = 1 + k;
+        rawcell[i] = hub_cells + class_cells_ofs[k] + c;
+      }
+    }
+  }
+
+  // ---- active cells, ordered by (blk, kind, window) -----------------------
+  // count per (raw cell, lane); lanes: hub-top = per-block round robin
+  std::vector<int32_t> lanecnt((size_t)raw_cells * kLane, 0);
+  p->lane.resize(e);
+  p->gidx.resize(e);
+  std::vector<int32_t> toprr(nb, 0);
+  for (int64_t i = 0; i < e; ++i) {
+    const int32_t sv = senders[i];
+    int lane;
+    if (kind[i] == 0 && sv < kLane) {
+      lane = toprr[rawcell[i]]++ & (kLane - 1);
+      p->gidx[i] = sv;
+    } else if (kind[i] == 0) {
+      lane = sv & (kLane - 1);
+      p->gidx[i] = kLane + (sv >> 7);
+    } else {
+      lane = sv & (kLane - 1);
+      const int k = kind[i] - 1;
+      const int32_t W = p->windows[k];
+      const int64_t c = rawcell[i] - hub_cells - class_cells_ofs[k];
+      int32_t base = (int32_t)(c % nwin[k]) * W;
+      if (base > h - W) base = h - W;
+      p->gidx[i] = (sv >> 7) - base;
+    }
+    p->lane[i] = (int8_t)lane;
+    lanecnt[rawcell[i] * kLane + lane]++;
+  }
+
+  // active raw cells + their chunk counts
+  struct Cell { int64_t raw; int32_t blk, kind, win; };
+  std::vector<Cell> cells;
+  std::vector<int64_t> raw2cpc((size_t)0);
+  for (int64_t rc = 0; rc < raw_cells; ++rc) {
+    int32_t mx = 0;
+    const int32_t* lc = &lanecnt[rc * kLane];
+    for (int l = 0; l < kLane; ++l) mx = std::max(mx, lc[l]);
+    if (mx == 0) continue;
+    Cell cl;
+    cl.raw = rc;
+    if (rc < hub_cells) {
+      cl.blk = (int32_t)rc; cl.kind = 0; cl.win = 0;
+    } else {
+      int k = 0;
+      while (k + 1 < K && rc - hub_cells >= class_cells_ofs[k + 1]) ++k;
+      const int64_t c = rc - hub_cells - class_cells_ofs[k];
+      cl.blk = (int32_t)(c / nwin[k]);
+      cl.kind = 1 + k;
+      cl.win = (int32_t)(c % nwin[k]);
+    }
+    cells.push_back(cl);
+  }
+  std::stable_sort(cells.begin(), cells.end(),
+                   [](const Cell& a, const Cell& b) {
+                     if (a.blk != b.blk) return a.blk < b.blk;
+                     if (a.kind != b.kind) return a.kind < b.kind;
+                     return a.win < b.win;
+                   });
+
+  // empty-block coverage: append one empty hub chunk per uncovered block
+  std::vector<char> covered(nb, 0);
+  for (const Cell& cl : cells) covered[cl.blk] = 1;
+
+  std::vector<int64_t> raw_to_cell(raw_cells, -1);
+  p->cell_chunk_base.assign(cells.size() + (size_t)nb + 1, 0);
+  int64_t nc = 0;
+  size_t ci = 0;
+  std::vector<Cell> final_cells;
+  for (int32_t b = 0; b < nb; ++b) {
+    if (!covered[b]) {
+      Cell cl; cl.raw = -1; cl.blk = b; cl.kind = 0; cl.win = 0;
+      final_cells.push_back(cl);
+      p->cell_chunk_base[final_cells.size() - 1] = nc;
+      nc += 1;
+    }
+    while (ci < cells.size() && cells[ci].blk == b) {
+      const Cell& cl = cells[ci];
+      final_cells.push_back(cl);
+      p->cell_chunk_base[final_cells.size() - 1] = nc;
+      raw_to_cell[cl.raw] = (int64_t)final_cells.size() - 1;
+      int32_t mx = 0;
+      const int32_t* lc = &lanecnt[cl.raw * kLane];
+      for (int l = 0; l < kLane; ++l) mx = std::max(mx, lc[l]);
+      nc += (mx + kRows2 - 1) / kRows2;
+      ++ci;
+    }
+  }
+  p->cell_chunk_base[final_cells.size()] = nc;
+  p->nc = nc;
+
+  // per-cell metadata in final order
+  const size_t nfc = final_cells.size();
+  p->cell_kind.resize(nfc); p->cell_blk.resize(nfc);
+  p->cell_base.resize(nfc); p->cell_ngran.resize(nfc);
+  for (size_t q = 0; q < nfc; ++q) {
+    const Cell& cl = final_cells[q];
+    p->cell_kind[q] = cl.kind;
+    p->cell_blk[q] = cl.blk;
+    if (cl.kind == 0) {
+      p->cell_base[q] = 0;
+      p->cell_ngran[q] = kHubGran;
+    } else {
+      const int32_t W = p->windows[cl.kind - 1];
+      int32_t base = cl.win * W;
+      if (base > h - W) base = h - W;
+      p->cell_base[q] = base;
+      p->cell_ngran[q] = W / 8;
+    }
+  }
+
+  // per-edge compact cell index
+  p->cellid.resize(e);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < e; ++i)
+    p->cellid[i] = (int32_t)raw_to_cell[rawcell[i]];
+
+  // stable counting sort of edge indices by compact cell, so the fill can
+  // run parallel over cells (disjoint chunk ranges)
+  p->cell_edge_start.assign(nfc + 2, 0);
+  for (int64_t i = 0; i < e; ++i) p->cell_edge_start[p->cellid[i] + 2]++;
+  for (size_t q = 2; q < p->cell_edge_start.size(); ++q)
+    p->cell_edge_start[q] += p->cell_edge_start[q - 1];
+  p->edge_order.resize(e);
+  for (int64_t i = 0; i < e; ++i)
+    p->edge_order[p->cell_edge_start[p->cellid[i] + 1]++] = i;
+  p->cell_edge_start.pop_back();
+
+  p->cell_chunk_base.resize(nfc + 1);
+  *nc_out = nc;
+  return p;
+}
+
+void gm_plan2_fill(void* handle, int32_t* kindid, int32_t* blkid,
+                   int32_t* baseid, int32_t* ngran, int32_t* idx,
+                   float* val, int32_t* rcf) {
+  auto* p = static_cast<Plan2*>(handle);
+  const int64_t nc = p->nc;
+  const int64_t chunk_elems = (int64_t)kRows2 * kLane;
+  const size_t nfc = p->cell_kind.size();
+
+#pragma omp parallel for schedule(static)
+  for (int64_t c = 0; c < nc; ++c) {
+    std::memset(idx + c * chunk_elems, 0, chunk_elems * sizeof(int32_t));
+    std::memset(val + c * chunk_elems, 0, chunk_elems * sizeof(float));
+    int32_t* rc = rcf + c * chunk_elems;
+    for (int64_t t = 0; t < chunk_elems; ++t) rc[t] = p->wr;
+  }
+#pragma omp parallel for schedule(static)
+  for (int64_t q = 0; q < (int64_t)nfc; ++q) {
+    for (int64_t c = p->cell_chunk_base[q]; c < p->cell_chunk_base[q + 1];
+         ++c) {
+      kindid[c] = p->cell_kind[q];
+      blkid[c] = p->cell_blk[q];
+      baseid[c] = p->cell_base[q];
+      ngran[c] = p->cell_ngran[q];
+    }
+  }
+  // replay edges per cell (parallel; cells own disjoint chunk ranges);
+  // per-(cell,lane) counters give the same placement as the python
+  // packer's stable sort
+#pragma omp parallel for schedule(dynamic, 16)
+  for (int64_t q = 0; q < (int64_t)nfc; ++q) {
+    int32_t cnt[kLane] = {0};
+    const int64_t wrblk = (int64_t)p->cell_blk[q] * p->wr;
+    for (int64_t j = p->cell_edge_start[q]; j < p->cell_edge_start[q + 1];
+         ++j) {
+      const int64_t i = p->edge_order[j];
+      const int lane = (int)p->lane[i];
+      const int32_t k = cnt[lane]++;
+      const int64_t chunk = p->cell_chunk_base[q] + k / kRows2;
+      const int64_t slot = chunk * chunk_elems
+                           + (int64_t)(k % kRows2) * kLane + lane;
+      idx[slot] = p->gidx[i];
+      val[slot] = p->v[i];
+      rcf[slot] = p->r[i] - wrblk;
+    }
+  }
+}
+
+void gm_plan2_destroy(void* handle) { delete static_cast<Plan2*>(handle); }
+
+}  // extern "C"

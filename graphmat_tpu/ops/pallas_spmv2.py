@@ -131,6 +131,14 @@ def build_spmv2_plan(senders0: np.ndarray, receivers0: np.ndarray,
     r = np.asarray(receivers0, np.int64)
     v = np.asarray(vals, np.float32)
     hub = int(min(hub, 16 * LANE))   # hub table holds <= 16 x2 rows
+
+    norm_windows = sorted({int(min(w, h)) for w in windows}) or [min(2048, h)]
+    from ..native import load_planner
+    lib = load_planner()
+    if lib is not None and e > 0:
+        return _build_plan2_native(
+            lib, s, r, v, e, h, wr, nb, hub, norm_windows, cell_min,
+            n_pad, n_send_pad, receivers0)
     rblk = r // wr
 
     # chunk groups collected as (kind, blk[], base[], ngran[], chunk, row,
@@ -163,7 +171,7 @@ def build_spmv2_plan(senders0: np.ndarray, receivers0: np.ndarray,
 
     # ---------------- window chunks ----------------
     rem = ~hm
-    windows = sorted({int(min(w, h)) for w in windows}) or [min(2048, h)]
+    windows = norm_windows
     for wi, W in enumerate(windows):
         if not rem.any():
             break
@@ -258,6 +266,45 @@ def build_spmv2_plan(senders0: np.ndarray, receivers0: np.ndarray,
         classes=tuple(windows),
         kindid=jnp.asarray(kindid), blkid=jnp.asarray(blkid),
         base=jnp.asarray(baseid), ngran=jnp.asarray(ngran),
+        idx=jnp.asarray(idx), val=jnp.asarray(val), rcf=jnp.asarray(rcf),
+        got_static=jnp.asarray(got))
+
+
+def _build_plan2_native(lib, s, r, v, e, h, wr, nb, hub, windows,
+                        cell_min, n_pad, n_send_pad, receivers0):
+    """C++/OpenMP v2 plan build (graphmat_tpu/native/planner.cpp)."""
+    import ctypes
+
+    sa = np.ascontiguousarray(s, np.int32)
+    ra = np.ascontiguousarray(r, np.int32)
+    va = np.ascontiguousarray(v, np.float32)
+    wins = np.ascontiguousarray(windows, np.int32)
+    nc_out = ctypes.c_int64()
+    handle = lib.gm_plan2_create(sa, ra, va, e, h, wr, nb, hub, wins,
+                                 len(wins), cell_min, ctypes.byref(nc_out))
+    nc = int(nc_out.value)
+    try:
+        kindid = np.empty(nc, np.int32)
+        blkid = np.empty(nc, np.int32)
+        base = np.empty(nc, np.int32)
+        ngran = np.empty(nc, np.int32)
+        idx = np.empty((nc, ROWS, LANE), np.int32)
+        val = np.empty((nc, ROWS, LANE), np.float32)
+        rcf = np.empty((nc, ROWS, LANE), np.int32)
+        lib.gm_plan2_fill(handle, kindid, blkid, base, ngran,
+                          idx.reshape(-1), val.reshape(-1),
+                          rcf.reshape(-1))
+    finally:
+        lib.gm_plan2_destroy(handle)
+
+    got = np.zeros(n_pad, bool)
+    got[np.unique(np.asarray(receivers0))] = True
+    return Spmv2Plan(
+        n_pad=n_pad, n_send_pad=n_send_pad, h=h, wr=wr, nb=nb, nc=nc,
+        hub=hub, nnz=e, fill=e / max(nc * CHUNK, 1),
+        classes=tuple(int(w) for w in windows),
+        kindid=jnp.asarray(kindid), blkid=jnp.asarray(blkid),
+        base=jnp.asarray(base), ngran=jnp.asarray(ngran),
         idx=jnp.asarray(idx), val=jnp.asarray(val), rcf=jnp.asarray(rcf),
         got_static=jnp.asarray(got))
 
