@@ -90,7 +90,8 @@ class PageRankProgram(GraphProgram):
         return PallasSemiring(
             "sum",
             encode=lambda msg: msg.astype(jnp.float32),
-            decode=lambda y: y.astype(self.dtype))
+            decode=lambda y: y.astype(self.dtype),
+            n_splits=2)
 
 
 def init_pagerank_graph(graph: Graph, dtype=jnp.float32) -> None:

@@ -74,6 +74,9 @@ class PallasSemiring:
     process: Callable = _identity_process
     encode: Callable = _identity_codec
     decode: Callable = _identity_codec
+    # bf16 planes for the v2 scatter matmul: 3 = f32-exact; 2 = 2^-17
+    # relative (exact for integer payloads < 2^17) and ~13% faster
+    n_splits: int = 3
 
 
 @dataclass(frozen=True)

@@ -243,9 +243,10 @@ class Engine:
                 if xp.shape[0] < plan.n_send_pad:
                     xp = jnp.pad(xp, (0, plan.n_send_pad - xp.shape[0]))
                 if v2:
+                    ns = getattr(sem, "n_splits", 3)
                     return _spmv2_call(plan_arrays, plan_static,
                                        xp[: plan.n_send_pad], proc,
-                                       3, interpret)
+                                       ns, interpret)
                 return _spmv_call(plan_arrays, plan_static,
                                   xp[: plan.n_send_pad], kd, proc, interpret)
 

@@ -228,7 +228,7 @@ int gm_omp_threads() {
 namespace {
 
 constexpr int kRows2 = 16;        // chunk sublanes
-constexpr int kHubGran = 18;
+constexpr int kHubGran = 20;
 
 struct Plan2 {
   int64_t e = 0;
@@ -310,6 +310,9 @@ void* gm_plan2_create(const int32_t* senders, const int32_t* receivers,
   p->lane.resize(e);
   p->gidx.resize(e);
   std::vector<int32_t> toprr(nb, 0);
+  // mid-hub 2-choice parity per (block, lane pair): even split between
+  // lane and lane^64 (rotated table granules 18/19)
+  std::vector<int32_t> paircnt((size_t)nb * 64, 0);
   for (int64_t i = 0; i < e; ++i) {
     const int32_t sv = senders[i];
     int lane;
@@ -318,7 +321,14 @@ void* gm_plan2_create(const int32_t* senders, const int32_t* receivers,
       p->gidx[i] = sv;
     } else if (kind[i] == 0) {
       lane = sv & (kLane - 1);
-      p->gidx[i] = kLane + (sv >> 7);
+      const int odd =
+          paircnt[rawcell[i] * 64 + (lane & 63)]++ & 1;
+      if (odd) {
+        lane ^= 64;
+        p->gidx[i] = kLane + 16 + (sv >> 7);
+      } else {
+        p->gidx[i] = kLane + (sv >> 7);
+      }
     } else {
       lane = sv & (kLane - 1);
       const int k = kind[i] - 1;

@@ -61,7 +61,7 @@ __all__ = ["Spmv2Plan", "build_spmv2_plan", "spmv2"]
 LANE = 128
 ROWS = 16                 # chunk sublanes
 CHUNK = ROWS * LANE       # 2048 edge slots per chunk
-HUB_GRANULES = 18         # 16 xtop granules + 2 lane-bound x2 granules
+HUB_GRANULES = 20         # 16 xtop + 2 lane-bound + 2 rotated x2 granules
 KIND_HUB = 0
 KIND_WINDOW = 1
 
@@ -117,7 +117,7 @@ def build_spmv2_plan(senders0: np.ndarray, receivers0: np.ndarray,
                      vals: np.ndarray, n: int, n_recv: int | None = None,
                      wr: int = 4096, hub: int = 2048,
                      windows=(64, 256, 1024, 2048),
-                     cell_min: int = 1200) -> Spmv2Plan:
+                     cell_min: int = 2000) -> Spmv2Plan:
     """Pack a 0-based COO edge list into the v2 chunked layout."""
     if n_recv is None:
         n_recv = n
@@ -161,7 +161,25 @@ def build_spmv2_plan(senders0: np.ndarray, receivers0: np.ndarray,
             seq = np.arange(len(ti), dtype=np.int64)
             seq -= np.repeat(start, np.diff(np.r_[start, len(ti)]))
             lane[ti] = seq % LANE
-        idx_e = np.where(top, sh, LANE + (sh >> 7)).astype(np.int32)
+        # mid-hub 2-choice: each sender may also sit at lane^64 (gathering
+        # from the rotated table granules); even split per (block, pair)
+        # halves the worst lane load (chunks = ceil(max_lane / ROWS))
+        rot = np.zeros(len(sh), bool)
+        mi = np.flatnonzero(~top)
+        if len(mi):
+            pairkey = bh[mi] * 64 + (lane[mi] & 63)
+            o2 = np.argsort(pairkey, kind="stable")
+            pk = pairkey[o2]
+            start = np.r_[0, np.flatnonzero(pk[1:] != pk[:-1]) + 1]
+            seq = np.arange(len(mi), dtype=np.int64)
+            seq -= np.repeat(start, np.diff(np.r_[start, len(mi)]))
+            odd = np.zeros(len(mi), bool)
+            odd[o2] = (seq & 1) == 1
+            rot[mi] = odd
+            lane[mi[odd]] ^= 64
+        idx_e = np.where(top, sh,
+                         LANE + (sh >> 7) + np.where(rot, 16, 0)
+                         ).astype(np.int32)
         chunk, row, cpc = _pack_lanes(bh, lane, nb)
         nc = int(cpc.sum())
         blk_c = np.repeat(np.arange(nb), cpc)
@@ -331,7 +349,8 @@ def _make_kernel(process: Callable, wr: int, h: int, n_splits: int,
     wmax = max(classes)
 
     def kernel(kind_ref, blk_ref, base_ref, ngran_ref, idx_ref, val_ref,
-               rcf_ref, x2_ref, xtop_ref, y_ref, acc_ref, wscr_ref):
+               rcf_ref, x2_ref, xtop_ref, xrot_ref, y_ref, acc_ref,
+               wscr_ref):
         i = pl.program_id(0)
         first = jnp.logical_or(
             i == 0, blk_ref[i] != blk_ref[jnp.maximum(i - 1, 0)])
@@ -358,7 +377,9 @@ def _make_kernel(process: Callable, wr: int, h: int, n_splits: int,
             def tbl(g):
                 if g < 16:
                     return xtop_ref[8 * g: 8 * g + 8, :]
-                return x2_ref[8 * (g - 16): 8 * (g - 16) + 8, :]
+                if g < 18:
+                    return x2_ref[8 * (g - 16): 8 * (g - 16) + 8, :]
+                return xrot_ref[8 * (g - 18): 8 * (g - 18) + 8, :]
             return gather_from(tbl, HUB_GRANULES)
 
         def window_branch(W):
@@ -424,6 +445,7 @@ def _spmv2_call(plan_arrays, plan_static, x, process, n_splits, interpret,
     G = wr // LANE
     x2 = x.reshape(h, LANE)
     xtop = jnp.broadcast_to(x[:LANE, None], (LANE, LANE))
+    xrot = jnp.roll(x2[:16], 64, axis=1)
 
     kernel = _make_kernel(process, wr, h, n_splits, classes, debug)
     wmax = max(classes) if classes else 8
@@ -434,6 +456,7 @@ def _spmv2_call(plan_arrays, plan_static, x, process, n_splits, interpret,
         num_scalar_prefetch=4,
         grid=(nc,),
         in_specs=[chunk_spec, chunk_spec, chunk_spec,
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, G, LANE),
@@ -446,7 +469,7 @@ def _spmv2_call(plan_arrays, plan_static, x, process, n_splits, interpret,
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, G, LANE), jnp.float32),
         interpret=interpret,
-    )(kindid, blkid, base, ngran, idx, val, rcf, x2, xtop)
+    )(kindid, blkid, base, ngran, idx, val, rcf, x2, xtop, xrot)
     return out.reshape(nb * wr)[:n_pad]
 
 

@@ -125,10 +125,17 @@ class DistEngine:
             raise ValueError("use_pallas=True but no pallas_semiring()")
         self.use_pallas = bool(use_pallas)
         self._semiring = semiring
+        self.pallas_version = 1
+        if self.use_pallas and semiring is not None \
+                and semiring.reduce_kind == "sum":
+            self.pallas_version = 2
         self._pplans = {}
         if self.use_pallas:
             for recv in _direction_receivers(program.order):
-                self._pplans[recv] = graph.pallas_tile_plans(recv)
+                if self.pallas_version == 2:
+                    self._pplans[recv] = graph.pallas_tile_plans2(recv)
+                else:
+                    self._pplans[recv] = graph.pallas_tile_plans(recv)
 
         tiles = {}
         if not self.use_pallas:
@@ -171,6 +178,8 @@ class DistEngine:
         def pallas_partials(state, msg, sent, structure):
             """Local tile multiply via the Pallas kernel + mesh reduce."""
             from ..ops.pallas_spmv import _identity_process, _spmv_call
+            from ..ops.pallas_spmv2 import _spmv2_call
+            v2 = self.pallas_version == 2
             prog = self.program
             sem: PallasSemiring = self._semiring
             kind = sem.reduce_kind
@@ -202,6 +211,10 @@ class DistEngine:
                     xp = xin
                     if xp.shape[0] < n_send_pad:
                         xp = jnp.pad(xp, (0, n_send_pad - xp.shape[0]))
+                    if v2:
+                        ns = getattr(sem, "n_splits", 3)
+                        return _spmv2_call(local, static, xp[:n_send_pad],
+                                           proc, ns, interpret)
                     return _spmv_call(local, static, xp[:n_send_pad], kd,
                                       proc, interpret)
 
@@ -280,7 +293,8 @@ class DistEngine:
         }
         if self.use_pallas:
             structure_specs["pplans"] = {
-                recv: (tuple([P((ROW_AXIS, COL_AXIS))] * 6),
+                recv: (tuple([P((ROW_AXIS, COL_AXIS))]
+                             * len(self._pplans[recv][0])),
                        P((ROW_AXIS, COL_AXIS)))
                 for recv in self._pplans}
         else:
