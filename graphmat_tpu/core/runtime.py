@@ -106,21 +106,28 @@ class Engine:
         # and the K-wide vector path stay on v1.
         self.pallas_version = 1
         if self.use_pallas:
-            if (not self.use_pallas_vec and semiring is not None
-                    and semiring.reduce_kind == "sum"):
+            if not self.use_pallas_vec and semiring is not None:
                 self.pallas_version = 2
             for recv in _direction_receivers(program.order):
-                if self.pallas_version == 2:
+                if self.pallas_version != 2:
+                    self._plans[recv] = graph.pallas_plan(recv)
+                elif semiring.reduce_kind == "sum":
                     self._plans[recv] = graph.pallas_plan2(recv)
                 else:
-                    self._plans[recv] = graph.pallas_plan(recv)
+                    self._plans[recv] = graph.pallas_plan2m(recv)
         else:
             for recv in _direction_receivers(program.order):
                 self._edges[recv] = graph.edges_for(recv)
         # Plan arrays must flow through jit ARGUMENTS, not closure captures —
         # captured device arrays become inline constants in the compiled
         # program (hundreds of MB for big graphs).
-        if self.pallas_version == 2:
+        if self.pallas_version == 2 and semiring is not None \
+                and semiring.reduce_kind != "sum":
+            self._plan_args = {
+                recv: ((p.kindid, p.blkid, p.base, p.ngran, p.rowmask,
+                        p.hi2, p.slo, p.val, p.rcf), p.got_static)
+                for recv, p in self._plans.items()}
+        elif self.pallas_version == 2:
             self._plan_args = {
                 recv: ((p.kindid, p.blkid, p.base, p.ngran, p.idx, p.val,
                         p.rcf), p.got_static)
@@ -210,7 +217,7 @@ class Engine:
         (reduced pytree, got bool[n_pad]).  ``plans`` carries the plan
         arrays as traced arguments."""
         from ..ops.pallas_spmv import _spmv_call
-        from ..ops.pallas_spmv2 import _spmv2_call
+        from ..ops.pallas_spmv2 import _spmv2_call, _spmv2m_call
         prog = self.program
         sem: PallasSemiring = self._semiring
         kind = sem.reduce_kind
@@ -242,11 +249,15 @@ class Engine:
                 xp = xin
                 if xp.shape[0] < plan.n_send_pad:
                     xp = jnp.pad(xp, (0, plan.n_send_pad - xp.shape[0]))
-                if v2:
+                if v2 and kd == "sum":
                     ns = getattr(sem, "n_splits", 3)
                     return _spmv2_call(plan_arrays, plan_static,
                                        xp[: plan.n_send_pad], proc,
                                        ns, interpret)
+                if v2:
+                    return _spmv2m_call(plan_arrays, plan_static,
+                                        xp[: plan.n_send_pad], kd, proc,
+                                        interpret)
                 return _spmv_call(plan_arrays, plan_static,
                                   xp[: plan.n_send_pad], kd, proc, interpret)
 

@@ -75,6 +75,13 @@ def load_planner():
                                       i32p, i32p, f32p, i32p]
         lib.gm_plan2_destroy.restype = None
         lib.gm_plan2_destroy.argtypes = [ctypes.c_void_p]
+        lib.gm_plan2m_create.restype = ctypes.c_void_p
+        lib.gm_plan2m_create.argtypes = list(lib.gm_plan2_create.argtypes)
+        lib.gm_plan2m_fill.restype = None
+        lib.gm_plan2m_fill.argtypes = [ctypes.c_void_p, i32p, i32p, i32p,
+                                       i32p, i32p, i32p, i32p, f32p, i32p]
+        lib.gm_plan2m_destroy.restype = None
+        lib.gm_plan2m_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 

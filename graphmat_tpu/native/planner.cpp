@@ -12,6 +12,7 @@
 // Build: g++ -O3 -march=native -fopenmp -shared -fPIC planner.cpp -o libgmplanner.so
 
 #include <algorithm>
+#include <array>
 #include <atomic>
 #include <cstdint>
 #include <cstring>
@@ -493,5 +494,391 @@ void gm_plan2_fill(void* handle, int32_t* kindid, int32_t* blkid,
 }
 
 void gm_plan2_destroy(void* handle) { delete static_cast<Plan2*>(handle); }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// v2m (min/max layout) plan builder — receiver-lane-bound slots, greedy
+// first-fit row coloring (both-side lane injectivity per row).  C++
+// counterpart of pallas_spmv2.py::build_spmv2m_plan.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Plan2m {
+  int64_t e = 0;
+  int32_t h = 0, wr = 0, nb = 0, hub = 0;
+  std::vector<int32_t> windows;
+  // per edge: chunk-local index within its cell, row, sender-slot lane;
+  // row-mode edges (in-degree hubs) use erm=1 and (echunk,erow) indexing
+  // the cell's row-mode rows
+  std::vector<int32_t> echunk;
+  std::vector<int8_t> erow, eslane, erm;
+  std::vector<int32_t> gidx;      // gather row index (hi2 value)
+  std::vector<int32_t> cellid;
+  std::vector<int64_t> edge_order, cell_edge_start;
+  std::vector<int64_t> cell_chunk_base;
+  std::vector<int32_t> cell_kind, cell_blk, cell_base, cell_ngran;
+  std::vector<int32_t> cell_nrmrows;   // row-mode rows per cell
+  int64_t nc = 0;
+  const int32_t* s = nullptr;
+  const int32_t* r = nullptr;
+  const float* v = nullptr;
+};
+
+constexpr int kRowmodeMin = 33;
+
+}  // namespace
+
+extern "C" {
+
+void* gm_plan2m_create(const int32_t* senders, const int32_t* receivers,
+                       const float* vals, int64_t e, int32_t h, int32_t wr,
+                       int32_t nb, int32_t hub, const int32_t* windows,
+                       int32_t nw, int64_t cell_min, int64_t* nc_out) {
+  auto* p = new Plan2m();
+  p->e = e; p->h = h; p->wr = wr; p->nb = nb; p->hub = hub;
+  p->s = senders; p->r = receivers; p->v = vals;
+  for (int32_t k = 0; k < nw; ++k)
+    p->windows.push_back(std::min(windows[k], h));
+  const int K = (int)p->windows.size();
+  std::vector<int64_t> nwin(K), class_cells_ofs(K + 1, 0);
+  for (int k = 0; k < K; ++k) {
+    nwin[k] = (h + p->windows[k] - 1) / p->windows[k];
+    class_cells_ofs[k + 1] = class_cells_ofs[k] + (int64_t)nb * nwin[k];
+  }
+  const int64_t hub_cells = nb;
+  const int64_t raw_cells = hub_cells + class_cells_ofs[K];
+
+  std::vector<int32_t> kind(e, -1);
+  std::vector<int64_t> rawcell(e);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < e; ++i) {
+    if (senders[i] < hub) {
+      kind[i] = 0;
+      rawcell[i] = receivers[i] / wr;
+    }
+  }
+  std::vector<int64_t> cellcnt;
+  for (int k = 0; k < K; ++k) {
+    const bool last = (k == K - 1);
+    const int32_t W = p->windows[k];
+    cellcnt.assign((size_t)nb * nwin[k], 0);
+    if (!last) {
+      for (int64_t i = 0; i < e; ++i)
+        if (kind[i] < 0)
+          cellcnt[(receivers[i] / wr) * nwin[k] + ((senders[i] >> 7) / W)]++;
+    }
+    for (int64_t i = 0; i < e; ++i) {
+      if (kind[i] >= 0) continue;
+      const int64_t c =
+          (receivers[i] / wr) * nwin[k] + ((senders[i] >> 7) / W);
+      if (last || cellcnt[c] >= cell_min) {
+        kind[i] = 1 + k;
+        rawcell[i] = hub_cells + class_cells_ofs[k] + c;
+      }
+    }
+  }
+
+  // active cells ordered by (blk, kind, win)
+  std::vector<int64_t> rawcnt(raw_cells, 0);
+  for (int64_t i = 0; i < e; ++i) rawcnt[rawcell[i]]++;
+  struct Cell { int64_t raw; int32_t blk, kind, win; };
+  std::vector<Cell> cells;
+  for (int64_t rc = 0; rc < raw_cells; ++rc) {
+    if (!rawcnt[rc]) continue;
+    Cell cl; cl.raw = rc;
+    if (rc < hub_cells) {
+      cl.blk = (int32_t)rc; cl.kind = 0; cl.win = 0;
+    } else {
+      int k = 0;
+      while (k + 1 < K && rc - hub_cells >= class_cells_ofs[k + 1]) ++k;
+      const int64_t c = rc - hub_cells - class_cells_ofs[k];
+      cl.blk = (int32_t)(c / nwin[k]);
+      cl.kind = 1 + k;
+      cl.win = (int32_t)(c % nwin[k]);
+    }
+    cells.push_back(cl);
+  }
+  std::stable_sort(cells.begin(), cells.end(),
+                   [](const Cell& a, const Cell& b) {
+                     if (a.blk != b.blk) return a.blk < b.blk;
+                     if (a.kind != b.kind) return a.kind < b.kind;
+                     return a.win < b.win;
+                   });
+  std::vector<char> covered(nb, 0);
+  for (const Cell& cl : cells) covered[cl.blk] = 1;
+  std::vector<Cell> final_cells;
+  std::vector<int64_t> raw_to_cell(raw_cells, -1);
+  for (int32_t b = 0; b < nb; ++b) {
+    if (!covered[b]) {
+      Cell cl; cl.raw = -1; cl.blk = b; cl.kind = 0; cl.win = 0;
+      final_cells.push_back(cl);
+    }
+  }
+  // interleave empties in block order with real cells
+  {
+    std::vector<Cell> merged;
+    size_t ci = 0, mi = 0;
+    for (int32_t b = 0; b < nb; ++b) {
+      if (mi < final_cells.size() && final_cells[mi].blk == b) {
+        merged.push_back(final_cells[mi++]);
+      }
+      while (ci < cells.size() && cells[ci].blk == b)
+        merged.push_back(cells[ci++]);
+    }
+    final_cells = std::move(merged);
+  }
+  const size_t nfc = final_cells.size();
+  for (size_t q = 0; q < nfc; ++q)
+    if (final_cells[q].raw >= 0) raw_to_cell[final_cells[q].raw] = q;
+
+  p->cellid.resize(e);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < e; ++i)
+    p->cellid[i] = (int32_t)raw_to_cell[rawcell[i]];
+
+  // bucket edges by cell (stable)
+  p->cell_edge_start.assign(nfc + 2, 0);
+  for (int64_t i = 0; i < e; ++i) p->cell_edge_start[p->cellid[i] + 2]++;
+  for (size_t q = 2; q < p->cell_edge_start.size(); ++q)
+    p->cell_edge_start[q] += p->cell_edge_start[q - 1];
+  p->edge_order.resize(e);
+  for (int64_t i = 0; i < e; ++i)
+    p->edge_order[p->cell_edge_start[p->cellid[i] + 1]++] = i;
+  p->cell_edge_start.pop_back();
+
+  // per-cell packing (parallel; cells independent): row-mode rows for
+  // in-degree hub receivers first, then greedy first-fit coloring
+  p->echunk.resize(e);
+  p->erow.resize(e);
+  p->eslane.resize(e);
+  p->erm.assign(e, 0);
+  p->gidx.resize(e);
+  p->cell_nrmrows.assign(nfc, 0);
+  std::vector<int64_t> cell_nchunks(nfc, 0);
+  p->cell_kind.resize(nfc); p->cell_blk.resize(nfc);
+  p->cell_base.resize(nfc); p->cell_ngran.resize(nfc);
+#pragma omp parallel for schedule(dynamic, 8)
+  for (int64_t q = 0; q < (int64_t)nfc; ++q) {
+    const Cell& cl = final_cells[q];
+    p->cell_kind[q] = cl.kind;
+    p->cell_blk[q] = cl.blk;
+    int32_t base = 0, ngran = kHubGran;
+    if (cl.kind > 0) {
+      const int32_t W = p->windows[cl.kind - 1];
+      base = cl.win * W;
+      if (base > h - W) base = h - W;
+      ngran = W / 8;
+    }
+    p->cell_base[q] = base;
+    p->cell_ngran[q] = ngran;
+    const int64_t j0 = p->cell_edge_start[q], j1 = p->cell_edge_start[q + 1];
+
+    // receiver multiplicity within the cell (sort a local index copy)
+    std::vector<int64_t> loc(p->edge_order.begin() + j0,
+                             p->edge_order.begin() + j1);
+    std::stable_sort(loc.begin(), loc.end(), [&](int64_t a, int64_t b) {
+      return p->r[a] < p->r[b];
+    });
+    // row-mode packing per hot receiver run
+    int32_t nrm = 0;
+    uint64_t rm_send[2] = {0, 0};
+    size_t li = 0;
+    while (li < loc.size()) {
+      size_t lj = li;
+      while (lj < loc.size() && p->r[loc[lj]] == p->r[loc[li]]) ++lj;
+      if ((int64_t)(lj - li) >= kRowmodeMin) {
+        // lane queues: row = per-lane cumcount (free-lane edges fill the
+        // least-loaded lanes), rows appended after previous runs' rows
+        int32_t cnt[kLane];
+        std::memset(cnt, 0, sizeof cnt);
+        for (size_t k = li; k < lj; ++k) {
+          const int64_t i = loc[k];
+          const int32_t sv = p->s[i];
+          const bool freelane = (cl.kind == 0 && sv < kLane);
+          int sx;
+          if (freelane) {
+            sx = 0;
+            for (int l = 1; l < kLane; ++l)
+              if (cnt[l] < cnt[sx]) sx = l;
+          } else {
+            sx = sv & (kLane - 1);
+          }
+          const int32_t rr = nrm + cnt[sx]++;
+          p->erm[i] = 1;
+          p->echunk[i] = rr / kRows2;
+          p->erow[i] = (int8_t)(rr % kRows2);
+          p->eslane[i] = (int8_t)sx;
+          p->gidx[i] = (cl.kind == 0)
+                           ? (sv < kLane ? sv : kLane + (sv >> 7))
+                           : (sv >> 7) - base;
+        }
+        int32_t mx = 0;
+        for (int l = 0; l < kLane; ++l) mx = std::max(mx, cnt[l]);
+        nrm += mx;
+      }
+      li = lj;
+    }
+    p->cell_nrmrows[q] = nrm;
+    const int64_t rm_chunks = (nrm + kRows2 - 1) / kRows2;
+
+    // cold edges, two stages: (1) chunk assignment under two-sided
+    // per-(chunk, lane) capacity 16, (2) per-chunk greedy row coloring
+    // with overflow chunks (greedy rarely fails under two-sided caps)
+    std::vector<std::array<int8_t, kLane>> cnt_r, cnt_s;
+    std::vector<int64_t> cold;
+    for (int64_t j = j0; j < j1; ++j) {
+      const int64_t i = p->edge_order[j];
+      if (p->erm[i]) continue;
+      cold.push_back(i);
+      const int32_t sv = p->s[i];
+      const int rl = p->r[i] & (kLane - 1);
+      const bool freelane = (cl.kind == 0 && sv < kLane);
+      const int slv = sv & (kLane - 1);
+      size_t c = 0;
+      for (;; ++c) {
+        if (c == cnt_r.size()) {
+          cnt_r.push_back({}); cnt_s.push_back({});
+        }
+        if (cnt_r[c][rl] < kRows2 &&
+            (freelane || cnt_s[c][slv] < kRows2)) break;
+      }
+      p->echunk[i] = (int32_t)c;
+      cnt_r[c][rl]++;
+      if (!freelane) cnt_s[c][slv]++;
+      p->gidx[i] = (cl.kind == 0)
+                       ? (sv < kLane ? sv : kLane + (sv >> 7))
+                       : (sv >> 7) - base;
+    }
+    int32_t cold_chunks = (int32_t)cnt_r.size();
+    // stage 2: greedy rows per chunk; overflow edges get fresh chunks
+    std::vector<std::array<uint64_t, 2>> slotm, sendm;
+    auto ensure = [&](size_t c) {
+      while (slotm.size() < (c + 1) * kRows2) {
+        slotm.push_back({0, 0});
+        sendm.push_back({0, 0});
+      }
+    };
+    std::vector<int64_t> pend = cold;
+    while (!pend.empty()) {
+      std::vector<int64_t> overflow;
+      for (int64_t i : pend) {
+        const size_t c = p->echunk[i];
+        ensure(c);
+        const int32_t sv = p->s[i];
+        const int rl = p->r[i] & (kLane - 1);
+        const bool freelane = (cl.kind == 0 && sv < kLane);
+        const int slv = sv & (kLane - 1);
+        int row = -1, sx = -1;
+        for (int ri = 0; ri < kRows2; ++ri) {
+          auto& su = slotm[c * kRows2 + ri];
+          auto& se = sendm[c * kRows2 + ri];
+          if (su[rl >> 6] >> (rl & 63) & 1) continue;
+          if (freelane) {
+            if (~se[0]) sx = __builtin_ctzll(~se[0]);
+            else if (~se[1]) sx = 64 + __builtin_ctzll(~se[1]);
+            else continue;
+          } else if (se[slv >> 6] >> (slv & 63) & 1) {
+            continue;
+          } else {
+            sx = slv;
+          }
+          row = ri;
+          su[rl >> 6] |= 1ull << (rl & 63);
+          se[sx >> 6] |= 1ull << (sx & 63);
+          break;
+        }
+        if (row < 0) {
+          overflow.push_back(i);
+        } else {
+          p->erow[i] = (int8_t)row;
+          p->eslane[i] = (int8_t)sx;
+        }
+      }
+      if (!overflow.empty()) {
+        for (int64_t i : overflow) p->echunk[i] = cold_chunks;
+        ++cold_chunks;
+      }
+      pend = std::move(overflow);
+    }
+    if (cold.empty()) cold_chunks = 0;
+    cell_nchunks[q] = rm_chunks + cold_chunks;
+    if (cell_nchunks[q] == 0) cell_nchunks[q] = 1;
+  }
+  p->cell_chunk_base.assign(nfc + 1, 0);
+  for (size_t q = 0; q < nfc; ++q)
+    p->cell_chunk_base[q + 1] = p->cell_chunk_base[q] + cell_nchunks[q];
+  p->nc = p->cell_chunk_base[nfc];
+  *nc_out = p->nc;
+  return p;
+}
+
+void gm_plan2m_fill(void* handle, int32_t* kindid, int32_t* blkid,
+                    int32_t* baseid, int32_t* ngran, int32_t* rowmask,
+                    int32_t* hi2, int32_t* slo, float* val, int32_t* rcf) {
+  auto* p = static_cast<Plan2m*>(handle);
+  const int64_t nc = p->nc;
+  const int64_t chunk_elems = (int64_t)kRows2 * kLane;
+  const size_t nfc = p->cell_kind.size();
+
+#pragma omp parallel for schedule(static)
+  for (int64_t c = 0; c < nc; ++c) {
+    std::memset(hi2 + c * chunk_elems, 0, chunk_elems * sizeof(int32_t));
+    std::memset(slo + c * chunk_elems, 0, chunk_elems * sizeof(int32_t));
+    std::memset(val + c * chunk_elems, 0, chunk_elems * sizeof(float));
+    int32_t* rc = rcf + c * chunk_elems;
+    for (int64_t t = 0; t < chunk_elems; ++t) rc[t] = p->wr;
+  }
+#pragma omp parallel for schedule(static)
+  for (int64_t q = 0; q < (int64_t)nfc; ++q) {
+    const int32_t nrm = p->cell_nrmrows[q];
+    const int64_t rm_chunks = (nrm + kRows2 - 1) / kRows2;
+    int64_t k = 0;
+    for (int64_t c = p->cell_chunk_base[q]; c < p->cell_chunk_base[q + 1];
+         ++c, ++k) {
+      kindid[c] = p->cell_kind[q];
+      blkid[c] = p->cell_blk[q];
+      baseid[c] = p->cell_base[q];
+      ngran[c] = p->cell_ngran[q];
+      if (k < rm_chunks) {
+        const int32_t rows = (int32_t)std::min<int64_t>(
+            kRows2, nrm - k * kRows2);
+        rowmask[c] = (rows >= 32) ? -1 : ((1 << rows) - 1);
+      } else {
+        rowmask[c] = 0;
+      }
+    }
+  }
+#pragma omp parallel for schedule(dynamic, 8)
+  for (int64_t q = 0; q < (int64_t)nfc; ++q) {
+    const int64_t wrblk = (int64_t)p->cell_blk[q] * p->wr;
+    const int64_t rm_chunks = (p->cell_nrmrows[q] + kRows2 - 1) / kRows2;
+    for (int64_t j = p->cell_edge_start[q]; j < p->cell_edge_start[q + 1];
+         ++j) {
+      const int64_t i = p->edge_order[j];
+      const int64_t chunk = p->cell_chunk_base[q]
+                            + (p->erm[i] ? 0 : rm_chunks) + p->echunk[i];
+      const int64_t rowbase = chunk * chunk_elems
+                              + (int64_t)p->erow[i] * kLane;
+      const int sx = (int)(uint8_t)p->eslane[i];
+      if (p->erm[i]) {
+        // row-mode: slot lane = sender lane; slo identity
+        hi2[rowbase + sx] = p->gidx[i];
+        slo[rowbase + sx] = sx;
+        val[rowbase + sx] = p->v[i];
+        rcf[rowbase + sx] = (int32_t)(p->r[i] - wrblk);
+      } else {
+        const int rl = p->r[i] & (kLane - 1);
+        hi2[rowbase + sx] = p->gidx[i];
+        slo[rowbase + rl] = sx;
+        val[rowbase + rl] = p->v[i];
+        rcf[rowbase + rl] = (int32_t)(p->r[i] - wrblk);
+      }
+    }
+  }
+}
+
+void gm_plan2m_destroy(void* handle) { delete static_cast<Plan2m*>(handle); }
 
 }  // extern "C"

@@ -499,3 +499,486 @@ def spmv2(plan: Spmv2Plan, x, reduce_kind: str = "sum",
                    plan.classes)
     return _spmv2_call(plan_arrays, plan_static, x, process, n_splits,
                        interpret)
+
+
+# ------------------------------------------------------- min/max variant
+#
+# ⊕ = min/max cannot ride the scatter matmul, so the mm layout binds each
+# slot's LANE to the receiver (rc & 127) and reduces per group on the VPU
+# (masked min over sublanes — no bf16 splits, ±inf-safe, f32-exact).  The
+# gather then needs one extra lane shuffle: senders register their window
+# row in ``hi2`` at their own sender lane (per-row injective — a greedy
+# bipartite edge coloring with 16 colors assigns rows), the granule walk
+# builds q[i, l] = x[sender registered at lane l of row i], and
+# ``take_along_axis(q, slo, axis=1)`` routes values to receiver slots.
+
+@dataclass
+class Spmv2mPlan:
+    n_pad: int
+    n_send_pad: int
+    h: int
+    wr: int
+    nb: int
+    nc: int
+    hub: int
+    nnz: int
+    fill: float
+    classes: tuple
+    kindid: Any           # i32[nc]
+    blkid: Any            # i32[nc]
+    base: Any             # i32[nc]
+    ngran: Any            # i32[nc]
+    rowmask: Any          # i32[nc]  bit i: row i is single-receiver mode
+    hi2: Any              # i32[nc,16,128] window row, registered by s-lane
+    slo: Any              # i32[nc,16,128] per-slot sender lane
+    val: Any              # f32[nc,16,128] per-slot edge value
+    rcf: Any              # i32[nc,16,128] per-slot receiver offset; pad=wr
+    got_static: Any
+
+
+ROWMODE_MIN = 33   # in-cell receiver multiplicity that triggers row-mode
+
+
+def _pack_rowmode(sl, free_lane):
+    """Pack one hot receiver's edges into rows with distinct sender lanes:
+    lane queues (row = per-lane cumcount); free-lane edges (replicated top
+    senders) fill the least-loaded lanes.  Returns (row, slane, n_rows)."""
+    ne = len(sl)
+    row = np.zeros(ne, np.int64)
+    slout = np.zeros(ne, np.int64)
+    cnt = np.zeros(LANE, np.int64)
+    bound = ~free_lane
+    for k in np.flatnonzero(bound):
+        l = sl[k]
+        row[k] = cnt[l]
+        slout[k] = l
+        cnt[l] += 1
+    for k in np.flatnonzero(free_lane):
+        l = int(np.argmin(cnt))
+        row[k] = cnt[l]
+        slout[k] = l
+        cnt[l] += 1
+    return row, slout, int(cnt.max()) if ne else 0
+
+
+def _pack_colored(rl, sl, free_lane, cap=ROWS):
+    """Two-stage packing for one cell's edges: first assign chunks with
+    per-(chunk, lane) capacity 16 on BOTH the receiver-lane and sender-lane
+    sides, then color rows per chunk (greedy; edges a greedy 16-coloring
+    cannot place overflow into appended chunks).
+
+    ``rl``: receiver lane (slot lane).  ``sl``: sender lane; ``free_lane``
+    marks replicated-top senders that may register at any lane.  Returns
+    (chunk, row, chosen_slane, n_chunks).
+    """
+    ne = len(rl)
+    chunk = np.zeros(ne, np.int64)
+    row = np.zeros(ne, np.int64)
+    slout = np.zeros(ne, np.int64)
+    # stage 1: chunk assignment under two-sided lane capacity
+    cnt_r = [np.zeros(LANE, np.int32)]
+    cnt_s = [np.zeros(LANE, np.int32)]
+    for k in range(ne):
+        c = 0
+        while True:
+            if c == len(cnt_r):
+                cnt_r.append(np.zeros(LANE, np.int32))
+                cnt_s.append(np.zeros(LANE, np.int32))
+            if cnt_r[c][rl[k]] < cap and (
+                    free_lane[k] or cnt_s[c][sl[k]] < cap):
+                break
+            c += 1
+        chunk[k] = c
+        cnt_r[c][rl[k]] += 1
+        if not free_lane[k]:
+            cnt_s[c][sl[k]] += 1
+    nch = len(cnt_r)
+    # stage 2: per-chunk greedy row coloring; failures overflow
+    pending = list(range(ne))
+    slot_used = {}
+    send_used = {}
+    while pending:
+        overflow = []
+        for k in pending:
+            c = chunk[k]
+            if c not in slot_used:
+                slot_used[c] = np.zeros((ROWS, LANE), bool)
+                send_used[c] = np.zeros((ROWS, LANE), bool)
+            su, se_ = slot_used[c], send_used[c]
+            placed = False
+            for i in range(ROWS):
+                if su[i, rl[k]]:
+                    continue
+                if free_lane[k]:
+                    fl = np.flatnonzero(~se_[i])
+                    if len(fl) == 0:
+                        continue
+                    sx = fl[0]
+                elif not se_[i, sl[k]]:
+                    sx = sl[k]
+                else:
+                    continue
+                su[i, rl[k]] = True
+                se_[i, sx] = True
+                row[k], slout[k] = i, sx
+                placed = True
+                break
+            if not placed:
+                overflow.append(k)
+        if overflow:
+            # push overflow edges into fresh chunks (rare: greedy needs
+            # <= 2*cap-1 colors; two-sided cap keeps most chunks feasible)
+            for k in overflow:
+                chunk[k] = nch
+            nch += 1
+            pending = overflow
+        else:
+            pending = []
+    return chunk, row, slout, nch
+
+
+def build_spmv2m_plan(senders0: np.ndarray, receivers0: np.ndarray,
+                      vals: np.ndarray, n: int, n_recv: int | None = None,
+                      wr: int = 4096, hub: int = 2048,
+                      windows=(64, 256, 1024, 2048),
+                      cell_min: int = 2000) -> Spmv2mPlan:
+    """min/max-layout plan (receiver-lane-bound slots, colored rows)."""
+    if n_recv is None:
+        n_recv = n
+    h = max(_round_up(_round_up(n, LANE) // LANE, LANE), LANE)
+    n_send_pad = h * LANE
+    n_pad = max(_round_up(n_recv, wr), wr)
+    nb = n_pad // wr
+    e = len(senders0)
+    s = np.asarray(senders0, np.int64)
+    r = np.asarray(receivers0, np.int64)
+    v = np.asarray(vals, np.float32)
+    hub = int(min(hub, 16 * LANE))
+    norm_windows = sorted({int(min(w, h)) for w in windows}) or [min(2048, h)]
+
+    from ..native import load_planner
+    lib = load_planner()
+    if lib is not None and e > 0 and hasattr(lib, "gm_plan2m_create"):
+        return _build_plan2m_native(
+            lib, s, r, v, e, h, wr, nb, hub, norm_windows, cell_min,
+            n_pad, n_send_pad, receivers0)
+
+    rblk = r // wr
+    # classification identical to the sum plan
+    kind = np.full(e, -1, np.int64)
+    cellw = np.zeros(e, np.int64)
+    basew = np.zeros(e, np.int64)
+    hm = s < hub
+    kind[hm] = 0
+    cellw[hm] = rblk[hm]
+    rem = ~hm
+    for wi, W in enumerate(norm_windows):
+        if not rem.any():
+            break
+        last = wi == len(norm_windows) - 1
+        nwin = -(-h // W)
+        cell = rblk * nwin + (s >> 7) // W
+        if not last:
+            cnt = np.bincount(cell[rem], minlength=nb * nwin)
+            take = rem & (cnt[cell] >= cell_min)
+        else:
+            take = rem.copy()
+        kind[take] = 1 + wi
+        cellw[take] = cell[take]
+        basew[take] = np.minimum(((s[take] >> 7) // W) * W, h - W)
+        rem = rem & ~take
+
+    # pack per (kind, cell) in (blk, kind, cell) order
+    chunks = []   # (kindid, blk, base, ngran, hi2, slo, val, rcf) per chunk
+    order = np.lexsort((cellw, kind, rblk))
+    ks, cs, bs = kind[order], cellw[order], rblk[order]
+    bounds = np.r_[0, np.flatnonzero((ks[1:] != ks[:-1])
+                                     | (cs[1:] != cs[:-1])) + 1, e]
+    for gi in range(len(bounds) - 1):
+        lo, hi_ = bounds[gi], bounds[gi + 1]
+        idxs = order[lo:hi_]
+        kd = int(ks[lo])
+        blk = int(bs[lo])
+        se, re_, ve = s[idxs], r[idxs], v[idxs]
+        rl = (re_ & (LANE - 1)).astype(np.int64)
+        if kd == 0:
+            top = se < LANE
+            sl = (se & (LANE - 1)).astype(np.int64)
+            free = top
+            base = 0
+            ng = HUB_GRANULES
+        else:
+            sl = (se & (LANE - 1)).astype(np.int64)
+            free = np.zeros(len(se), bool)
+            base = int(basew[idxs[0]])
+            ng = norm_windows[kd - 1] // 8
+        def gidx_of(sv):
+            if kd == 0:
+                return np.where(sv < LANE, sv,
+                                LANE + (sv >> 7)).astype(np.int32)
+            return (sv >> 7).astype(np.int32) - base
+
+        # hot receivers (in-cell multiplicity >= ROWMODE_MIN) take whole
+        # rows: any lanes, distinct sender lanes; the kernel row-reduces
+        # and routes the single result to the receiver's lane.  Without
+        # this, an in-degree hub pins its lane at <=16 edges per chunk.
+        ur, rcount = np.unique(re_, return_counts=True)
+        hotset = set(ur[rcount >= ROWMODE_MIN].tolist())
+        ishot = np.array([x in hotset for x in re_]) if hotset else             np.zeros(len(re_), bool)
+
+        rm_rows = []   # (receiver, hi2row, slorow, valrow, maskrow)
+        if ishot.any():
+            for rv in sorted(hotset):
+                m = re_ == rv
+                slh, freeh, seh, veh = sl[m], free[m], se[m], ve[m]
+                rwh, sxh, nrh = _pack_rowmode(slh, freeh)
+                for rr in range(nrh):
+                    mm_ = rwh == rr
+                    h2 = np.zeros(LANE, np.int32)
+                    sr = np.zeros(LANE, np.int32)
+                    vr = np.zeros(LANE, np.float32)
+                    rcr = np.full(LANE, wr, np.int32)
+                    h2[sxh[mm_]] = gidx_of(seh[mm_])
+                    sr[sxh[mm_]] = sxh[mm_]
+                    vr[sxh[mm_]] = veh[mm_]
+                    rcr[sxh[mm_]] = rv - blk * wr
+                    rm_rows.append((h2, sr, vr, rcr))
+        # row-mode rows fill chunks of 16 (rowmask all set)
+        for c0 in range(0, len(rm_rows), ROWS):
+            grp = rm_rows[c0:c0 + ROWS]
+            hi2 = np.zeros((ROWS, LANE), np.int32)
+            slo = np.zeros((ROWS, LANE), np.int32)
+            vv = np.zeros((ROWS, LANE), np.float32)
+            rcq = np.full((ROWS, LANE), wr, np.int32)
+            for i, (h2, sr, vr, rcr) in enumerate(grp):
+                hi2[i], slo[i], vv[i], rcq[i] = h2, sr, vr, rcr
+            rowmask = (1 << len(grp)) - 1
+            chunks.append((kd, blk, base, ng, hi2, slo, vv, rcq, rowmask))
+
+        cold = ~ishot
+        if cold.any():
+            rlc, slc, freec = rl[cold], sl[cold], free[cold]
+            sec, vec, rec = se[cold], ve[cold], re_[cold]
+            ch, rw, sx, ncc = _pack_colored(rlc, slc, freec)
+            for c in range(ncc):
+                m = ch == c
+                hi2 = np.zeros((ROWS, LANE), np.int32)
+                slo = np.zeros((ROWS, LANE), np.int32)
+                vv = np.zeros((ROWS, LANE), np.float32)
+                rcq = np.full((ROWS, LANE), wr, np.int32)
+                ri, sxi, rli = rw[m], sx[m], rlc[m]
+                gi2 = gidx_of(sec[m])
+                hi2[ri, sxi] = gi2
+                slo[ri, rli] = sxi
+                vv[ri, rli] = vec[m]
+                rcq[ri, rli] = (rec[m] - blk * wr).astype(np.int32)
+                chunks.append((kd, blk, base, ng, hi2, slo, vv, rcq, 0))
+
+    covered = {c[1] for c in chunks}
+    for b in range(nb):
+        if b not in covered:
+            chunks.append((0, b, 0, HUB_GRANULES,
+                           np.zeros((ROWS, LANE), np.int32),
+                           np.zeros((ROWS, LANE), np.int32),
+                           np.zeros((ROWS, LANE), np.float32),
+                           np.full((ROWS, LANE), wr, np.int32), 0))
+    chunks.sort(key=lambda c: c[1])
+    nc = len(chunks)
+    got = np.zeros(n_pad, bool)
+    if e:
+        got[np.unique(np.asarray(receivers0))] = True
+    return Spmv2mPlan(
+        n_pad=n_pad, n_send_pad=n_send_pad, h=h, wr=wr, nb=nb, nc=nc,
+        hub=hub, nnz=e, fill=e / max(nc * CHUNK, 1),
+        classes=tuple(norm_windows),
+        kindid=jnp.asarray(np.array([c[0] for c in chunks], np.int32)),
+        blkid=jnp.asarray(np.array([c[1] for c in chunks], np.int32)),
+        base=jnp.asarray(np.array([c[2] for c in chunks], np.int32)),
+        ngran=jnp.asarray(np.array([c[3] for c in chunks], np.int32)),
+        rowmask=jnp.asarray(np.array([c[8] for c in chunks], np.int32)),
+        hi2=jnp.asarray(np.stack([c[4] for c in chunks])),
+        slo=jnp.asarray(np.stack([c[5] for c in chunks])),
+        val=jnp.asarray(np.stack([c[6] for c in chunks])),
+        rcf=jnp.asarray(np.stack([c[7] for c in chunks])),
+        got_static=jnp.asarray(got))
+
+
+def _build_plan2m_native(lib, s, r, v, e, h, wr, nb, hub, windows,
+                         cell_min, n_pad, n_send_pad, receivers0):
+    """C++/OpenMP v2m plan build (graphmat_tpu/native/planner.cpp)."""
+    import ctypes
+
+    sa = np.ascontiguousarray(s, np.int32)
+    ra = np.ascontiguousarray(r, np.int32)
+    va = np.ascontiguousarray(v, np.float32)
+    wins = np.ascontiguousarray(windows, np.int32)
+    nc_out = ctypes.c_int64()
+    handle = lib.gm_plan2m_create(sa, ra, va, e, h, wr, nb, hub, wins,
+                                  len(wins), cell_min, ctypes.byref(nc_out))
+    nc = int(nc_out.value)
+    try:
+        kindid = np.empty(nc, np.int32)
+        blkid = np.empty(nc, np.int32)
+        base = np.empty(nc, np.int32)
+        ngran = np.empty(nc, np.int32)
+        rowmask = np.empty(nc, np.int32)
+        hi2 = np.empty((nc, ROWS, LANE), np.int32)
+        slo = np.empty((nc, ROWS, LANE), np.int32)
+        val = np.empty((nc, ROWS, LANE), np.float32)
+        rcf = np.empty((nc, ROWS, LANE), np.int32)
+        lib.gm_plan2m_fill(handle, kindid, blkid, base, ngran, rowmask,
+                           hi2.reshape(-1), slo.reshape(-1),
+                           val.reshape(-1), rcf.reshape(-1))
+    finally:
+        lib.gm_plan2m_destroy(handle)
+    got = np.zeros(n_pad, bool)
+    got[np.unique(np.asarray(receivers0))] = True
+    return Spmv2mPlan(
+        n_pad=n_pad, n_send_pad=n_send_pad, h=h, wr=wr, nb=nb, nc=nc,
+        hub=hub, nnz=e, fill=e / max(nc * CHUNK, 1),
+        classes=tuple(int(w) for w in windows),
+        kindid=jnp.asarray(kindid), blkid=jnp.asarray(blkid),
+        base=jnp.asarray(base), ngran=jnp.asarray(ngran),
+        rowmask=jnp.asarray(rowmask),
+        hi2=jnp.asarray(hi2), slo=jnp.asarray(slo), val=jnp.asarray(val),
+        rcf=jnp.asarray(rcf), got_static=jnp.asarray(got))
+
+
+def _make_kernel_mm(reduce_kind: str, process: Callable, wr: int, h: int,
+                    classes):
+    G = wr // LANE
+    ident = np.float32(np.inf if reduce_kind == "min" else -np.inf)
+    comb = jnp.minimum if reduce_kind == "min" else jnp.maximum
+
+    def kernel(kind_ref, blk_ref, base_ref, ngran_ref, rowmask_ref,
+               hi2_ref, slo_ref, val_ref, rcf_ref, x2_ref, xtop_ref,
+               xrot_ref, y_ref, acc_ref, wscr_ref):
+        i = pl.program_id(0)
+        first = jnp.logical_or(
+            i == 0, blk_ref[i] != blk_ref[jnp.maximum(i - 1, 0)])
+
+        @pl.when(first)
+        def _():
+            acc_ref[:] = jnp.full_like(acc_ref, ident)
+
+        subs = [hi2_ref[0, 8 * t: 8 * t + 8, :] & 7 for t in range(2)]
+        gsels = [hi2_ref[0, 8 * t: 8 * t + 8, :] >> 3 for t in range(2)]
+
+        def gather_from(tbl_for_g, ngran):
+            qs = [jnp.zeros((8, LANE), jnp.float32) for _ in range(2)]
+            for g in range(ngran):
+                tbl = tbl_for_g(g)
+                for t in range(2):
+                    got = jnp.take_along_axis(tbl, subs[t], axis=0)
+                    qs[t] = jnp.where(gsels[t] == g, got, qs[t])
+            return tuple(qs)
+
+        def hub_branch():
+            def tbl(g):
+                if g < 16:
+                    return xtop_ref[8 * g: 8 * g + 8, :]
+                if g < 18:
+                    return x2_ref[8 * (g - 16): 8 * (g - 16) + 8, :]
+                return xrot_ref[8 * (g - 18): 8 * (g - 18) + 8, :]
+            return gather_from(tbl, HUB_GRANULES)
+
+        def window_branch(W):
+            def inner():
+                base = pl.multiple_of(base_ref[i], 8)
+                wscr_ref[0:W, :] = x2_ref[pl.ds(base, W), :]
+                return gather_from(lambda g: wscr_ref[8 * g: 8 * g + 8, :],
+                                   W // 8)
+            return inner
+
+        branches = [hub_branch] + [window_branch(W) for W in classes]
+        q0, q1 = jax.lax.switch(kind_ref[i], branches)
+
+        # route to receiver-lane slots, then process
+        xv0 = jnp.take_along_axis(q0, slo_ref[0, 0:8, :], axis=1)
+        xv1 = jnp.take_along_axis(q1, slo_ref[0, 8:16, :], axis=1)
+        p0 = process(xv0, val_ref[0, 0:8, :]).astype(jnp.float32)
+        p1 = process(xv1, val_ref[0, 8:16, :]).astype(jnp.float32)
+        p = jnp.concatenate([p0, p1], axis=0)          # [16,128]
+        rcf = rcf_ref[0]                               # [16,128]; pad = wr
+
+        # single-receiver rows (in-degree hubs): reduce the whole row and
+        # route the one result to the receiver's lane before the group
+        # reduce.  rc_row = min(rcf) is the row's receiver (pads carry wr).
+        red_ax1 = jnp.min if reduce_kind == "min" else jnp.max
+        rm = rowmask_ref[i]
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0)
+        mode = ((rm >> iota_r) & 1) == 1               # [16,1]
+        rc_row = jnp.min(rcf, axis=1, keepdims=True)   # [16,1]
+        pmask = jnp.where(rcf == rc_row, p, ident)
+        rowred = red_ax1(pmask, axis=1, keepdims=True)  # [16,1]
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANE), 1)
+        hit = lane_i == (rc_row & (LANE - 1))
+        p_rm = jnp.where(hit, jnp.broadcast_to(rowred, (ROWS, LANE)),
+                         ident)
+        rcf_rm = jnp.where(hit, jnp.broadcast_to(rc_row, (ROWS, LANE)),
+                           wr)
+        p = jnp.where(mode, p_rm, p)
+        rg = jnp.where(mode, rcf_rm, rcf) >> 7
+
+        for g in range(G):
+            pm = jnp.where(rg == g, p, ident)
+            red = (jnp.min if reduce_kind == "min" else jnp.max)(
+                pm, axis=0, keepdims=True)             # [1,128]
+            acc_ref[g:g + 1, :] = comb(acc_ref[g:g + 1, :], red)
+        y_ref[0] = acc_ref[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("plan_static", "reduce_kind",
+                                              "process", "interpret"))
+def _spmv2m_call(plan_arrays, plan_static, x, reduce_kind, process,
+                 interpret):
+    h, wr, nb, nc, n_pad, classes = plan_static
+    kindid, blkid, base, ngran, rowmask, hi2, slo, val, rcf = plan_arrays
+    G = wr // LANE
+    x2 = x.reshape(h, LANE)
+    xtop = jnp.broadcast_to(x[:LANE, None], (LANE, LANE))
+    xrot = jnp.roll(x2[:16], 64, axis=1)
+
+    kernel = _make_kernel_mm(reduce_kind, process, wr, h, classes)
+    wmax = max(classes) if classes else 8
+    nmap = lambda i, *_: (i, 0, 0)
+    chunk_spec = pl.BlockSpec((1, ROWS, LANE), nmap,
+                              memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(nc,),
+        in_specs=[chunk_spec] * 4
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec((1, G, LANE),
+                               lambda i, kind, blk, bs, ng, rmk:
+                               (blk[i], 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((G, LANE), jnp.float32),
+                        pltpu.VMEM((wmax, LANE), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, G, LANE), jnp.float32),
+        interpret=interpret,
+    )(kindid, blkid, base, ngran, rowmask, hi2, slo, val, rcf, x2, xtop,
+      xrot)
+    return out.reshape(nb * wr)[:n_pad]
+
+
+def spmv2m(plan: Spmv2mPlan, x, reduce_kind: str,
+           process: Optional[Callable] = None, interpret: bool = False):
+    """Generalized SpMV with ⊕ = min/max on the mm (colored) layout."""
+    assert reduce_kind in ("min", "max")
+    if process is None:
+        process = _identity_process
+    if x.shape[0] < plan.n_send_pad:
+        x = jnp.pad(x, (0, plan.n_send_pad - x.shape[0]))
+    x = x[: plan.n_send_pad].astype(jnp.float32)
+    plan_arrays = (plan.kindid, plan.blkid, plan.base, plan.ngran,
+                   plan.rowmask, plan.hi2, plan.slo, plan.val, plan.rcf)
+    plan_static = (plan.h, plan.wr, plan.nb, plan.nc, plan.n_pad,
+                   plan.classes)
+    return _spmv2m_call(plan_arrays, plan_static, x, reduce_kind, process,
+                        interpret)
