@@ -692,8 +692,9 @@ def build_spmv2m_plan(senders0: np.ndarray, receivers0: np.ndarray,
     chunks = []   # (kindid, blk, base, ngran, hi2, slo, val, rcf) per chunk
     order = np.lexsort((cellw, kind, rblk))
     ks, cs, bs = kind[order], cellw[order], rblk[order]
-    bounds = np.r_[0, np.flatnonzero((ks[1:] != ks[:-1])
-                                     | (cs[1:] != cs[:-1])) + 1, e]
+    bounds = (np.r_[0, np.flatnonzero((ks[1:] != ks[:-1])
+                                      | (cs[1:] != cs[:-1])) + 1, e]
+              if e else np.zeros(1, np.int64))
     for gi in range(len(bounds) - 1):
         lo, hi_ = bounds[gi], bounds[gi + 1]
         idxs = order[lo:hi_]

@@ -126,16 +126,17 @@ class DistEngine:
         self.use_pallas = bool(use_pallas)
         self._semiring = semiring
         self.pallas_version = 1
-        if self.use_pallas and semiring is not None \
-                and semiring.reduce_kind == "sum":
+        if self.use_pallas and semiring is not None:
             self.pallas_version = 2
         self._pplans = {}
         if self.use_pallas:
             for recv in _direction_receivers(program.order):
-                if self.pallas_version == 2:
+                if self.pallas_version != 2:
+                    self._pplans[recv] = graph.pallas_tile_plans(recv)
+                elif semiring.reduce_kind == "sum":
                     self._pplans[recv] = graph.pallas_tile_plans2(recv)
                 else:
-                    self._pplans[recv] = graph.pallas_tile_plans(recv)
+                    self._pplans[recv] = graph.pallas_tile_plans2m(recv)
 
         tiles = {}
         if not self.use_pallas:
@@ -178,7 +179,7 @@ class DistEngine:
         def pallas_partials(state, msg, sent, structure):
             """Local tile multiply via the Pallas kernel + mesh reduce."""
             from ..ops.pallas_spmv import _identity_process, _spmv_call
-            from ..ops.pallas_spmv2 import _spmv2_call
+            from ..ops.pallas_spmv2 import _spmv2_call, _spmv2m_call
             v2 = self.pallas_version == 2
             prog = self.program
             sem: PallasSemiring = self._semiring
@@ -211,10 +212,13 @@ class DistEngine:
                     xp = xin
                     if xp.shape[0] < n_send_pad:
                         xp = jnp.pad(xp, (0, n_send_pad - xp.shape[0]))
-                    if v2:
+                    if v2 and kd == "sum":
                         ns = getattr(sem, "n_splits", 3)
                         return _spmv2_call(local, static, xp[:n_send_pad],
                                            proc, ns, interpret)
+                    if v2:
+                        return _spmv2m_call(local, static, xp[:n_send_pad],
+                                            kd, proc, interpret)
                     return _spmv_call(local, static, xp[:n_send_pad], kd,
                                       proc, interpret)
 
