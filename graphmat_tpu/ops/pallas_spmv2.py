@@ -62,6 +62,8 @@ LANE = 128
 ROWS = 16                 # chunk sublanes
 CHUNK = ROWS * LANE       # 2048 edge slots per chunk
 HUB_GRANULES = 20         # 16 xtop + 2 lane-bound + 2 rotated x2 granules
+VMEM_X2_MAX_ROWS = 16384  # beyond this the operand stays in HBM (8 MB f32)
+                          # and windows are DMA'd per chunk
 KIND_HUB = 0
 KIND_WINDOW = 1
 
@@ -344,13 +346,13 @@ def _split_bf16(x, n_splits):
 
 
 def _make_kernel(process: Callable, wr: int, h: int, n_splits: int,
-                 classes, debug=None):
+                 classes, debug=None, x2_hbm=False):
     G = wr // LANE
     wmax = max(classes)
 
-    def kernel(kind_ref, blk_ref, base_ref, ngran_ref, idx_ref, val_ref,
+    def kernel(kind_ref, blk_ref, base_ref, idx_ref, val_ref,
                rcf_ref, x2_ref, xtop_ref, xrot_ref, y_ref, acc_ref,
-               wscr_ref):
+               wscr_ref, *dma_sem):
         i = pl.program_id(0)
         first = jnp.logical_or(
             i == 0, blk_ref[i] != blk_ref[jnp.maximum(i - 1, 0)])
@@ -378,6 +380,10 @@ def _make_kernel(process: Callable, wr: int, h: int, n_splits: int,
                 if g < 16:
                     return xtop_ref[8 * g: 8 * g + 8, :]
                 if g < 18:
+                    # x2[0:16] mirror lives at the tail of wscr in HBM mode
+                    if x2_hbm:
+                        return wscr_ref[wmax + 8 * (g - 16):
+                                        wmax + 8 * (g - 16) + 8, :]
                     return x2_ref[8 * (g - 16): 8 * (g - 16) + 8, :]
                 return xrot_ref[8 * (g - 18): 8 * (g - 18) + 8, :]
             return gather_from(tbl, HUB_GRANULES)
@@ -385,10 +391,26 @@ def _make_kernel(process: Callable, wr: int, h: int, n_splits: int,
         def window_branch(W):
             def inner():
                 base = pl.multiple_of(base_ref[i], 8)
-                wscr_ref[0:W, :] = x2_ref[pl.ds(base, W), :]
+                if x2_hbm:
+                    dma = pltpu.make_async_copy(
+                        x2_ref.at[pl.ds(base, W), :],
+                        wscr_ref.at[0:W, :], dma_sem[0])
+                    dma.start()
+                    dma.wait()
+                else:
+                    wscr_ref[0:W, :] = x2_ref[pl.ds(base, W), :]
                 return gather_from(lambda g: wscr_ref[8 * g: 8 * g + 8, :],
                                    W // 8)
             return inner
+
+        if x2_hbm:
+            @pl.when(i == 0)
+            def _():
+                dma0 = pltpu.make_async_copy(
+                    x2_ref.at[0:16, :], wscr_ref.at[wmax:wmax + 16, :],
+                    dma_sem[0])
+                dma0.start()
+                dma0.wait()
 
         if debug == "nogather":
             xv0 = jnp.full((8, LANE), 1.0, jnp.float32)
@@ -437,39 +459,49 @@ def _make_kernel(process: Callable, wr: int, h: int, n_splits: int,
 
 @functools.partial(jax.jit, static_argnames=("plan_static", "process",
                                               "n_splits", "interpret",
-                                              "debug"))
+                                              "debug", "x2_hbm"))
 def _spmv2_call(plan_arrays, plan_static, x, process, n_splits, interpret,
-                debug=None):
+                debug=None, x2_hbm=None):
     h, wr, nb, nc, n_pad, classes = plan_static
     kindid, blkid, base, ngran, idx, val, rcf = plan_arrays
+    del ngran  # granule counts are static per window class
     G = wr // LANE
     x2 = x.reshape(h, LANE)
     xtop = jnp.broadcast_to(x[:LANE, None], (LANE, LANE))
     xrot = jnp.roll(x2[:16], 64, axis=1)
 
-    kernel = _make_kernel(process, wr, h, n_splits, classes, debug)
+    if x2_hbm is None:
+        x2_hbm = h > VMEM_X2_MAX_ROWS and not interpret
+    kernel = _make_kernel(process, wr, h, n_splits, classes, debug,
+                          x2_hbm)
     wmax = max(classes) if classes else 8
     nmap = lambda i, *_: (i, 0, 0)
     chunk_spec = pl.BlockSpec((1, ROWS, LANE), nmap,
                               memory_space=pltpu.VMEM)
+    x2_spec = pl.BlockSpec(memory_space=(pltpu.ANY if x2_hbm
+                                         else pltpu.VMEM))
+    # HBM mode: wscr gains a 16-row mirror of x2[0:16] for hub granules
+    scratch = [pltpu.VMEM((G, LANE), jnp.float32),
+               pltpu.VMEM((wmax + (16 if x2_hbm else 0), LANE),
+                          jnp.float32)]
+    if x2_hbm:
+        scratch.append(pltpu.SemaphoreType.DMA(()))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(nc,),
-        in_specs=[chunk_spec, chunk_spec, chunk_spec,
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
+        in_specs=[chunk_spec, chunk_spec, chunk_spec, x2_spec,
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, G, LANE),
-                               lambda i, kind, blk, bs, ng: (blk[i], 0, 0),
+                               lambda i, kind, blk, bs: (blk[i], 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((G, LANE), jnp.float32),
-                        pltpu.VMEM((wmax, LANE), jnp.float32)],
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, G, LANE), jnp.float32),
         interpret=interpret,
-    )(kindid, blkid, base, ngran, idx, val, rcf, x2, xtop, xrot)
+    )(kindid, blkid, base, idx, val, rcf, x2, xtop, xrot)
     return out.reshape(nb * wr)[:n_pad]
 
 
@@ -846,14 +878,15 @@ def _build_plan2m_native(lib, s, r, v, e, h, wr, nb, hub, windows,
 
 
 def _make_kernel_mm(reduce_kind: str, process: Callable, wr: int, h: int,
-                    classes):
+                    classes, x2_hbm=False):
     G = wr // LANE
+    wmax = max(classes)
     ident = np.float32(np.inf if reduce_kind == "min" else -np.inf)
     comb = jnp.minimum if reduce_kind == "min" else jnp.maximum
 
-    def kernel(kind_ref, blk_ref, base_ref, ngran_ref, rowmask_ref,
+    def kernel(kind_ref, blk_ref, base_ref, rowmask_ref,
                hi2_ref, slo_ref, val_ref, rcf_ref, x2_ref, xtop_ref,
-               xrot_ref, y_ref, acc_ref, wscr_ref):
+               xrot_ref, y_ref, acc_ref, wscr_ref, *dma_sem):
         i = pl.program_id(0)
         first = jnp.logical_or(
             i == 0, blk_ref[i] != blk_ref[jnp.maximum(i - 1, 0)])
@@ -879,6 +912,9 @@ def _make_kernel_mm(reduce_kind: str, process: Callable, wr: int, h: int,
                 if g < 16:
                     return xtop_ref[8 * g: 8 * g + 8, :]
                 if g < 18:
+                    if x2_hbm:
+                        return wscr_ref[wmax + 8 * (g - 16):
+                                        wmax + 8 * (g - 16) + 8, :]
                     return x2_ref[8 * (g - 16): 8 * (g - 16) + 8, :]
                 return xrot_ref[8 * (g - 18): 8 * (g - 18) + 8, :]
             return gather_from(tbl, HUB_GRANULES)
@@ -886,10 +922,26 @@ def _make_kernel_mm(reduce_kind: str, process: Callable, wr: int, h: int,
         def window_branch(W):
             def inner():
                 base = pl.multiple_of(base_ref[i], 8)
-                wscr_ref[0:W, :] = x2_ref[pl.ds(base, W), :]
+                if x2_hbm:
+                    dma = pltpu.make_async_copy(
+                        x2_ref.at[pl.ds(base, W), :],
+                        wscr_ref.at[0:W, :], dma_sem[0])
+                    dma.start()
+                    dma.wait()
+                else:
+                    wscr_ref[0:W, :] = x2_ref[pl.ds(base, W), :]
                 return gather_from(lambda g: wscr_ref[8 * g: 8 * g + 8, :],
                                    W // 8)
             return inner
+
+        if x2_hbm:
+            @pl.when(i == 0)
+            def _():
+                dma0 = pltpu.make_async_copy(
+                    x2_ref.at[0:16, :], wscr_ref.at[wmax:wmax + 16, :],
+                    dma_sem[0])
+                dma0.start()
+                dma0.wait()
 
         branches = [hub_branch] + [window_branch(W) for W in classes]
         q0, q1 = jax.lax.switch(kind_ref[i], branches)
@@ -932,38 +984,50 @@ def _make_kernel_mm(reduce_kind: str, process: Callable, wr: int, h: int,
 
 
 @functools.partial(jax.jit, static_argnames=("plan_static", "reduce_kind",
-                                              "process", "interpret"))
+                                              "process", "interpret",
+                                              "x2_hbm"))
 def _spmv2m_call(plan_arrays, plan_static, x, reduce_kind, process,
-                 interpret):
+                 interpret, x2_hbm=None):
     h, wr, nb, nc, n_pad, classes = plan_static
     kindid, blkid, base, ngran, rowmask, hi2, slo, val, rcf = plan_arrays
+    del ngran
     G = wr // LANE
     x2 = x.reshape(h, LANE)
     xtop = jnp.broadcast_to(x[:LANE, None], (LANE, LANE))
     xrot = jnp.roll(x2[:16], 64, axis=1)
 
-    kernel = _make_kernel_mm(reduce_kind, process, wr, h, classes)
+    if x2_hbm is None:
+        x2_hbm = h > VMEM_X2_MAX_ROWS and not interpret
+    kernel = _make_kernel_mm(reduce_kind, process, wr, h, classes, x2_hbm)
     wmax = max(classes) if classes else 8
     nmap = lambda i, *_: (i, 0, 0)
     chunk_spec = pl.BlockSpec((1, ROWS, LANE), nmap,
                               memory_space=pltpu.VMEM)
+    x2_spec = pl.BlockSpec(memory_space=(pltpu.ANY if x2_hbm
+                                         else pltpu.VMEM))
+    scratch = [pltpu.VMEM((G, LANE), jnp.float32),
+               pltpu.VMEM((wmax + (16 if x2_hbm else 0), LANE),
+                          jnp.float32)]
+    if x2_hbm:
+        scratch.append(pltpu.SemaphoreType.DMA(()))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=4,
         grid=(nc,),
         in_specs=[chunk_spec] * 4
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        + [x2_spec,
+           pl.BlockSpec(memory_space=pltpu.VMEM),
+           pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, G, LANE),
-                               lambda i, kind, blk, bs, ng, rmk:
+                               lambda i, kind, blk, bs, rmk:
                                (blk[i], 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((G, LANE), jnp.float32),
-                        pltpu.VMEM((wmax, LANE), jnp.float32)],
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, G, LANE), jnp.float32),
         interpret=interpret,
-    )(kindid, blkid, base, ngran, rowmask, hi2, slo, val, rcf, x2, xtop,
+    )(kindid, blkid, base, rowmask, hi2, slo, val, rcf, x2, xtop,
       xrot)
     return out.reshape(nb * wr)[:n_pad]
 
