@@ -241,6 +241,8 @@ class Engine:
             if v2:
                 plan_static = (plan.h, plan.wr, plan.nb, plan.nc,
                                plan.n_pad, plan.classes)
+                if kind == "sum":
+                    plan_static = plan_static + (plan.rows,)
             else:
                 plan_static = (plan.nc, plan.nb, plan.wr, plan.h,
                                plan.n_pad, plan.row_e, plan.win)

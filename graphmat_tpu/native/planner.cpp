@@ -233,7 +233,7 @@ constexpr int kHubGran = 20;
 
 struct Plan2 {
   int64_t e = 0;
-  int32_t h = 0, wr = 0, nb = 0, hub = 0;
+  int32_t h = 0, wr = 0, nb = 0, hub = 0, rows = kRows2;
   std::vector<int32_t> windows;   // ascending, clamped to h
   // per edge
   std::vector<int32_t> cellid;    // compact active-cell index
@@ -257,9 +257,11 @@ extern "C" {
 void* gm_plan2_create(const int32_t* senders, const int32_t* receivers,
                       const float* vals, int64_t e, int32_t h, int32_t wr,
                       int32_t nb, int32_t hub, const int32_t* windows,
-                      int32_t nw, int64_t cell_min, int64_t* nc_out) {
+                      int32_t nw, int64_t cell_min, int32_t rows,
+                      int64_t* nc_out) {
   auto* p = new Plan2();
   p->e = e; p->h = h; p->wr = wr; p->nb = nb; p->hub = hub;
+  p->rows = rows;
   p->s = senders; p->r = receivers; p->v = vals;
   for (int32_t k = 0; k < nw; ++k)
     p->windows.push_back(std::min(windows[k], h));
@@ -397,7 +399,7 @@ void* gm_plan2_create(const int32_t* senders, const int32_t* receivers,
       int32_t mx = 0;
       const int32_t* lc = &lanecnt[cl.raw * kLane];
       for (int l = 0; l < kLane; ++l) mx = std::max(mx, lc[l]);
-      nc += (mx + kRows2 - 1) / kRows2;
+      nc += (mx + p->rows - 1) / p->rows;
       ++ci;
     }
   }
@@ -451,7 +453,7 @@ void gm_plan2_fill(void* handle, int32_t* kindid, int32_t* blkid,
                    float* val, int32_t* rcf) {
   auto* p = static_cast<Plan2*>(handle);
   const int64_t nc = p->nc;
-  const int64_t chunk_elems = (int64_t)kRows2 * kLane;
+  const int64_t chunk_elems = (int64_t)p->rows * kLane;
   const size_t nfc = p->cell_kind.size();
 
 #pragma omp parallel for schedule(static)
@@ -483,9 +485,9 @@ void gm_plan2_fill(void* handle, int32_t* kindid, int32_t* blkid,
       const int64_t i = p->edge_order[j];
       const int lane = (int)p->lane[i];
       const int32_t k = cnt[lane]++;
-      const int64_t chunk = p->cell_chunk_base[q] + k / kRows2;
+      const int64_t chunk = p->cell_chunk_base[q] + k / p->rows;
       const int64_t slot = chunk * chunk_elems
-                           + (int64_t)(k % kRows2) * kLane + lane;
+                           + (int64_t)(k % p->rows) * kLane + lane;
       idx[slot] = p->gidx[i];
       val[slot] = p->v[i];
       rcf[slot] = p->r[i] - wrblk;

@@ -151,3 +151,22 @@ def test_spmv2m_hot_receiver_rowmode():
     np.minimum.at(ref, r, x[s] + v)
     got = np.isfinite(ref)
     assert np.allclose(y[:n][got], ref[got], rtol=1e-6)
+
+
+def test_spmv2_rows32_matches_oracle():
+    rng = np.random.default_rng(9)
+    n, e = 4000, 50000
+    s = rng.integers(0, n, e).astype(np.int64)
+    s[: e // 3] = rng.integers(0, 100, e // 3)
+    r = rng.integers(0, n, e).astype(np.int64)
+    v = rng.standard_normal(e).astype(np.float32)
+    plan = build_spmv2_plan(s, r, v, n, wr=512, windows=(16, 64),
+                            cell_min=64, rows=32)
+    assert plan.rows == 32 and plan.idx.shape[1] == 32
+    x = rng.standard_normal(n).astype(np.float32)
+    xp = np.zeros(plan.n_send_pad, np.float32)
+    xp[:n] = x
+    y = np.asarray(spmv2(plan, jnp.asarray(xp), "sum",
+                         process=lambda xv, ev: xv * ev, interpret=True))
+    ref = sp.csr_matrix((v, (r, s)), shape=(n, n)) @ x.astype(np.float64)
+    assert np.allclose(y[:n], ref, rtol=2e-6, atol=1e-5)
