@@ -240,9 +240,7 @@ class Engine:
             plan_arrays, got_static = plans[recv]
             if v2:
                 plan_static = (plan.h, plan.wr, plan.nb, plan.nc,
-                               plan.n_pad, plan.classes)
-                if kind == "sum":
-                    plan_static = plan_static + (plan.rows,)
+                               plan.n_pad, plan.classes, plan.rows)
             else:
                 plan_static = (plan.nc, plan.nb, plan.wr, plan.h,
                                plan.n_pad, plan.row_e, plan.win)

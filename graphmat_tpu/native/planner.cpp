@@ -509,7 +509,7 @@ namespace {
 
 struct Plan2m {
   int64_t e = 0;
-  int32_t h = 0, wr = 0, nb = 0, hub = 0;
+  int32_t h = 0, wr = 0, nb = 0, hub = 0, rows = kRows2;
   std::vector<int32_t> windows;
   // per edge: chunk-local index within its cell, row, sender-slot lane;
   // row-mode edges (in-degree hubs) use erm=1 and (echunk,erow) indexing
@@ -537,9 +537,11 @@ extern "C" {
 void* gm_plan2m_create(const int32_t* senders, const int32_t* receivers,
                        const float* vals, int64_t e, int32_t h, int32_t wr,
                        int32_t nb, int32_t hub, const int32_t* windows,
-                       int32_t nw, int64_t cell_min, int64_t* nc_out) {
+                       int32_t nw, int64_t cell_min, int32_t rows,
+                       int64_t* nc_out) {
   auto* p = new Plan2m();
   p->e = e; p->h = h; p->wr = wr; p->nb = nb; p->hub = hub;
+  p->rows = rows;
   p->s = senders; p->r = receivers; p->v = vals;
   for (int32_t k = 0; k < nw; ++k)
     p->windows.push_back(std::min(windows[k], h));
@@ -709,8 +711,8 @@ void* gm_plan2m_create(const int32_t* senders, const int32_t* receivers,
           }
           const int32_t rr = nrm + cnt[sx]++;
           p->erm[i] = 1;
-          p->echunk[i] = rr / kRows2;
-          p->erow[i] = (int8_t)(rr % kRows2);
+          p->echunk[i] = rr / p->rows;
+          p->erow[i] = (int8_t)(rr % p->rows);
           p->eslane[i] = (int8_t)sx;
           p->gidx[i] = (cl.kind == 0)
                            ? (sv < kLane ? sv : kLane + (sv >> 7))
@@ -723,7 +725,7 @@ void* gm_plan2m_create(const int32_t* senders, const int32_t* receivers,
       li = lj;
     }
     p->cell_nrmrows[q] = nrm;
-    const int64_t rm_chunks = (nrm + kRows2 - 1) / kRows2;
+    const int64_t rm_chunks = (nrm + p->rows - 1) / p->rows;
 
     // cold edges, two stages: (1) chunk assignment under two-sided
     // per-(chunk, lane) capacity 16, (2) per-chunk greedy row coloring
@@ -743,8 +745,8 @@ void* gm_plan2m_create(const int32_t* senders, const int32_t* receivers,
         if (c == cnt_r.size()) {
           cnt_r.push_back({}); cnt_s.push_back({});
         }
-        if (cnt_r[c][rl] < kRows2 &&
-            (freelane || cnt_s[c][slv] < kRows2)) break;
+        if (cnt_r[c][rl] < p->rows &&
+            (freelane || cnt_s[c][slv] < p->rows)) break;
       }
       p->echunk[i] = (int32_t)c;
       cnt_r[c][rl]++;
@@ -757,7 +759,7 @@ void* gm_plan2m_create(const int32_t* senders, const int32_t* receivers,
     // stage 2: greedy rows per chunk; overflow edges get fresh chunks
     std::vector<std::array<uint64_t, 2>> slotm, sendm;
     auto ensure = [&](size_t c) {
-      while (slotm.size() < (c + 1) * kRows2) {
+      while (slotm.size() < (c + 1) * (size_t)p->rows) {
         slotm.push_back({0, 0});
         sendm.push_back({0, 0});
       }
@@ -773,9 +775,9 @@ void* gm_plan2m_create(const int32_t* senders, const int32_t* receivers,
         const bool freelane = (cl.kind == 0 && sv < kLane);
         const int slv = sv & (kLane - 1);
         int row = -1, sx = -1;
-        for (int ri = 0; ri < kRows2; ++ri) {
-          auto& su = slotm[c * kRows2 + ri];
-          auto& se = sendm[c * kRows2 + ri];
+        for (int ri = 0; ri < p->rows; ++ri) {
+          auto& su = slotm[c * (size_t)p->rows + ri];
+          auto& se = sendm[c * (size_t)p->rows + ri];
           if (su[rl >> 6] >> (rl & 63) & 1) continue;
           if (freelane) {
             if (~se[0]) sx = __builtin_ctzll(~se[0]);
@@ -821,7 +823,7 @@ void gm_plan2m_fill(void* handle, int32_t* kindid, int32_t* blkid,
                     int32_t* hi2, int32_t* slo, float* val, int32_t* rcf) {
   auto* p = static_cast<Plan2m*>(handle);
   const int64_t nc = p->nc;
-  const int64_t chunk_elems = (int64_t)kRows2 * kLane;
+  const int64_t chunk_elems = (int64_t)p->rows * kLane;
   const size_t nfc = p->cell_kind.size();
 
 #pragma omp parallel for schedule(static)
@@ -835,7 +837,7 @@ void gm_plan2m_fill(void* handle, int32_t* kindid, int32_t* blkid,
 #pragma omp parallel for schedule(static)
   for (int64_t q = 0; q < (int64_t)nfc; ++q) {
     const int32_t nrm = p->cell_nrmrows[q];
-    const int64_t rm_chunks = (nrm + kRows2 - 1) / kRows2;
+    const int64_t rm_chunks = (nrm + p->rows - 1) / p->rows;
     int64_t k = 0;
     for (int64_t c = p->cell_chunk_base[q]; c < p->cell_chunk_base[q + 1];
          ++c, ++k) {
@@ -844,9 +846,9 @@ void gm_plan2m_fill(void* handle, int32_t* kindid, int32_t* blkid,
       baseid[c] = p->cell_base[q];
       ngran[c] = p->cell_ngran[q];
       if (k < rm_chunks) {
-        const int32_t rows = (int32_t)std::min<int64_t>(
-            kRows2, nrm - k * kRows2);
-        rowmask[c] = (rows >= 32) ? -1 : ((1 << rows) - 1);
+        const int32_t nr = (int32_t)std::min<int64_t>(
+            p->rows, nrm - k * (int64_t)p->rows);
+        rowmask[c] = (nr >= 32) ? -1 : ((1 << nr) - 1);
       } else {
         rowmask[c] = 0;
       }
@@ -855,7 +857,8 @@ void gm_plan2m_fill(void* handle, int32_t* kindid, int32_t* blkid,
 #pragma omp parallel for schedule(dynamic, 8)
   for (int64_t q = 0; q < (int64_t)nfc; ++q) {
     const int64_t wrblk = (int64_t)p->cell_blk[q] * p->wr;
-    const int64_t rm_chunks = (p->cell_nrmrows[q] + kRows2 - 1) / kRows2;
+    const int64_t rm_chunks =
+        (p->cell_nrmrows[q] + p->rows - 1) / p->rows;
     for (int64_t j = p->cell_edge_start[q]; j < p->cell_edge_start[q + 1];
          ++j) {
       const int64_t i = p->edge_order[j];

@@ -563,6 +563,7 @@ class Spmv2mPlan:
     nnz: int
     fill: float
     classes: tuple
+    rows: int             # chunk sublanes (16 or 32)
     kindid: Any           # i32[nc]
     blkid: Any            # i32[nc]
     base: Any             # i32[nc]
@@ -641,11 +642,11 @@ def _pack_colored(rl, sl, free_lane, cap=ROWS):
         for k in pending:
             c = chunk[k]
             if c not in slot_used:
-                slot_used[c] = np.zeros((ROWS, LANE), bool)
-                send_used[c] = np.zeros((ROWS, LANE), bool)
+                slot_used[c] = np.zeros((cap, LANE), bool)
+                send_used[c] = np.zeros((cap, LANE), bool)
             su, se_ = slot_used[c], send_used[c]
             placed = False
-            for i in range(ROWS):
+            for i in range(cap):
                 if su[i, rl[k]]:
                     continue
                 if free_lane[k]:
@@ -680,7 +681,8 @@ def build_spmv2m_plan(senders0: np.ndarray, receivers0: np.ndarray,
                       vals: np.ndarray, n: int, n_recv: int | None = None,
                       wr: int = 4096, hub: int = 2048,
                       windows=(64, 256, 1024, 2048),
-                      cell_min: int = 2000) -> Spmv2mPlan:
+                      cell_min: int = 4000,
+                      rows: int = 32) -> Spmv2mPlan:
     """min/max-layout plan (receiver-lane-bound slots, colored rows)."""
     if n_recv is None:
         n_recv = n
@@ -700,7 +702,7 @@ def build_spmv2m_plan(senders0: np.ndarray, receivers0: np.ndarray,
     if lib is not None and e > 0 and hasattr(lib, "gm_plan2m_create"):
         return _build_plan2m_native(
             lib, s, r, v, e, h, wr, nb, hub, norm_windows, cell_min,
-            n_pad, n_send_pad, receivers0)
+            n_pad, n_send_pad, receivers0, rows)
 
     rblk = r // wr
     # classification identical to the sum plan
@@ -766,6 +768,7 @@ def build_spmv2m_plan(senders0: np.ndarray, receivers0: np.ndarray,
         hotset = set(ur[rcount >= ROWMODE_MIN].tolist())
         ishot = np.array([x in hotset for x in re_]) if hotset else             np.zeros(len(re_), bool)
 
+        RW = rows
         rm_rows = []   # (receiver, hi2row, slorow, valrow, maskrow)
         if ishot.any():
             for rv in sorted(hotset):
@@ -783,29 +786,29 @@ def build_spmv2m_plan(senders0: np.ndarray, receivers0: np.ndarray,
                     vr[sxh[mm_]] = veh[mm_]
                     rcr[sxh[mm_]] = rv - blk * wr
                     rm_rows.append((h2, sr, vr, rcr))
-        # row-mode rows fill chunks of 16 (rowmask all set)
-        for c0 in range(0, len(rm_rows), ROWS):
-            grp = rm_rows[c0:c0 + ROWS]
-            hi2 = np.zeros((ROWS, LANE), np.int32)
-            slo = np.zeros((ROWS, LANE), np.int32)
-            vv = np.zeros((ROWS, LANE), np.float32)
-            rcq = np.full((ROWS, LANE), wr, np.int32)
+        # row-mode rows fill whole chunks (rowmask bits set per used row)
+        for c0 in range(0, len(rm_rows), RW):
+            grp = rm_rows[c0:c0 + RW]
+            hi2 = np.zeros((RW, LANE), np.int32)
+            slo = np.zeros((RW, LANE), np.int32)
+            vv = np.zeros((RW, LANE), np.float32)
+            rcq = np.full((RW, LANE), wr, np.int32)
             for i, (h2, sr, vr, rcr) in enumerate(grp):
                 hi2[i], slo[i], vv[i], rcq[i] = h2, sr, vr, rcr
-            rowmask = (1 << len(grp)) - 1
+            rowmask = -1 if len(grp) >= 32 else (1 << len(grp)) - 1
             chunks.append((kd, blk, base, ng, hi2, slo, vv, rcq, rowmask))
 
         cold = ~ishot
         if cold.any():
             rlc, slc, freec = rl[cold], sl[cold], free[cold]
             sec, vec, rec = se[cold], ve[cold], re_[cold]
-            ch, rw, sx, ncc = _pack_colored(rlc, slc, freec)
+            ch, rw, sx, ncc = _pack_colored(rlc, slc, freec, rows)
             for c in range(ncc):
                 m = ch == c
-                hi2 = np.zeros((ROWS, LANE), np.int32)
-                slo = np.zeros((ROWS, LANE), np.int32)
-                vv = np.zeros((ROWS, LANE), np.float32)
-                rcq = np.full((ROWS, LANE), wr, np.int32)
+                hi2 = np.zeros((rows, LANE), np.int32)
+                slo = np.zeros((rows, LANE), np.int32)
+                vv = np.zeros((rows, LANE), np.float32)
+                rcq = np.full((rows, LANE), wr, np.int32)
                 ri, sxi, rli = rw[m], sx[m], rlc[m]
                 gi2 = gidx_of(sec[m])
                 hi2[ri, sxi] = gi2
@@ -818,10 +821,10 @@ def build_spmv2m_plan(senders0: np.ndarray, receivers0: np.ndarray,
     for b in range(nb):
         if b not in covered:
             chunks.append((0, b, 0, HUB_GRANULES,
-                           np.zeros((ROWS, LANE), np.int32),
-                           np.zeros((ROWS, LANE), np.int32),
-                           np.zeros((ROWS, LANE), np.float32),
-                           np.full((ROWS, LANE), wr, np.int32), 0))
+                           np.zeros((rows, LANE), np.int32),
+                           np.zeros((rows, LANE), np.int32),
+                           np.zeros((rows, LANE), np.float32),
+                           np.full((rows, LANE), wr, np.int32), 0))
     chunks.sort(key=lambda c: c[1])
     nc = len(chunks)
     got = np.zeros(n_pad, bool)
@@ -829,8 +832,8 @@ def build_spmv2m_plan(senders0: np.ndarray, receivers0: np.ndarray,
         got[np.unique(np.asarray(receivers0))] = True
     return Spmv2mPlan(
         n_pad=n_pad, n_send_pad=n_send_pad, h=h, wr=wr, nb=nb, nc=nc,
-        hub=hub, nnz=e, fill=e / max(nc * CHUNK, 1),
-        classes=tuple(norm_windows),
+        hub=hub, nnz=e, fill=e / max(nc * rows * LANE, 1),
+        classes=tuple(norm_windows), rows=rows,
         kindid=jnp.asarray(np.array([c[0] for c in chunks], np.int32)),
         blkid=jnp.asarray(np.array([c[1] for c in chunks], np.int32)),
         base=jnp.asarray(np.array([c[2] for c in chunks], np.int32)),
@@ -844,7 +847,8 @@ def build_spmv2m_plan(senders0: np.ndarray, receivers0: np.ndarray,
 
 
 def _build_plan2m_native(lib, s, r, v, e, h, wr, nb, hub, windows,
-                         cell_min, n_pad, n_send_pad, receivers0):
+                         cell_min, n_pad, n_send_pad, receivers0,
+                         rows=32):
     """C++/OpenMP v2m plan build (graphmat_tpu/native/planner.cpp)."""
     import ctypes
 
@@ -854,7 +858,8 @@ def _build_plan2m_native(lib, s, r, v, e, h, wr, nb, hub, windows,
     wins = np.ascontiguousarray(windows, np.int32)
     nc_out = ctypes.c_int64()
     handle = lib.gm_plan2m_create(sa, ra, va, e, h, wr, nb, hub, wins,
-                                  len(wins), cell_min, ctypes.byref(nc_out))
+                                  len(wins), cell_min, rows,
+                                  ctypes.byref(nc_out))
     nc = int(nc_out.value)
     try:
         kindid = np.empty(nc, np.int32)
@@ -862,10 +867,10 @@ def _build_plan2m_native(lib, s, r, v, e, h, wr, nb, hub, windows,
         base = np.empty(nc, np.int32)
         ngran = np.empty(nc, np.int32)
         rowmask = np.empty(nc, np.int32)
-        hi2 = np.empty((nc, ROWS, LANE), np.int32)
-        slo = np.empty((nc, ROWS, LANE), np.int32)
-        val = np.empty((nc, ROWS, LANE), np.float32)
-        rcf = np.empty((nc, ROWS, LANE), np.int32)
+        hi2 = np.empty((nc, rows, LANE), np.int32)
+        slo = np.empty((nc, rows, LANE), np.int32)
+        val = np.empty((nc, rows, LANE), np.float32)
+        rcf = np.empty((nc, rows, LANE), np.int32)
         lib.gm_plan2m_fill(handle, kindid, blkid, base, ngran, rowmask,
                            hi2.reshape(-1), slo.reshape(-1),
                            val.reshape(-1), rcf.reshape(-1))
@@ -875,8 +880,8 @@ def _build_plan2m_native(lib, s, r, v, e, h, wr, nb, hub, windows,
     got[np.unique(np.asarray(receivers0))] = True
     return Spmv2mPlan(
         n_pad=n_pad, n_send_pad=n_send_pad, h=h, wr=wr, nb=nb, nc=nc,
-        hub=hub, nnz=e, fill=e / max(nc * CHUNK, 1),
-        classes=tuple(int(w) for w in windows),
+        hub=hub, nnz=e, fill=e / max(nc * rows * LANE, 1),
+        classes=tuple(int(w) for w in windows), rows=rows,
         kindid=jnp.asarray(kindid), blkid=jnp.asarray(blkid),
         base=jnp.asarray(base), ngran=jnp.asarray(ngran),
         rowmask=jnp.asarray(rowmask),
@@ -885,9 +890,10 @@ def _build_plan2m_native(lib, s, r, v, e, h, wr, nb, hub, windows,
 
 
 def _make_kernel_mm(reduce_kind: str, process: Callable, wr: int, h: int,
-                    classes, x2_hbm=False):
+                    classes, x2_hbm=False, rows=ROWS):
     G = wr // LANE
     wmax = max(classes)
+    ntiles = rows // 8
     ident = np.float32(np.inf if reduce_kind == "min" else -np.inf)
     comb = jnp.minimum if reduce_kind == "min" else jnp.maximum
 
@@ -902,14 +908,17 @@ def _make_kernel_mm(reduce_kind: str, process: Callable, wr: int, h: int,
         def _():
             acc_ref[:] = jnp.full_like(acc_ref, ident)
 
-        subs = [hi2_ref[0, 8 * t: 8 * t + 8, :] & 7 for t in range(2)]
-        gsels = [hi2_ref[0, 8 * t: 8 * t + 8, :] >> 3 for t in range(2)]
+        subs = [hi2_ref[0, 8 * t: 8 * t + 8, :] & 7
+                for t in range(ntiles)]
+        gsels = [hi2_ref[0, 8 * t: 8 * t + 8, :] >> 3
+                 for t in range(ntiles)]
 
         def gather_from(tbl_for_g, ngran):
-            qs = [jnp.zeros((8, LANE), jnp.float32) for _ in range(2)]
+            qs = [jnp.zeros((8, LANE), jnp.float32)
+                  for _ in range(ntiles)]
             for g in range(ngran):
                 tbl = tbl_for_g(g)
-                for t in range(2):
+                for t in range(ntiles):
                     got = jnp.take_along_axis(tbl, subs[t], axis=0)
                     qs[t] = jnp.where(gsels[t] == g, got, qs[t])
             return tuple(qs)
@@ -951,14 +960,16 @@ def _make_kernel_mm(reduce_kind: str, process: Callable, wr: int, h: int,
                 dma0.wait()
 
         branches = [hub_branch] + [window_branch(W) for W in classes]
-        q0, q1 = jax.lax.switch(kind_ref[i], branches)
+        qs = list(jax.lax.switch(kind_ref[i], branches))
 
         # route to receiver-lane slots, then process
-        xv0 = jnp.take_along_axis(q0, slo_ref[0, 0:8, :], axis=1)
-        xv1 = jnp.take_along_axis(q1, slo_ref[0, 8:16, :], axis=1)
-        p0 = process(xv0, val_ref[0, 0:8, :]).astype(jnp.float32)
-        p1 = process(xv1, val_ref[0, 8:16, :]).astype(jnp.float32)
-        p = jnp.concatenate([p0, p1], axis=0)          # [16,128]
+        ps = []
+        for t in range(ntiles):
+            xv = jnp.take_along_axis(qs[t], slo_ref[0, 8 * t: 8 * t + 8, :],
+                                     axis=1)
+            ps.append(process(xv, val_ref[0, 8 * t: 8 * t + 8, :]).astype(
+                jnp.float32))
+        p = jnp.concatenate(ps, axis=0)                # [rows,128]
         rcf = rcf_ref[0]                               # [16,128]; pad = wr
 
         # single-receiver rows (in-degree hubs): reduce the whole row and
@@ -966,16 +977,16 @@ def _make_kernel_mm(reduce_kind: str, process: Callable, wr: int, h: int,
         # reduce.  rc_row = min(rcf) is the row's receiver (pads carry wr).
         red_ax1 = jnp.min if reduce_kind == "min" else jnp.max
         rm = rowmask_ref[i]
-        iota_r = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0)
-        mode = ((rm >> iota_r) & 1) == 1               # [16,1]
-        rc_row = jnp.min(rcf, axis=1, keepdims=True)   # [16,1]
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        mode = ((rm >> jnp.minimum(iota_r, 31)) & 1) == 1   # [rows,1]
+        rc_row = jnp.min(rcf, axis=1, keepdims=True)   # [rows,1]
         pmask = jnp.where(rcf == rc_row, p, ident)
-        rowred = red_ax1(pmask, axis=1, keepdims=True)  # [16,1]
-        lane_i = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANE), 1)
+        rowred = red_ax1(pmask, axis=1, keepdims=True)  # [rows,1]
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
         hit = lane_i == (rc_row & (LANE - 1))
-        p_rm = jnp.where(hit, jnp.broadcast_to(rowred, (ROWS, LANE)),
+        p_rm = jnp.where(hit, jnp.broadcast_to(rowred, (rows, LANE)),
                          ident)
-        rcf_rm = jnp.where(hit, jnp.broadcast_to(rc_row, (ROWS, LANE)),
+        rcf_rm = jnp.where(hit, jnp.broadcast_to(rc_row, (rows, LANE)),
                            wr)
         p = jnp.where(mode, p_rm, p)
         rg = jnp.where(mode, rcf_rm, rcf) >> 7
@@ -995,7 +1006,8 @@ def _make_kernel_mm(reduce_kind: str, process: Callable, wr: int, h: int,
                                               "x2_hbm"))
 def _spmv2m_call(plan_arrays, plan_static, x, reduce_kind, process,
                  interpret, x2_hbm=None):
-    h, wr, nb, nc, n_pad, classes = plan_static
+    h, wr, nb, nc, n_pad, classes = plan_static[:6]
+    rows = plan_static[6] if len(plan_static) > 6 else ROWS
     kindid, blkid, base, ngran, rowmask, hi2, slo, val, rcf = plan_arrays
     del ngran
     G = wr // LANE
@@ -1005,10 +1017,11 @@ def _spmv2m_call(plan_arrays, plan_static, x, reduce_kind, process,
 
     if x2_hbm is None:
         x2_hbm = h > VMEM_X2_MAX_ROWS and not interpret
-    kernel = _make_kernel_mm(reduce_kind, process, wr, h, classes, x2_hbm)
+    kernel = _make_kernel_mm(reduce_kind, process, wr, h, classes, x2_hbm,
+                             rows)
     wmax = max(classes) if classes else 8
     nmap = lambda i, *_: (i, 0, 0)
-    chunk_spec = pl.BlockSpec((1, ROWS, LANE), nmap,
+    chunk_spec = pl.BlockSpec((1, rows, LANE), nmap,
                               memory_space=pltpu.VMEM)
     x2_spec = pl.BlockSpec(memory_space=(pltpu.ANY if x2_hbm
                                          else pltpu.VMEM))
@@ -1051,6 +1064,6 @@ def spmv2m(plan: Spmv2mPlan, x, reduce_kind: str,
     plan_arrays = (plan.kindid, plan.blkid, plan.base, plan.ngran,
                    plan.rowmask, plan.hi2, plan.slo, plan.val, plan.rcf)
     plan_static = (plan.h, plan.wr, plan.nb, plan.nc, plan.n_pad,
-                   plan.classes)
+                   plan.classes, plan.rows)
     return _spmv2m_call(plan_arrays, plan_static, x, reduce_kind, process,
                         interpret)

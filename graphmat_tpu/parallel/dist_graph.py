@@ -340,7 +340,7 @@ class DistGraph:
         got = np.stack([np.asarray(p.got_static) for p in plans])
         got_d = jax.device_put(got, sh)
         static = (plans[0].h, wr_eff, nb, nc_max, plans[0].n_pad,
-                  plans[0].classes)
+                  plans[0].classes, plans[0].rows)
         self._pallas_plans[key] = (arrays, static, got_d,
                                    plans[0].n_send_pad)
         return self._pallas_plans[key]
