@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.graph import Graph
-from ..core.program import GraphProgram, PallasVecSemiring
+from ..core.program import (GraphProgram, PallasVec2Semiring,
+                            PallasVecSemiring)
 from ..core.runtime import Engine
 from ..core.types import Activity, Direction, SUM
 from ..utils.reference_rng import rand_r_uniform_np
@@ -35,6 +36,10 @@ from ..utils.reference_rng import rand_r_uniform_np
 def _sgd_process(xv, ev, vpr, extra, rid):
     est = jnp.sum(xv * vpr, axis=0, keepdims=True)
     return xv * (ev - est)
+
+
+def _sgd_process_v2(xv, ev, vpr, extra, rid, block_sum):
+    return xv * (ev - block_sum(xv * vpr))
 
 __all__ = ["SGDProgram", "RMSEProgram", "run_sgd", "init_sgd_graph",
            "rmse_per_edge"]
@@ -62,6 +67,17 @@ class SGDProgram(GraphProgram):
             decode=lambda y: y.astype(self.dtype),
             needs_vp=True)
 
+    def pallas_vec2_semiring(self):
+        if self.k > 32:
+            return None
+        return PallasVec2Semiring(
+            k=self.k,
+            process=_sgd_process_v2,
+            encode=lambda state, msg: msg,
+            encode_vp=lambda state, vp: vp["lv"],
+            decode=lambda y: y.astype(self.dtype),
+            needs_vp=True)
+
     def send_message(self, state, vp):
         return vp["lv"], None
 
@@ -79,6 +95,16 @@ class SGDProgram(GraphProgram):
 
     def changed(self, old_vp, new_vp):
         return jnp.any(jnp.abs(old_vp["lv"] - new_vp["lv"]) > 1e-7, axis=1)
+
+
+def _make_rmse_process_v2(k):
+    import jax
+
+    def _rmse_process_v2(xv, ev, vpr, extra, rid, block_sum):
+        err2 = (ev - block_sum(xv * vpr)) ** 2
+        lane_k = jax.lax.broadcasted_iota(jnp.int32, xv.shape, 1) % 32
+        return jnp.where(lane_k == 0, err2, 0.0)
+    return _rmse_process_v2
 
 
 def _make_rmse_process(k):
@@ -108,6 +134,17 @@ class RMSEProgram(GraphProgram):
         return PallasVecSemiring(
             k=self.k,
             process=self._proc,
+            encode=lambda state, msg: msg,
+            encode_vp=lambda state, vp: vp["lv"],
+            decode=lambda y: y[:, 0].astype(self.dtype),
+            needs_vp=True)
+
+    def pallas_vec2_semiring(self):
+        if self.k > 32:
+            return None
+        return PallasVec2Semiring(
+            k=self.k,
+            process=_make_rmse_process_v2(self.k),
             encode=lambda state, msg: msg,
             encode_vp=lambda state, vp: vp["lv"],
             decode=lambda y: y[:, 0].astype(self.dtype),

@@ -328,6 +328,19 @@ class Graph:
                 n_recv=self.n_pad, wr=wr)
         return self._pallas_plans[key]
 
+    def pallas_plan_vec2(self, receiver: str, wr: int = 4096):
+        """Lazily built v2 K-wide vector plan (32-lane edge blocks)."""
+        key = ("vec2", receiver, wr)
+        if key not in self._pallas_plans:
+            if receiver not in self._host_edges:
+                raise ValueError(f"no host edges for receiver={receiver}")
+            from ..ops.pallas_spmv_vec2 import build_spmv_vec2_plan
+            senders0, receivers0, vals = self._host_edges[receiver]
+            self._pallas_plans[key] = build_spmv_vec2_plan(
+                senders0, receivers0, vals, self.n_pad,
+                n_recv=self.n_pad, wr=wr)
+        return self._pallas_plans[key]
+
     def structure_pytree(self):
         """All structure arrays as a pytree (to pass into jitted runs)."""
         return {

@@ -111,6 +111,36 @@ class PallasVecSemiring:
     vp_splits: int = 2
 
 
+@dataclass(frozen=True)
+class PallasVec2Semiring:
+    """Opt-in declaration for the v2 K-wide vector kernel
+    (``ops.pallas_spmv_vec2``) — 32-lane edge blocks, f32-exact tala
+    gathers, batched scatter matmul.
+
+    * ``k``: message width (<= 32);
+    * ``process(xv, ev, vpr, extra, rid, block_sum)``: ⊗ on ``[rows, 128]``
+      tiles where each 32-lane block is one edge's K-vector; ``block_sum``
+      sums within blocks (broadcast back), ``rid`` is the global receiver
+      id replicated per block, ``extra`` a [1, 128] broadcast row (the
+      ``extra_fn`` vector tiled over the four blocks);
+    * ``encode/encode_vp/decode/extra_fn`` as in :class:`PallasVecSemiring`
+      (decode receives ``y[n_pad, 32]``);
+    * ``n_splits``: bf16 planes in the scatter/block_sum (2 ≈ 2^-17).
+
+    ⊕ is sum; requires ``Activity.ALL_VERTICES`` (got comes from the
+    static structure).
+    """
+
+    k: int = 1
+    process: Callable = None
+    encode: Callable = None
+    encode_vp: Callable = None
+    decode: Callable = _identity_codec
+    needs_vp: bool = False
+    extra_fn: Callable = None
+    n_splits: int = 2
+
+
 class IterationContext:
     """Facilities available to ``do_every_iteration``.
 
@@ -213,4 +243,9 @@ class GraphProgram:
     def pallas_vec_semiring(self) -> Optional["PallasVecSemiring"]:
         """Return a :class:`PallasVecSemiring` to enable the K-wide TPU
         fast path (vector messages / 3-operand programs)."""
+        return None
+
+    def pallas_vec2_semiring(self) -> Optional["PallasVec2Semiring"]:
+        """Return a :class:`PallasVec2Semiring` to enable the v2 K-wide
+        TPU kernel (preferred over the v1 vec path when present)."""
         return None

@@ -83,33 +83,48 @@ class Engine:
         # ---- Pallas fast-path eligibility ------------------------------
         semiring = program.pallas_semiring()
         vec_semiring = program.pallas_vec_semiring()
+        vec2_semiring = program.pallas_vec2_semiring()
+        if (vec2_semiring is not None
+                and program.activity != Activity.ALL_VERTICES):
+            vec2_semiring = None   # vec2 got comes from static structure
         self.use_pallas_vec = False
+        self.use_pallas_vec2 = False
         if use_pallas is None:
             on_tpu = jax.default_backend() == "tpu"
-            if on_tpu and vec_semiring is not None:
+            if on_tpu and vec2_semiring is not None:
+                use_pallas = True
+                self.use_pallas_vec2 = True
+            elif on_tpu and vec_semiring is not None:
                 use_pallas = True
                 self.use_pallas_vec = True
             else:
                 use_pallas = (on_tpu and semiring is not None
                               and not program.process_requires_vertexprop)
+        elif use_pallas and vec2_semiring is not None:
+            self.use_pallas_vec2 = True
         elif use_pallas and vec_semiring is not None:
             self.use_pallas_vec = True
-        if use_pallas and semiring is None and vec_semiring is None:
+        if use_pallas and semiring is None and vec_semiring is None \
+                and vec2_semiring is None:
             raise ValueError("use_pallas=True but program declares no "
                              "pallas semiring")
         self.use_pallas = bool(use_pallas)
         self._semiring = semiring
         self._vec_semiring = vec_semiring
+        self._vec2_semiring = vec2_semiring
         self._plans = {}
         self._edges = {}
         # v2 (VPU-gather) kernel serves scalar ⊕ = sum programs; min/max
         # and the K-wide vector path stay on v1.
         self.pallas_version = 1
         if self.use_pallas:
-            if not self.use_pallas_vec and semiring is not None:
+            if self.use_pallas_vec2 or (not self.use_pallas_vec
+                                        and semiring is not None):
                 self.pallas_version = 2
             for recv in _direction_receivers(program.order):
-                if self.pallas_version != 2:
+                if self.use_pallas_vec2:
+                    self._plans[recv] = graph.pallas_plan_vec2(recv)
+                elif self.pallas_version != 2:
                     self._plans[recv] = graph.pallas_plan(recv)
                 elif semiring.reduce_kind == "sum":
                     self._plans[recv] = graph.pallas_plan2(recv)
@@ -121,7 +136,12 @@ class Engine:
         # Plan arrays must flow through jit ARGUMENTS, not closure captures —
         # captured device arrays become inline constants in the compiled
         # program (hundreds of MB for big graphs).
-        if self.pallas_version == 2 and semiring is not None \
+        if self.use_pallas_vec2:
+            self._plan_args = {
+                recv: ((p.kindid, p.blkid, p.sbase, p.rbase, p.idxs,
+                        p.val, p.rcf, p.rcwT), p.got_static)
+                for recv, p in self._plans.items()}
+        elif self.pallas_version == 2 and semiring is not None \
                 and semiring.reduce_kind != "sum":
             self._plan_args = {
                 recv: ((p.kindid, p.blkid, p.base, p.ngran, p.rowmask,
@@ -148,7 +168,10 @@ class Engine:
             if send_mask is not None:
                 sent = sent & send_mask
 
-            if self.use_pallas_vec:
+            if self.use_pallas_vec2:
+                reduced, got = self._pallas_vec2_directions(
+                    state, msg, sent, vp, structure["plans"])
+            elif self.use_pallas_vec:
                 reduced, got = self._pallas_vec_directions(
                     state, msg, sent, vp, structure["plans"])
             elif self.use_pallas:
@@ -284,6 +307,49 @@ class Engine:
                       else jnp.maximum(y, y_dir)))
                 got = got | g_dir
         return sem.decode(y), got
+
+    def _pallas_vec2_directions(self, state, msg, sent, vp, plans):
+        """v2 K-wide vector directions (32-lane edge blocks)."""
+        from ..ops.pallas_spmv_vec2 import KPAD, _spmv_vec2_call
+        prog = self.program
+        sem = self._vec2_semiring
+        interpret = jax.default_backend() != "tpu"
+
+        x = sem.encode(state, msg).astype(jnp.float32)       # [n_pad, K]
+        x = jnp.where(sent[:, None], x, 0.0)
+        vp_enc = None
+        if sem.needs_vp:
+            vp_enc = sem.encode_vp(state, vp).astype(jnp.float32)
+        extra = sem.extra_fn(state) if sem.extra_fn is not None else None
+        ex = None
+        if extra is not None:
+            ex = jnp.tile(jnp.pad(extra.reshape(-1),
+                                  (0, KPAD - extra.size)), 4)
+
+        def pad32(a, rows_):
+            return jnp.pad(a, ((0, rows_ - a.shape[0]),
+                               (0, KPAD - a.shape[1]))).reshape(-1)
+
+        y = None
+        got = None
+        for recv in _direction_receivers(prog.order):
+            plan = self._plans[recv]
+            plan_arrays, got_static = plans[recv]
+            plan_static = (plan.hs, plan.hr, plan.wr, plan.nb, plan.nc,
+                           plan.n_pad, plan.rows, plan.wy, plan.classes)
+            xw = pad32(x, plan.n_send_pad)
+            vw = (pad32(vp_enc, plan.n_pad) if vp_enc is not None
+                  else jnp.zeros(plan.hr * 128, jnp.float32))
+            y_dir = _spmv_vec2_call(plan_arrays, plan_static, xw, vw, ex,
+                                    sem.process, sem.n_splits, interpret,
+                                    ex is not None)[: self._n_pad]
+            g_dir = got_static[: self._n_pad]
+            if y is None:
+                y, got = y_dir, g_dir
+            else:
+                y = y + y_dir
+                got = got | g_dir
+        return sem.decode(y[:, : max(sem.k, 1)]), got
 
     def _pallas_vec_directions(self, state, msg, sent, vp, plans):
         """K-wide vector-message directions (SpMSpV3 workloads)."""

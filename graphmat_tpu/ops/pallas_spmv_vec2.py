@@ -1,0 +1,447 @@
+"""Pallas TPU generalized-SpMV v2 for K-wide vector messages.
+
+The v2 rework of :mod:`pallas_spmv_vec` (SpMSpV3 workloads — SGD
+collaborative filtering, LDA: ``src/SGD.cpp:95-117``,
+``src/LDA.cpp:128-158``).  The v1 kernel spent ~3.8 us per 128-edge row in
+per-group scatter/vp-gather matmul issues; v2 restructures around the
+scalar v2 layout ideas:
+
+* **Slot layout**: vectors live in 32-lane blocks (K <= 32), four edge
+  slots per 128-lane row; a chunk is ``[rows, 128]`` = ``4 * rows`` edges.
+  Vertex vectors are stored ``V4[v // 4, (v % 4) * 32 + k]`` so one
+  f32-exact ``take_along_axis`` granule gather fetches four vertices' whole
+  vectors at once.
+
+* **Receiver binding**: an edge sits in lane-block ``rc % 4`` and chunks
+  draw from one aligned receiver window, so the *receiver* vector gather
+  needs no lane routing at all, and the scatter contracts the sublane axis
+  against a tiny per-lane-block one-hot of the receiver row — a
+  ``[wy, rows] x [rows, 128]`` matmul per lane-block per bf16 split.
+
+* **Sender gather**: the sender's lane-block ``v % 4`` generally differs
+  from the slot's, so the sender window is materialized in scratch in four
+  32-lane rotations; the plan's sender index carries the rotation in its
+  low 2 bits.
+
+* Cells are (receiver block, aligned sender window class, aligned receiver
+  window) — all capacity-packed per lane-block like the scalar planner.
+
+Engine programs opt in via ``GraphProgram.pallas_vec2_semiring()``
+returning a :class:`~graphmat_tpu.core.program.PallasVec2Semiring`; the
+``process`` works on ``[rows, 128]`` tiles where each 32-lane block is one
+edge (helpers ``block_sum`` and broadcast ``extra`` provided).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["SpmvVec2Plan", "build_spmv_vec2_plan", "spmv_vec2"]
+
+LANE = 128
+KPAD = 32                # lanes per edge slot
+SLOTS = LANE // KPAD     # 4 edge slots per row
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class SpmvVec2Plan:
+    n_pad: int           # padded receiver count (multiple of wr)
+    n_send_pad: int      # padded sender count (multiple of 4*128... V4 rows*4)
+    hs: int              # X4 rows (= n_send_pad / 4)
+    hr: int              # VP2/Y2 rows (= n_pad / 4)
+    wr: int              # receiver block width
+    nb: int
+    nc: int
+    rows: int            # chunk sublanes
+    wy: int              # receiver window rows (VP2 rows per chunk)
+    nnz: int
+    fill: float
+    classes: tuple       # sender window classes (X4 rows)
+    kindid: Any          # i32[nc]   window class index (0..len-1)
+    blkid: Any           # i32[nc]   receiver block (nondecreasing)
+    sbase: Any           # i32[nc]   sender window base row (8-aligned)
+    rbase: Any           # i32[nc]   receiver window base row (8-aligned)
+    idxs: Any            # i32[nc,rows,128] sender idx*4 + rotation (rep x32)
+    val: Any             # f32[nc,rows,128] edge value (replicated x32)
+    rcf: Any             # i32[nc,rows,128] rc - blk*wr (rep x32); pad = wr
+    rcwT: Any            # i32[nc,8,128] flat: row 0, lane (b*rows + i)
+                         #   holds rc//4 - rbase; pads = 127
+    got_static: Any      # bool[n_pad]
+
+
+def build_spmv_vec2_plan(senders0, receivers0, vals, n,
+                         n_recv: int | None = None, wr: int = 4096,
+                         windows=(64, 256, 1024), wy: int = 64,
+                         cell_min: int = 256,
+                         rows: int = 32) -> SpmvVec2Plan:
+    """Pack a 0-based COO edge list into the vec2 chunk layout."""
+    if n_recv is None:
+        n_recv = n
+    hs = max(_round_up(_round_up(n, 4) // 4, LANE), LANE)
+    n_send_pad = hs * 4
+    n_pad = max(_round_up(n_recv, wr), wr)
+    nb = n_pad // wr
+    hr = n_pad // 4
+    e = len(senders0)
+    s = np.asarray(senders0, np.int64)
+    r = np.asarray(receivers0, np.int64)
+    v = np.asarray(vals, np.float32)
+    assert wr % (4 * wy) == 0 or wy * 4 >= wr
+
+    windows = sorted({int(min(w, hs)) for w in windows}) or [min(2048, hs)]
+    rblk = r // wr
+    rwin = (r // 4) // wy          # aligned receiver window id (global)
+    srow = s // 4
+
+    # sender window class per edge: smallest class whose (block, swin,
+    # rwin) cell is big enough; last class takes the rest
+    kind = np.full(e, -1, np.int64)
+    scell = np.zeros(e, np.int64)
+    nrw = -(-hr // wy)
+    for wi, W in enumerate(windows):
+        last = wi == len(windows) - 1
+        nsw = -(-hs // W)
+        cell = (rwin * nsw + srow // W)
+        if not last:
+            rem = kind < 0
+            if not rem.any():
+                break
+            cnt_map = {}
+            cr = cell[rem]
+            uc, cnts = np.unique(cr, return_counts=True)
+            big = set(uc[cnts >= cell_min].tolist())
+            take = rem & np.isin(cell, list(big)) if big else \
+                np.zeros(e, bool)
+        else:
+            take = kind < 0
+        kind[take] = wi
+        scell[take] = cell[take]
+        if (kind >= 0).all():
+            break
+
+    # pack per (rwin, kind, swin-cell): lane-block queues (rc % 4),
+    # cap = rows per block per chunk
+    order = np.lexsort((r, scell, kind, rwin))
+    ks, cs, rw_ = kind[order], scell[order], rwin[order]
+    key = (rw_ * (len(windows) + 1) + ks) * (2 ** 32) + cs
+    bounds = (np.r_[0, np.flatnonzero(key[1:] != key[:-1]) + 1, e]
+              if e else np.zeros(1, np.int64))
+
+    chunks = []   # dicts per chunk
+    for gi in range(len(bounds) - 1):
+        lo, hi_ = bounds[gi], bounds[gi + 1]
+        idxs_g = order[lo:hi_]
+        kd = int(ks[lo])
+        W = windows[kd]
+        se, re_, ve = s[idxs_g], r[idxs_g], v[idxs_g]
+        blk = int(re_[0] // wr)
+        rbase = int(((re_[0] // 4) // wy) * wy)
+        rbase = min(rbase, hr - wy)
+        nsw = -(-hs // W)
+        sbase = min(int((se[0] // 4) // W) * W, hs - W)
+        # lane-block queues (vectorized cumcount per rc%4)
+        bq = (re_ % 4).astype(np.int64)
+        o2 = np.argsort(bq, kind="stable")
+        bs_ = bq[o2]
+        start = np.r_[0, np.flatnonzero(bs_[1:] != bs_[:-1]) + 1]
+        seq = np.arange(len(se), dtype=np.int64)
+        seq -= np.repeat(start, np.diff(np.r_[start, len(se)]))
+        k_ = np.empty(len(se), np.int64)
+        k_[o2] = seq
+        chunk_of = k_ // rows
+        row_of = k_ % rows
+        ncc = int(chunk_of.max()) + 1 if len(se) else 1
+        # narrow [ncc, rows, 4] arrays, expanded to 128 lanes at the end
+        idxs_n = np.zeros((ncc, rows, SLOTS), np.int32)
+        val_n = np.zeros((ncc, rows, SLOTS), np.float32)
+        rcf_n = np.full((ncc, rows, SLOTS), wr, np.int32)
+        rcwt_n = np.full((ncc, 8, LANE), 127, np.int32)
+        rot = ((re_ - se) % 4).astype(np.int32)
+        idxs_n[chunk_of, row_of, bq] = (((se // 4 - sbase) << 2)
+                                        | rot).astype(np.int32)
+        val_n[chunk_of, row_of, bq] = ve
+        rcf_n[chunk_of, row_of, bq] = (re_ - blk * wr).astype(np.int32)
+        # flat layout: row 0, lane (b*rows + i) — the kernel's batched
+        # scatter one-hot reads it as [1, SLOTS*rows] without a reshape
+        rcwt_n[chunk_of, 0, bq * rows + row_of] = (
+            re_ // 4 - rbase).astype(np.int32)
+        for c in range(ncc):
+            chunks.append(dict(
+                kind=kd, blk=blk, sbase=sbase, rbase=rbase,
+                idxs=np.repeat(idxs_n[c], KPAD, axis=1),
+                val=np.repeat(val_n[c], KPAD, axis=1),
+                rcf=np.repeat(rcf_n[c], KPAD, axis=1),
+                rcwt=rcwt_n[c]))
+
+    # every block needs >= 1 chunk (acc coverage)
+    covered = {c["blk"] for c in chunks}
+    for b in range(nb):
+        if b not in covered:
+            chunks.append(dict(
+                kind=0, blk=b, sbase=0, rbase=min(b * wr // 4, hr - wy),
+                idxs=np.zeros((rows, LANE), np.int32),
+                val=np.zeros((rows, LANE), np.float32),
+                rcf=np.full((rows, LANE), wr, np.int32),
+                rcwt=np.full((8, LANE), 127, np.int32)))
+    chunks.sort(key=lambda c: c["blk"])
+    nc = len(chunks)
+
+    got = np.zeros(n_pad, bool)
+    if e:
+        got[np.unique(np.asarray(receivers0))] = True
+    return SpmvVec2Plan(
+        n_pad=n_pad, n_send_pad=n_send_pad, hs=hs, hr=hr, wr=wr, nb=nb,
+        nc=nc, rows=rows, wy=wy, nnz=e,
+        fill=e / max(nc * rows * SLOTS, 1), classes=tuple(windows),
+        kindid=jnp.asarray(np.array([c["kind"] for c in chunks], np.int32)),
+        blkid=jnp.asarray(np.array([c["blk"] for c in chunks], np.int32)),
+        sbase=jnp.asarray(np.array([c["sbase"] for c in chunks], np.int32)),
+        rbase=jnp.asarray(np.array([c["rbase"] for c in chunks], np.int32)),
+        idxs=jnp.asarray(np.stack([c["idxs"] for c in chunks])),
+        val=jnp.asarray(np.stack([c["val"] for c in chunks])),
+        rcf=jnp.asarray(np.stack([c["rcf"] for c in chunks])),
+        rcwT=jnp.asarray(np.stack([c["rcwt"] for c in chunks])),
+        got_static=jnp.asarray(got))
+
+
+# ------------------------------------------------------------------ kernel
+
+def _split_bf16(x, n_splits):
+    parts = []
+    rem = x
+    for _ in range(n_splits - 1):
+        u = jax.lax.bitcast_convert_type(rem, jnp.uint32)
+        hi = jax.lax.bitcast_convert_type(u & np.uint32(0xFFFF0000),
+                                          jnp.float32)
+        parts.append(hi.astype(jnp.bfloat16))
+        rem = rem - hi
+    parts.append(rem.astype(jnp.bfloat16))
+    return parts
+
+
+def _make_vec2_kernel(process: Callable, wr: int, wy: int, rows: int,
+                      classes, n_splits: int, has_extra: bool,
+                      interpret: bool = False):
+    ntiles = rows // 8
+    wmax = max(classes)
+
+    def kernel(kind_ref, blk_ref, sbase_ref, rbase_ref, idxs_ref, val_ref,
+               rcf_ref, rcwt_ref, x4_ref, vp4_ref, *rest):
+        if has_extra:
+            extra_ref = rest[0]
+            rest = rest[1:]
+        y_ref, acc_ref, wscr_ref, vscr_ref, dma_sem = (
+            rest[0], rest[1], rest[2], rest[3], rest[4])
+        i = pl.program_id(0)
+        first = jnp.logical_or(
+            i == 0, blk_ref[i] != blk_ref[jnp.maximum(i - 1, 0)])
+
+        @pl.when(first)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        idx_tiles = [idxs_ref[0, 8 * t: 8 * t + 8, :] for t in range(ntiles)]
+        subs = [(t >> 2) & 7 for t in idx_tiles]
+        # fused (granule, rotation) key: one compare per (g, c) pass
+        keys = [((t >> 5) << 2) | (t & 3) for t in idx_tiles]
+
+        # ---- sender gather: DMA window, then 4 rotated copies ----
+        prev = jnp.maximum(i - 1, 0)
+        same_win = jnp.logical_and(
+            i > 0, jnp.logical_and(kind_ref[i] == kind_ref[prev],
+                                   sbase_ref[i] == sbase_ref[prev]))
+
+        def sender_branch(W):
+            def inner():
+                sb = pl.multiple_of(sbase_ref[i], 8)
+
+                @pl.when(jnp.logical_not(same_win))
+                def _():
+                    if interpret:
+                        wscr_ref[0:W, :] = x4_ref[pl.ds(sb, W), :]
+                    else:
+                        dma = pltpu.make_async_copy(
+                            x4_ref.at[pl.ds(sb, W), :],
+                            wscr_ref.at[0:W, :], dma_sem)
+                        dma.start()
+                        dma.wait()
+                    cur = wscr_ref[0:W, :]
+                    for cidx in range(1, 4):
+                        cur = pltpu.roll(cur, KPAD, 1)
+                        wscr_ref[pl.ds(cidx * wmax, W), :] = cur
+                xvs = [jnp.zeros((8, LANE), jnp.float32)
+                       for _ in range(ntiles)]
+                for g in range(W // 8):
+                    for cidx in range(4):
+                        tbl = wscr_ref[cidx * wmax + 8 * g:
+                                       cidx * wmax + 8 * g + 8, :]
+                        kk = (g << 2) | cidx
+                        for t in range(ntiles):
+                            got = jnp.take_along_axis(tbl, subs[t], axis=0)
+                            xvs[t] = jnp.where(keys[t] == kk, got, xvs[t])
+                return tuple(xvs)
+            return inner
+
+        branches = [sender_branch(W) for W in classes]
+        xvs = list(jax.lax.switch(kind_ref[i], branches))
+        xv = jnp.concatenate(xvs, axis=0)              # [rows, 128]
+
+        # ---- receiver-vector gather: aligned DMA'd window, no rotation --
+        rb = pl.multiple_of(rbase_ref[i], 8)
+        if interpret:
+            vscr_ref[:] = vp4_ref[pl.ds(rb, wy), :]
+        else:
+            dma_v = pltpu.make_async_copy(
+                vp4_ref.at[pl.ds(rb, wy), :], vscr_ref, dma_sem)
+            dma_v.start()
+            dma_v.wait()
+        rcf = rcf_ref[0]
+        # rcf is block-local; rb is a global VP row base
+        blk_rb = rb - jnp.int32(blk_ref[i]) * (wr // 4)
+        idxv = (rcf >> 2) - blk_rb                      # [rows,128]
+        vpr_tiles = []
+        for t in range(ntiles):
+            iv = idxv[8 * t: 8 * t + 8, :]
+            q = jnp.zeros((8, LANE), jnp.float32)
+            for g in range(wy // 8):
+                got = jnp.take_along_axis(vscr_ref[8 * g: 8 * g + 8, :],
+                                          iv & 7, axis=0)
+                q = jnp.where((iv >> 3) == g, got, q)
+            vpr_tiles.append(q)
+        vpr = jnp.concatenate(vpr_tiles, axis=0)        # [rows, 128]
+
+        # ---- process (per 32-lane edge blocks) ----
+        ev = val_ref[0]
+        rid = jnp.int32(blk_ref[i]) * wr + rcf          # global receiver id
+
+        ones_blk = (jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
+                    // KPAD == jax.lax.broadcasted_iota(
+                        jnp.int32, (LANE, LANE), 1) // KPAD
+                    ).astype(jnp.bfloat16)
+
+        def block_sum(a):
+            """Sum within each 32-lane block, broadcast back to lanes.
+            Exact up to the bf16 split depth (ones are exact)."""
+            parts = _split_bf16(a.astype(jnp.float32), n_splits)
+            stacked = jnp.concatenate(parts, axis=0)   # [ns*rows, 128]
+            t = jax.lax.dot_general(stacked, ones_blk,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            out = t[0:rows]
+            for k in range(1, n_splits):
+                out = out + t[k * rows:(k + 1) * rows]
+            return out
+
+        extra = extra_ref[0:1, :] if has_extra else None
+        p = process(xv, ev, vpr, extra, rid, block_sum)
+        p = p.astype(jnp.float32)
+        p = jnp.where(rcf < wr, p, 0.0)                 # mask pads
+
+        # ---- scatter: one batched matmul over a block-diagonal layout.
+        # Rows of P are grouped by lane-block; block b's copy keeps only
+        # its own 32 lanes, so oh_all @ P sums each block's edges into its
+        # own lane range in one [wy, 4*rows] x [4*rows, 128] contraction.
+        lane_blk = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE),
+                                            1) // KPAD
+        p_blocks = [jnp.where(lane_blk == b, p, 0.0) for b in range(SLOTS)]
+        P = jnp.concatenate(p_blocks, axis=0)            # [4*rows, 128]
+        rcw_flat = rcwt_ref[0, 0:1, 0:SLOTS * rows]
+        iota_wy = jax.lax.broadcasted_iota(jnp.int32, (wy, SLOTS * rows), 0)
+        oh_all = (iota_wy == rcw_flat).astype(jnp.bfloat16)
+        contrib = None
+        for part in _split_bf16(P, n_splits):
+            t = jax.lax.dot_general(oh_all, part, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            contrib = t if contrib is None else contrib + t
+        # accumulate into the block accumulator at the receiver window
+        cur = acc_ref[pl.ds(blk_rb, wy), :]
+        acc_ref[pl.ds(blk_rb, wy), :] = cur + contrib
+        y_ref[0] = acc_ref[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("plan_static", "process",
+                                              "n_splits", "interpret",
+                                              "has_extra"))
+def _spmv_vec2_call(plan_arrays, plan_static, x, vp, extra, process,
+                    n_splits, interpret, has_extra):
+    hs, hr, wr, nb, nc, n_pad, rows, wy, classes = plan_static
+    kindid, blkid, sbase, rbase, idxs, val, rcf, rcwt = plan_arrays
+    x4 = x.reshape(hs, LANE)
+    vp4 = vp.reshape(hr, LANE)
+
+    kernel = _make_vec2_kernel(process, wr, wy, rows, classes, n_splits,
+                               has_extra, interpret)
+    wmax = max(classes)
+    nmap = lambda i, *_: (i, 0, 0)
+    chunk_spec = pl.BlockSpec((1, rows, LANE), nmap,
+                              memory_space=pltpu.VMEM)
+    rcwt_spec = pl.BlockSpec((1, 8, LANE), nmap, memory_space=pltpu.VMEM)
+    any_spec = pl.BlockSpec(memory_space=(pltpu.VMEM if interpret
+                                          else pltpu.ANY))
+    in_specs = [chunk_spec, chunk_spec, chunk_spec, rcwt_spec,
+                any_spec, any_spec]
+    operands = [kindid, blkid, sbase, rbase, idxs, val, rcf, rcwt, x4, vp4]
+    if has_extra:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        operands.append(extra.reshape(1, LANE))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nc,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, wr // 4, LANE),
+                               lambda i, kind, blk, sb, rb: (blk[i], 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((wr // 4, LANE), jnp.float32),
+                        pltpu.VMEM((4 * wmax, LANE), jnp.float32),
+                        pltpu.VMEM((wy, LANE), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
+    )
+    out = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, wr // 4, LANE), jnp.float32),
+        interpret=interpret,
+    )(*operands)
+    # [nb, wr/4, 128] -> vertex-major [n_pad, 32]
+    return out.reshape(-1, KPAD)[:n_pad]
+
+
+def spmv_vec2(plan: SpmvVec2Plan, x, process: Callable, vp_receiver,
+              extra=None, interpret: bool = False, n_splits: int = 2):
+    """K-wide 3-operand SpMV: ``y[r, :] += process(x[s], ev, vp[r], ...)``.
+
+    ``x``/``vp_receiver``: f32[n, K<=32]; returns f32[n_pad, 32] (first K
+    columns meaningful).  ``process(xv, ev, vpr, extra, rid, block_sum)``
+    works on [rows, 128] tiles (32-lane edge blocks).
+    """
+    def pad32(a, target_rows):
+        a = jnp.asarray(a, jnp.float32)
+        k = a.shape[1]
+        a = jnp.pad(a, ((0, target_rows - a.shape[0]), (0, KPAD - k)))
+        return a.reshape(-1)
+
+    xw = pad32(x, plan.n_send_pad)
+    vw = pad32(vp_receiver, plan.n_pad)
+    plan_arrays = (plan.kindid, plan.blkid, plan.sbase, plan.rbase,
+                   plan.idxs, plan.val, plan.rcf, plan.rcwT)
+    plan_static = (plan.hs, plan.hr, plan.wr, plan.nb, plan.nc,
+                   plan.n_pad, plan.rows, plan.wy, plan.classes)
+    ex = None
+    if extra is not None:
+        ex = jnp.tile(jnp.pad(jnp.asarray(extra, jnp.float32),
+                              (0, KPAD - len(extra))), SLOTS)
+    return _spmv_vec2_call(plan_arrays, plan_static, xw, vw, ex, process,
+                           n_splits, interpret, extra is not None)

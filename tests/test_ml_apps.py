@@ -200,3 +200,29 @@ def test_incremental_pagerank_close_to_pagerank():
     dpr, niter = run_incremental_pagerank(g2)
     np.testing.assert_allclose(dpr, pr, atol=5e-4)
     assert niter > 0
+
+
+def test_sgd_vec2_engine_matches_xla():
+    """v2 K-wide kernel through the engine (interpret) vs XLA path."""
+    from graphmat_tpu.core.runtime import Engine
+    from graphmat_tpu.apps.sgd import SGDProgram, init_sgd_graph
+    rng = np.random.default_rng(11)
+    n, e = 400, 3000
+    src = rng.integers(1, n + 1, e)
+    dst = rng.integers(1, n + 1, e)
+    val = rng.integers(1, 6, e).astype(np.float64)
+    from graphmat_tpu.io.edgelist import edgelist_from_arrays
+    el = edgelist_from_arrays(src, dst, val, m=n, n=n)
+
+    g1 = Graph(el)
+    init_sgd_graph(g1, k=8)
+    Engine(SGDProgram(k=8), g1, use_pallas=False).run(iterations=3)
+    ref = g1.vp_numpy()["lv"]
+
+    g2 = Graph(el)
+    init_sgd_graph(g2, k=8)
+    eng = Engine(SGDProgram(k=8), g2, use_pallas=True)
+    assert eng.use_pallas_vec2
+    eng.run(iterations=3)
+    out = g2.vp_numpy()["lv"]
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
