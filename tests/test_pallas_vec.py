@@ -87,7 +87,9 @@ def test_engine_vec_sgd_matches_xla():
     g2 = Graph(e)
     init_sgd_graph(g2, k=8)
     g2.set_all_active()
-    eng = Engine(SGDProgram(step=0.001, k=8), g2, use_pallas=True)
+    prog = SGDProgram(step=0.001, k=8)
+    prog.pallas_vec2_semiring = lambda: None   # pin the v1 vec path
+    eng = Engine(prog, g2, use_pallas=True)
     assert eng.use_pallas_vec
     eng.run(iterations=4)
     out = g2.vp_numpy()["lv"]
