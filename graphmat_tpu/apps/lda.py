@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.graph import Graph
-from ..core.program import GraphProgram, PallasVecSemiring
+from ..core.program import (GraphProgram, PallasVec2Semiring,
+                            PallasVecSemiring)
 from ..core.runtime import Engine
 from ..core.types import Activity, Direction, SUM
 from ..utils.reference_rng import rand_r_jnp
@@ -58,6 +59,51 @@ def _make_lda_init_process(k, dtype):
     return proc
 
 
+def _make_lda_init_process_v2(k, dtype):
+    """vec2 layout: lane j of each 32-lane block carries topic j."""
+    import jax
+    import jax.lax as lax
+    a = np.int32(1103515245)
+    c = np.int32(12345)
+    randmax = 2 ** 31 - 1
+
+    def proc(xv, ev, vpr, extra, rid, block_sum):
+        lane_k = jax.lax.broadcasted_iota(jnp.int32, xv.shape, 1) % 32
+        nxt = ev.astype(jnp.int32)
+        gamma = jnp.zeros(xv.shape, dtype)
+        for j in range(k):
+            nxt = nxt * a + c
+            r = lax.shift_right_logical(nxt, 16) & 2047
+            nxt = nxt * a + c
+            r = (r << 10) ^ (lax.shift_right_logical(nxt, 16) & 1023)
+            nxt = nxt * a + c
+            r = (r << 10) ^ (lax.shift_right_logical(nxt, 16) & 1023)
+            gamma = jnp.where(lane_k == j, (r / randmax).astype(dtype),
+                              gamma)
+        gamma = gamma / block_sum(gamma)
+        return gamma * ev
+
+    return proc
+
+
+def _make_lda_process_v2(k, alpha, eta, vocab_size, ndoc, dtype):
+    import jax
+
+    def proc(xv, ev, vpr, extra, rid, block_sum):
+        lane_k = jax.lax.broadcasted_iota(jnp.int32, xv.shape, 1) % 32
+        gn = extra                              # [1, 128], gn tiled per block
+        is_doc = rid < ndoc
+        my_off = jnp.where(is_doc, alpha, eta).astype(dtype)
+        other_off = jnp.where(is_doc, eta, alpha).astype(dtype)
+        denom = gn + vocab_size * (eta - 1.0)
+        gamma = (vpr + my_off - 1.0) * (xv + other_off - 1.0) / denom
+        gamma = jnp.where(lane_k < k, gamma, 0.0)
+        gamma = gamma / block_sum(gamma)
+        return gamma * ev
+
+    return proc
+
+
 def _make_lda_process(k, alpha, eta, vocab_size, ndoc, dtype):
     def proc(xv, ev, vpr, extra, rid):
         gn = extra[0:1, 0:k].reshape(k, 1)
@@ -84,11 +130,21 @@ class LDAInitProgram(GraphProgram):
         self.k = k
         self.dtype = dtype
         self._vec_proc = _make_lda_init_process(k, dtype)
+        self._vec2_proc = _make_lda_init_process_v2(k, dtype)
 
     def pallas_vec_semiring(self):
         return PallasVecSemiring(
             k=self.k,
             process=self._vec_proc,
+            encode=lambda state, msg: msg,
+            decode=lambda y: y.astype(self.dtype))
+
+    def pallas_vec2_semiring(self):
+        if self.k > 32:
+            return None
+        return PallasVec2Semiring(
+            k=self.k,
+            process=self._vec2_proc,
             encode=lambda state, msg: msg,
             decode=lambda y: y.astype(self.dtype))
 
@@ -131,6 +187,8 @@ class LDAProgram(GraphProgram):
         self.dtype = dtype
         self._vec_proc = _make_lda_process(k, alpha, eta, vocab_size, ndoc,
                                            dtype)
+        self._vec2_proc = _make_lda_process_v2(k, alpha, eta, vocab_size,
+                                               ndoc, dtype)
 
     def pallas_vec_semiring(self):
         if self.ndoc <= 0:
@@ -138,6 +196,18 @@ class LDAProgram(GraphProgram):
         return PallasVecSemiring(
             k=self.k,
             process=self._vec_proc,
+            encode=lambda state, msg: msg["N"],
+            encode_vp=lambda state, vp: vp["N"],
+            decode=lambda y: y.astype(self.dtype),
+            needs_vp=True,
+            extra_fn=lambda state: state.reshape(1, -1))
+
+    def pallas_vec2_semiring(self):
+        if self.ndoc <= 0 or self.k > 32:
+            return None
+        return PallasVec2Semiring(
+            k=self.k,
+            process=self._vec2_proc,
             encode=lambda state, msg: msg["N"],
             encode_vp=lambda state, vp: vp["N"],
             decode=lambda y: y.astype(self.dtype),

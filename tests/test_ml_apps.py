@@ -226,3 +226,38 @@ def test_sgd_vec2_engine_matches_xla():
     eng.run(iterations=3)
     out = g2.vp_numpy()["lv"]
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_lda_vec2_engine_matches_xla():
+    from graphmat_tpu.core.runtime import Engine
+    from graphmat_tpu.apps.lda import (LDAInitProgram, LDAProgram,
+                                       _global_topic_totals)
+    from graphmat_tpu.core.program import IterationContext
+    from graphmat_tpu.io.edgelist import edgelist_from_arrays
+    rng = np.random.default_rng(13)
+    ndoc, nterm, e, K = 120, 200, 1500, 8
+    n = ndoc + nterm
+    d = rng.integers(1, ndoc + 1, e)
+    t = ndoc + rng.integers(1, nterm + 1, e)
+    val = rng.integers(1, 5, e).astype(np.float64)
+    el = edgelist_from_arrays(np.r_[d, t], np.r_[t, d],
+                              np.r_[val, val], m=n, n=n)
+
+    def run(use_pallas):
+        g = Graph(el)
+        is_doc = np.zeros(n, bool); is_doc[:ndoc] = True
+        g.init_vertexproperty(N=np.zeros((n, K), np.float32),
+                              is_doc=is_doc)
+        g.set_all_active()
+        Engine(LDAInitProgram(k=K), g, use_pallas=use_pallas).run(
+            iterations=1)
+        gn = np.asarray(g.vp["N"])[ndoc:n].sum(axis=0)
+        prog = LDAProgram(K, 1.0, 5.0, vocab_size=nterm, ndoc=ndoc)
+        eng = Engine(prog, g, use_pallas=use_pallas)
+        eng.run(iterations=2, state=jnp.asarray(gn, jnp.float32))
+        return g.vp_numpy()["N"]
+
+    import jax.numpy as jnp
+    ref = run(False)
+    out = run(True)
+    np.testing.assert_allclose(out, ref, rtol=3e-4, atol=3e-4)
