@@ -104,6 +104,23 @@ def _make_lda_process_v2(k, alpha, eta, vocab_size, ndoc, dtype):
     return proc
 
 
+def _make_lda_ll_process_v2(k, eta, n_k_smoothed, dtype):
+    import jax
+
+    def proc(xv, ev, vpr, extra, rid, block_sum):
+        lane_k = jax.lax.broadcasted_iota(jnp.int32, xv.shape, 1) % 32
+        nks = extra                       # n_k_smoothed tiled per block
+        valid = lane_k < k
+        phi = jnp.where(valid, (vpr + (eta - 1.0)) / nks, 0.0)
+        theta = jnp.where(valid, xv + (eta - 1.0), 0.0)
+        theta = theta / block_sum(theta)
+        dot = block_sum(phi * theta)
+        p = ev * jnp.log(dot)
+        return jnp.where(lane_k == 0, p, 0.0)
+
+    return proc
+
+
 def _make_lda_process(k, alpha, eta, vocab_size, ndoc, dtype):
     def proc(xv, ev, vpr, extra, rid):
         gn = extra[0:1, 0:k].reshape(k, 1)
@@ -260,6 +277,20 @@ class LDALLProgram(GraphProgram):
         self.n_k_smoothed = jnp.asarray(np.asarray(n_k)
                                         + nterms * (eta - 1.0), dtype)
         self.dtype = dtype
+
+    def pallas_vec2_semiring(self):
+        if self.k > 32:
+            return None
+        nks = self.n_k_smoothed
+        return PallasVec2Semiring(
+            k=self.k,
+            process=_make_lda_ll_process_v2(self.k, self.eta, nks,
+                                            self.dtype),
+            encode=lambda state, msg: msg["N"],
+            encode_vp=lambda state, vp: vp["N"],
+            decode=lambda y: y[:, 0].astype(self.dtype),
+            needs_vp=True,
+            extra_fn=lambda state: nks.reshape(1, -1))
 
     def send_message(self, state, vp):
         return {"N": vp["N"]}, None

@@ -349,7 +349,8 @@ class Engine:
             else:
                 y = y + y_dir
                 got = got | g_dir
-        return sem.decode(y[:, : max(sem.k, 1)]), got
+        # slice to the encoded width (shape-tolerant if data K < sem.k)
+        return sem.decode(y[:, : max(x.shape[1], 1)]), got
 
     def _pallas_vec_directions(self, state, msg, sent, vp, plans):
         """K-wide vector-message directions (SpMSpV3 workloads)."""

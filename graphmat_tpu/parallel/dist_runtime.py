@@ -117,21 +117,36 @@ class DistEngine:
             psum=lambda t: lax.psum(t, (ROW_AXIS, COL_AXIS)))
 
         semiring = program.pallas_semiring()
+        vec2_semiring = program.pallas_vec2_semiring()
+        if (vec2_semiring is not None
+                and program.activity != Activity.ALL_VERTICES):
+            vec2_semiring = None
+        self.use_pallas_vec2 = False
         if use_pallas is None:
-            use_pallas = (jax.default_backend() == "tpu"
-                          and semiring is not None
-                          and not program.process_requires_vertexprop)
-        if use_pallas and semiring is None:
-            raise ValueError("use_pallas=True but no pallas_semiring()")
+            on_tpu = jax.default_backend() == "tpu"
+            if on_tpu and vec2_semiring is not None:
+                use_pallas = True
+                self.use_pallas_vec2 = True
+            else:
+                use_pallas = (on_tpu and semiring is not None
+                              and not program.process_requires_vertexprop)
+        elif use_pallas and vec2_semiring is not None:
+            self.use_pallas_vec2 = True
+        if use_pallas and semiring is None and vec2_semiring is None:
+            raise ValueError("use_pallas=True but no pallas semiring")
         self.use_pallas = bool(use_pallas)
         self._semiring = semiring
+        self._vec2_semiring = vec2_semiring
         self.pallas_version = 1
-        if self.use_pallas and semiring is not None:
+        if self.use_pallas and (semiring is not None
+                                or self.use_pallas_vec2):
             self.pallas_version = 2
         self._pplans = {}
         if self.use_pallas:
             for recv in _direction_receivers(program.order):
-                if self.pallas_version != 2:
+                if self.use_pallas_vec2:
+                    self._pplans[recv] = graph.pallas_tile_plans_vec2(recv)
+                elif self.pallas_version != 2:
                     self._pplans[recv] = graph.pallas_tile_plans(recv)
                 elif semiring.reduce_kind == "sum":
                     self._pplans[recv] = graph.pallas_tile_plans2(recv)
@@ -253,6 +268,58 @@ class DistEngine:
             reduced = sem.decode(y)
             return reduced, got
 
+        def vec2_partials(state, msg, sent, vp, structure):
+            """K-wide local tile multiply (vec2 kernel) + mesh reduce."""
+            from ..ops.pallas_spmv_vec2 import KPAD, _spmv_vec2_call
+            prog = self.program
+            sem = self._vec2_semiring
+            interpret = jax.default_backend() != "tpu"
+
+            x = sem.encode(state, msg).astype(jnp.float32)    # [S, K]
+            x = jnp.where(sent[:, None], x, 0.0)
+            x_col = lax.all_gather(x, ROW_AXIS, tiled=True)   # [R*S, K]
+            vp_row = None
+            if sem.needs_vp:
+                vpe = sem.encode_vp(state, vp).astype(jnp.float32)
+                vp_row = lax.all_gather(vpe, COL_AXIS, tiled=True)
+            extra = sem.extra_fn(state) if sem.extra_fn is not None \
+                else None
+            ex = None
+            if extra is not None:
+                ex = jnp.tile(jnp.pad(extra.reshape(-1),
+                                      (0, KPAD - extra.size)), 4)
+
+            def pad32(a, rows_):
+                return jnp.pad(a, ((0, rows_ - a.shape[0]),
+                                   (0, KPAD - a.shape[1]))).reshape(-1)
+
+            y = None
+            gotf = None
+            for recv in _direction_receivers(prog.order):
+                (arrays, got_static) = structure["pplans"][recv]
+                static, n_send_pad = self._pplan_static_for(recv)
+                n_pad_t = static[5]
+                local = tuple(a[0] for a in arrays)
+                xw = pad32(x_col, n_send_pad)
+                vw = (pad32(vp_row, n_pad_t) if vp_row is not None
+                      else jnp.zeros(static[1] // 1 * 0 + static[5] // 4
+                                     * 128, jnp.float32))
+                y_dir = _spmv_vec2_call(local, static, xw, vw, ex,
+                                        sem.process, sem.n_splits,
+                                        interpret,
+                                        ex is not None)[:n_row_local]
+                g_dir = got_static[0][:n_row_local].astype(jnp.float32)
+                if y is None:
+                    y, gotf = y_dir, g_dir
+                else:
+                    y = y + y_dir
+                    gotf = gotf + g_dir
+            y = lax.psum_scatter(y, COL_AXIS, scatter_dimension=0,
+                                 tiled=True)                  # [S, 32]
+            got = lax.psum_scatter(gotf, COL_AXIS, scatter_dimension=0,
+                                   tiled=True) > 0
+            return sem.decode(y[:, : max(x.shape[1], 1)]), got
+
         def local_step(carry, structure):
             """Body on ONE device: local shards + explicit collectives."""
             it, state, vp, active, _conv = carry
@@ -264,7 +331,10 @@ class DistEngine:
             if send_mask is not None:
                 sent = sent & send_mask
 
-            if self.use_pallas:
+            if self.use_pallas_vec2:
+                reduced, got = vec2_partials(state, msg, sent, vp,
+                                             structure)
+            elif self.use_pallas:
                 reduced, got = pallas_partials(state, msg, sent, structure)
             else:
                 # column broadcast down the row axis
