@@ -284,14 +284,14 @@ def build_spmv2_plan(senders0: np.ndarray, receivers0: np.ndarray,
     if e:
         got[np.unique(np.asarray(receivers0))] = True
 
-    return Spmv2Plan(
+    return _maybe_validate(Spmv2Plan(
         n_pad=n_pad, n_send_pad=n_send_pad, h=h, wr=wr, nb=nb, nc=nc_all,
         hub=hub, nnz=e, fill=e / max(nc_all * rows * LANE, 1),
         classes=tuple(windows), rows=rows,
         kindid=jnp.asarray(kindid), blkid=jnp.asarray(blkid),
         base=jnp.asarray(baseid), ngran=jnp.asarray(ngran),
         idx=jnp.asarray(idx), val=jnp.asarray(val), rcf=jnp.asarray(rcf),
-        got_static=jnp.asarray(got))
+        got_static=jnp.asarray(got)))
 
 
 def _build_plan2_native(lib, s, r, v, e, h, wr, nb, hub, windows,
@@ -325,14 +325,14 @@ def _build_plan2_native(lib, s, r, v, e, h, wr, nb, hub, windows,
 
     got = np.zeros(n_pad, bool)
     got[np.unique(np.asarray(receivers0))] = True
-    return Spmv2Plan(
+    return _maybe_validate(Spmv2Plan(
         n_pad=n_pad, n_send_pad=n_send_pad, h=h, wr=wr, nb=nb, nc=nc,
         hub=hub, nnz=e, fill=e / max(nc * rows * LANE, 1),
         classes=tuple(int(w) for w in windows), rows=rows,
         kindid=jnp.asarray(kindid), blkid=jnp.asarray(blkid),
         base=jnp.asarray(base), ngran=jnp.asarray(ngran),
         idx=jnp.asarray(idx), val=jnp.asarray(val), rcf=jnp.asarray(rcf),
-        got_static=jnp.asarray(got))
+        got_static=jnp.asarray(got)))
 
 
 # ------------------------------------------------------------------ kernel
@@ -398,17 +398,25 @@ def _make_kernel(process: Callable, wr: int, h: int, n_splits: int,
                 return xrot_ref[8 * (g - 18): 8 * (g - 18) + 8, :]
             return gather_from(tbl, HUB_GRANULES)
 
+        prev = jnp.maximum(i - 1, 0)
+        same_win = jnp.logical_and(
+            i > 0, jnp.logical_and(kind_ref[i] == kind_ref[prev],
+                                   base_ref[i] == base_ref[prev]))
+
         def window_branch(W):
             def inner():
                 base = pl.multiple_of(base_ref[i], 8)
-                if x2_hbm:
-                    dma = pltpu.make_async_copy(
-                        x2_ref.at[pl.ds(base, W), :],
-                        wscr_ref.at[0:W, :], dma_sem[0])
-                    dma.start()
-                    dma.wait()
-                else:
-                    wscr_ref[0:W, :] = x2_ref[pl.ds(base, W), :]
+
+                @pl.when(jnp.logical_not(same_win))
+                def _():
+                    if x2_hbm:
+                        dma = pltpu.make_async_copy(
+                            x2_ref.at[pl.ds(base, W), :],
+                            wscr_ref.at[0:W, :], dma_sem[0])
+                        dma.start()
+                        dma.wait()
+                    else:
+                        wscr_ref[0:W, :] = x2_ref[pl.ds(base, W), :]
                 return gather_from(lambda g: wscr_ref[8 * g: 8 * g + 8, :],
                                    W // 8)
             return inner
@@ -514,6 +522,14 @@ def _spmv2_call(plan_arrays, plan_static, x, process, n_splits, interpret,
 
 def _identity_process(xv, ev):
     return xv
+
+
+def _maybe_validate(plan, mm=False):
+    from ..utils.debug import (debug_enabled, validate_plan2,
+                               validate_plan2m)
+    if debug_enabled():
+        (validate_plan2m if mm else validate_plan2)(plan)
+    return plan
 
 
 def spmv2(plan: Spmv2Plan, x, reduce_kind: str = "sum",
@@ -830,7 +846,7 @@ def build_spmv2m_plan(senders0: np.ndarray, receivers0: np.ndarray,
     got = np.zeros(n_pad, bool)
     if e:
         got[np.unique(np.asarray(receivers0))] = True
-    return Spmv2mPlan(
+    return _maybe_validate(Spmv2mPlan(
         n_pad=n_pad, n_send_pad=n_send_pad, h=h, wr=wr, nb=nb, nc=nc,
         hub=hub, nnz=e, fill=e / max(nc * rows * LANE, 1),
         classes=tuple(norm_windows), rows=rows,
@@ -843,7 +859,7 @@ def build_spmv2m_plan(senders0: np.ndarray, receivers0: np.ndarray,
         slo=jnp.asarray(np.stack([c[5] for c in chunks])),
         val=jnp.asarray(np.stack([c[6] for c in chunks])),
         rcf=jnp.asarray(np.stack([c[7] for c in chunks])),
-        got_static=jnp.asarray(got))
+        got_static=jnp.asarray(got)), mm=True)
 
 
 def _build_plan2m_native(lib, s, r, v, e, h, wr, nb, hub, windows,
@@ -878,7 +894,7 @@ def _build_plan2m_native(lib, s, r, v, e, h, wr, nb, hub, windows,
         lib.gm_plan2m_destroy(handle)
     got = np.zeros(n_pad, bool)
     got[np.unique(np.asarray(receivers0))] = True
-    return Spmv2mPlan(
+    return _maybe_validate(Spmv2mPlan(
         n_pad=n_pad, n_send_pad=n_send_pad, h=h, wr=wr, nb=nb, nc=nc,
         hub=hub, nnz=e, fill=e / max(nc * rows * LANE, 1),
         classes=tuple(int(w) for w in windows), rows=rows,
@@ -886,7 +902,7 @@ def _build_plan2m_native(lib, s, r, v, e, h, wr, nb, hub, windows,
         base=jnp.asarray(base), ngran=jnp.asarray(ngran),
         rowmask=jnp.asarray(rowmask),
         hi2=jnp.asarray(hi2), slo=jnp.asarray(slo), val=jnp.asarray(val),
-        rcf=jnp.asarray(rcf), got_static=jnp.asarray(got))
+        rcf=jnp.asarray(rcf), got_static=jnp.asarray(got)), mm=True)
 
 
 def _make_kernel_mm(reduce_kind: str, process: Callable, wr: int, h: int,
@@ -935,17 +951,25 @@ def _make_kernel_mm(reduce_kind: str, process: Callable, wr: int, h: int,
                 return xrot_ref[8 * (g - 18): 8 * (g - 18) + 8, :]
             return gather_from(tbl, HUB_GRANULES)
 
+        prev = jnp.maximum(i - 1, 0)
+        same_win = jnp.logical_and(
+            i > 0, jnp.logical_and(kind_ref[i] == kind_ref[prev],
+                                   base_ref[i] == base_ref[prev]))
+
         def window_branch(W):
             def inner():
                 base = pl.multiple_of(base_ref[i], 8)
-                if x2_hbm:
-                    dma = pltpu.make_async_copy(
-                        x2_ref.at[pl.ds(base, W), :],
-                        wscr_ref.at[0:W, :], dma_sem[0])
-                    dma.start()
-                    dma.wait()
-                else:
-                    wscr_ref[0:W, :] = x2_ref[pl.ds(base, W), :]
+
+                @pl.when(jnp.logical_not(same_win))
+                def _():
+                    if x2_hbm:
+                        dma = pltpu.make_async_copy(
+                            x2_ref.at[pl.ds(base, W), :],
+                            wscr_ref.at[0:W, :], dma_sem[0])
+                        dma.start()
+                        dma.wait()
+                    else:
+                        wscr_ref[0:W, :] = x2_ref[pl.ds(base, W), :]
                 return gather_from(lambda g: wscr_ref[8 * g: 8 * g + 8, :],
                                    W // 8)
             return inner

@@ -1,0 +1,61 @@
+"""Debug / assert mode — the reference's ``debug=1`` build flag.
+
+The reference's ``__DEBUG`` compiles in partition cross-checks and asserts
+(``Makefile:22``, ``COOSIMD32Tile.h:320-362``, ``singlenode/spmspv.h:198-203``).
+XLA kernels are race-free by construction, so the useful analog is
+*plan-invariant validation*: set ``GRAPHMAT_DEBUG=1`` and every Pallas edge
+plan is checked on the host right after construction — index ranges, block
+monotonicity, slot-collision freedom, edge conservation — catching planner
+bugs before they become silent wrong answers in a compiled kernel.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+__all__ = ["debug_enabled", "validate_plan2", "validate_plan2m",
+           "assert_all_finite"]
+
+
+def debug_enabled() -> bool:
+    return os.environ.get("GRAPHMAT_DEBUG", "0") not in ("", "0", "false")
+
+
+def _basic(plan, idx_hi_limit):
+    blk = np.asarray(plan.blkid)
+    assert (np.diff(blk) >= 0).all(), "blkid must be nondecreasing"
+    assert set(range(plan.nb)) <= set(blk.tolist()) or plan.nb == len(
+        set(blk.tolist())), "every receiver block needs a chunk"
+    base = np.asarray(plan.base)
+    assert (base % 8 == 0).all(), "window bases must be 8-aligned"
+    assert base.min() >= 0 and base.max() <= plan.h, "base out of range"
+    rcf = np.asarray(plan.rcf)
+    assert rcf.min() >= 0 and rcf.max() <= plan.wr, "rcf out of range"
+    kind = np.asarray(plan.kindid)
+    assert kind.min() >= 0, "negative kind"
+
+
+def validate_plan2(plan) -> None:
+    """Invariants of the scalar sum plan (``build_spmv2_plan``)."""
+    _basic(plan, plan.h)
+    idx = np.asarray(plan.idx)
+    assert idx.min() >= 0, "negative gather index"
+    # real-edge count == nnz (pads have rcf == wr)
+    real = (np.asarray(plan.rcf) < plan.wr).sum()
+    assert real == plan.nnz, f"slot conservation {real} != {plan.nnz}"
+
+
+def validate_plan2m(plan) -> None:
+    """Invariants of the min/max (colored) plan, incl. per-row sender-lane
+    injectivity that the routed gather depends on."""
+    _basic(plan, plan.h)
+    real = (np.asarray(plan.rcf) < plan.wr).sum()
+    assert real == plan.nnz, f"slot conservation {real} != {plan.nnz}"
+
+
+def assert_all_finite(name: str, arr) -> None:
+    a = np.asarray(arr)
+    if not np.isfinite(a).all():
+        raise AssertionError(f"{name} contains non-finite values")
