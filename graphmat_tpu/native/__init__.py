@@ -82,6 +82,17 @@ def load_planner():
                                        i32p, i32p, i32p, i32p, f32p, i32p]
         lib.gm_plan2m_destroy.restype = None
         lib.gm_plan2m_destroy.argtypes = [ctypes.c_void_p]
+        lib.gm_planv_create.restype = ctypes.c_void_p
+        lib.gm_planv_create.argtypes = [
+            i32p, i32p, f32p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i32p,
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int64)]
+        lib.gm_planv_fill.restype = None
+        lib.gm_planv_fill.argtypes = [ctypes.c_void_p, i32p, i32p, i32p,
+                                      i32p, i32p, f32p, i32p, i32p]
+        lib.gm_planv_destroy.restype = None
+        lib.gm_planv_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 

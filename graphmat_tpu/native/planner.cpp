@@ -887,3 +887,243 @@ void gm_plan2m_fill(void* handle, int32_t* kindid, int32_t* blkid,
 void gm_plan2m_destroy(void* handle) { delete static_cast<Plan2m*>(handle); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// vec2 (K-wide) plan builder — C++ counterpart of
+// pallas_spmv_vec2.py::build_spmv_vec2_plan.  Cells are (aligned receiver
+// window, sender-window class, sender window); slots are 32-lane blocks
+// keyed by rc % 4 with per-block queues of depth `rows`.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int kKpad = 32;
+constexpr int kSlots = 4;
+
+struct PlanV {
+  int64_t e = 0;
+  int32_t hs = 0, hr = 0, wr = 0, nb = 0, rows = 32, wy = 64;
+  std::vector<int32_t> windows;
+  // per edge
+  std::vector<int32_t> cellid;     // compact cell
+  std::vector<int32_t> echunk;     // chunk within cell
+  std::vector<int8_t> erow, eblk;  // row, lane-block (rc % 4)
+  std::vector<int32_t> gidx;       // sender idx*4 | rotation
+  std::vector<int64_t> edge_order, cell_edge_start;
+  std::vector<int64_t> cell_chunk_base;
+  std::vector<int32_t> cell_kind, cell_blk, cell_sbase, cell_rbase;
+  int64_t nc = 0;
+  const int32_t* s = nullptr;
+  const int32_t* r = nullptr;
+  const float* v = nullptr;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* gm_planv_create(const int32_t* senders, const int32_t* receivers,
+                      const float* vals, int64_t e, int32_t hs, int32_t hr,
+                      int32_t wr, int32_t nb, const int32_t* windows,
+                      int32_t nw, int64_t cell_min, int32_t wy,
+                      int32_t rows, int64_t* nc_out) {
+  auto* p = new PlanV();
+  p->e = e; p->hs = hs; p->hr = hr; p->wr = wr; p->nb = nb;
+  p->rows = rows; p->wy = wy;
+  p->s = senders; p->r = receivers; p->v = vals;
+  for (int32_t k = 0; k < nw; ++k)
+    p->windows.push_back(std::min(windows[k], hs));
+  const int K = (int)p->windows.size();
+  const int64_t nrw = (hr + wy - 1) / wy;
+  std::vector<int64_t> nsw(K), ofs(K + 1, 0);
+  for (int k = 0; k < K; ++k) {
+    nsw[k] = (hs + p->windows[k] - 1) / p->windows[k];
+    ofs[k + 1] = ofs[k] + nrw * nsw[k];
+  }
+  const int64_t raw_cells = ofs[K];
+
+  // classify: smallest class whose (rwin, swin) cell has >= cell_min edges
+  std::vector<int32_t> kind(e, -1);
+  std::vector<int64_t> rawcell(e);
+  std::vector<int64_t> cellcnt;
+  for (int k = 0; k < K; ++k) {
+    const bool last = (k == K - 1);
+    const int32_t W = p->windows[k];
+    cellcnt.assign((size_t)nrw * nsw[k], 0);
+    if (!last) {
+      for (int64_t i = 0; i < e; ++i)
+        if (kind[i] < 0)
+          cellcnt[((int64_t)(receivers[i] / 4) / wy) * nsw[k]
+                  + (senders[i] / 4) / W]++;
+    }
+    for (int64_t i = 0; i < e; ++i) {
+      if (kind[i] >= 0) continue;
+      const int64_t c = ((int64_t)(receivers[i] / 4) / wy) * nsw[k]
+                        + (senders[i] / 4) / W;
+      if (last || cellcnt[c] >= cell_min) {
+        kind[i] = k;
+        rawcell[i] = ofs[k] + c;
+      }
+    }
+  }
+
+  // active cells ordered by (block, kind, swin) — rwin implies the block
+  struct Cell { int64_t raw; int32_t blk, kind; int64_t rwin, swin; };
+  std::vector<int64_t> rawcnt(raw_cells, 0);
+  for (int64_t i = 0; i < e; ++i) rawcnt[rawcell[i]]++;
+  std::vector<Cell> cells;
+  for (int64_t rc = 0; rc < raw_cells; ++rc) {
+    if (!rawcnt[rc]) continue;
+    int k = 0;
+    while (k + 1 < K && rc >= ofs[k + 1]) ++k;
+    const int64_t c = rc - ofs[k];
+    Cell cl;
+    cl.raw = rc;
+    cl.kind = k;
+    cl.rwin = c / nsw[k];
+    cl.swin = c % nsw[k];
+    cl.blk = (int32_t)(cl.rwin * wy * 4 / wr);
+    cells.push_back(cl);
+  }
+  std::stable_sort(cells.begin(), cells.end(),
+                   [](const Cell& a, const Cell& b) {
+                     if (a.blk != b.blk) return a.blk < b.blk;
+                     if (a.rwin != b.rwin) return a.rwin < b.rwin;
+                     if (a.kind != b.kind) return a.kind < b.kind;
+                     return a.swin < b.swin;
+                   });
+  std::vector<char> covered(nb, 0);
+  for (const Cell& cl : cells) covered[cl.blk] = 1;
+  std::vector<Cell> final_cells;
+  {
+    size_t ci = 0;
+    for (int32_t b = 0; b < nb; ++b) {
+      if (!covered[b]) {
+        Cell cl; cl.raw = -1; cl.kind = 0; cl.blk = b;
+        cl.rwin = (int64_t)b * wr / 4 / wy;
+        cl.swin = 0;
+        final_cells.push_back(cl);
+      }
+      while (ci < cells.size() && cells[ci].blk == b)
+        final_cells.push_back(cells[ci++]);
+    }
+  }
+  const size_t nfc = final_cells.size();
+  std::vector<int64_t> raw_to_cell(raw_cells, -1);
+  for (size_t q = 0; q < nfc; ++q)
+    if (final_cells[q].raw >= 0) raw_to_cell[final_cells[q].raw] = q;
+
+  p->cellid.resize(e);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < e; ++i)
+    p->cellid[i] = (int32_t)raw_to_cell[rawcell[i]];
+
+  p->cell_edge_start.assign(nfc + 2, 0);
+  for (int64_t i = 0; i < e; ++i) p->cell_edge_start[p->cellid[i] + 2]++;
+  for (size_t q = 2; q < p->cell_edge_start.size(); ++q)
+    p->cell_edge_start[q] += p->cell_edge_start[q - 1];
+  p->edge_order.resize(e);
+  for (int64_t i = 0; i < e; ++i)
+    p->edge_order[p->cell_edge_start[p->cellid[i] + 1]++] = i;
+  p->cell_edge_start.pop_back();
+
+  // per-cell: lane-block queues
+  p->echunk.resize(e);
+  p->erow.resize(e);
+  p->eblk.resize(e);
+  p->gidx.resize(e);
+  p->cell_kind.resize(nfc); p->cell_blk.resize(nfc);
+  p->cell_sbase.resize(nfc); p->cell_rbase.resize(nfc);
+  std::vector<int64_t> cell_nchunks(nfc, 0);
+#pragma omp parallel for schedule(dynamic, 16)
+  for (int64_t q = 0; q < (int64_t)nfc; ++q) {
+    const Cell& cl = final_cells[q];
+    const int32_t W = p->windows[cl.kind];
+    int32_t sbase = (int32_t)std::min<int64_t>(cl.swin * W, hs - W);
+    int32_t rbase = (int32_t)std::min<int64_t>(cl.rwin * wy, hr - wy);
+    p->cell_kind[q] = cl.kind;
+    p->cell_blk[q] = cl.blk;
+    p->cell_sbase[q] = sbase;
+    p->cell_rbase[q] = rbase;
+    int32_t cnt[kSlots] = {0, 0, 0, 0};
+    for (int64_t j = p->cell_edge_start[q]; j < p->cell_edge_start[q + 1];
+         ++j) {
+      const int64_t i = p->edge_order[j];
+      const int b = p->r[i] & 3;
+      const int32_t k2 = cnt[b]++;
+      p->echunk[i] = k2 / p->rows;
+      p->erow[i] = (int8_t)(k2 % p->rows);
+      p->eblk[i] = (int8_t)b;
+      const int rot = ((p->r[i] - p->s[i]) % 4 + 4) & 3;
+      p->gidx[i] = ((p->s[i] / 4 - sbase) << 2) | rot;
+    }
+    int32_t mx = 0;
+    for (int b = 0; b < kSlots; ++b) mx = std::max(mx, cnt[b]);
+    cell_nchunks[q] = std::max<int64_t>((mx + p->rows - 1) / p->rows, 1);
+  }
+  p->cell_chunk_base.assign(nfc + 1, 0);
+  for (size_t q = 0; q < nfc; ++q)
+    p->cell_chunk_base[q + 1] = p->cell_chunk_base[q] + cell_nchunks[q];
+  p->nc = p->cell_chunk_base[nfc];
+  *nc_out = p->nc;
+  return p;
+}
+
+void gm_planv_fill(void* handle, int32_t* kindid, int32_t* blkid,
+                   int32_t* sbase, int32_t* rbase, int32_t* idxs,
+                   float* val, int32_t* rcf, int32_t* rcwt) {
+  auto* p = static_cast<PlanV*>(handle);
+  const int64_t nc = p->nc;
+  const int64_t chunk_elems = (int64_t)p->rows * kLane;
+  const int64_t rcwt_elems = (int64_t)8 * kLane;
+  const size_t nfc = p->cell_kind.size();
+
+#pragma omp parallel for schedule(static)
+  for (int64_t c = 0; c < nc; ++c) {
+    std::memset(idxs + c * chunk_elems, 0, chunk_elems * sizeof(int32_t));
+    std::memset(val + c * chunk_elems, 0, chunk_elems * sizeof(float));
+    int32_t* rc = rcf + c * chunk_elems;
+    for (int64_t t = 0; t < chunk_elems; ++t) rc[t] = p->wr;
+    int32_t* rw = rcwt + c * rcwt_elems;
+    for (int64_t t = 0; t < rcwt_elems; ++t) rw[t] = 127;
+  }
+#pragma omp parallel for schedule(static)
+  for (int64_t q = 0; q < (int64_t)nfc; ++q) {
+    for (int64_t c = p->cell_chunk_base[q]; c < p->cell_chunk_base[q + 1];
+         ++c) {
+      kindid[c] = p->cell_kind[q];
+      blkid[c] = p->cell_blk[q];
+      sbase[c] = p->cell_sbase[q];
+      rbase[c] = p->cell_rbase[q];
+    }
+  }
+#pragma omp parallel for schedule(dynamic, 16)
+  for (int64_t q = 0; q < (int64_t)nfc; ++q) {
+    const int64_t wrblk = (int64_t)p->cell_blk[q] * p->wr;
+    const int32_t rbase = p->cell_rbase[q];
+    for (int64_t j = p->cell_edge_start[q]; j < p->cell_edge_start[q + 1];
+         ++j) {
+      const int64_t i = p->edge_order[j];
+      const int64_t chunk = p->cell_chunk_base[q] + p->echunk[i];
+      const int row = (int)p->erow[i];
+      const int b = (int)p->eblk[i];
+      int32_t* ib = idxs + chunk * chunk_elems + (int64_t)row * kLane
+                    + b * kKpad;
+      float* vb = val + chunk * chunk_elems + (int64_t)row * kLane
+                  + b * kKpad;
+      int32_t* rb = rcf + chunk * chunk_elems + (int64_t)row * kLane
+                    + b * kKpad;
+      for (int t = 0; t < kKpad; ++t) {
+        ib[t] = p->gidx[i];
+        vb[t] = p->v[i];
+        rb[t] = (int32_t)(p->r[i] - wrblk);
+      }
+      rcwt[chunk * rcwt_elems + b * p->rows + row] =
+          (int32_t)(p->r[i] / 4 - rbase);
+    }
+  }
+}
+
+void gm_planv_destroy(void* handle) { delete static_cast<PlanV*>(handle); }
+
+}  // extern "C"

@@ -101,6 +101,13 @@ def build_spmv_vec2_plan(senders0, receivers0, vals, n,
     assert wr % (4 * wy) == 0 or wy * 4 >= wr
 
     windows = sorted({int(min(w, hs)) for w in windows}) or [min(2048, hs)]
+
+    from ..native import load_planner
+    lib = load_planner()
+    if lib is not None and e > 0 and hasattr(lib, "gm_planv_create"):
+        return _build_planv_native(lib, s, r, v, e, hs, hr, wr, nb,
+                                   windows, cell_min, wy, rows, n_pad,
+                                   n_send_pad, receivers0)
     rblk = r // wr
     rwin = (r // 4) // wy          # aligned receiver window id (global)
     srow = s // 4
@@ -213,6 +220,49 @@ def build_spmv_vec2_plan(senders0, receivers0, vals, n,
         val=jnp.asarray(np.stack([c["val"] for c in chunks])),
         rcf=jnp.asarray(np.stack([c["rcf"] for c in chunks])),
         rcwT=jnp.asarray(np.stack([c["rcwt"] for c in chunks])),
+        got_static=jnp.asarray(got))
+
+
+def _build_planv_native(lib, s, r, v, e, hs, hr, wr, nb, windows,
+                        cell_min, wy, rows, n_pad, n_send_pad,
+                        receivers0):
+    """C++/OpenMP vec2 plan build (graphmat_tpu/native/planner.cpp)."""
+    import ctypes
+
+    sa = np.ascontiguousarray(s, np.int32)
+    ra = np.ascontiguousarray(r, np.int32)
+    va = np.ascontiguousarray(v, np.float32)
+    wins = np.ascontiguousarray(windows, np.int32)
+    nc_out = ctypes.c_int64()
+    handle = lib.gm_planv_create(sa, ra, va, e, hs, hr, wr, nb, wins,
+                                 len(wins), cell_min, wy, rows,
+                                 ctypes.byref(nc_out))
+    nc = int(nc_out.value)
+    try:
+        kindid = np.empty(nc, np.int32)
+        blkid = np.empty(nc, np.int32)
+        sbase = np.empty(nc, np.int32)
+        rbase = np.empty(nc, np.int32)
+        idxs = np.empty((nc, rows, LANE), np.int32)
+        val = np.empty((nc, rows, LANE), np.float32)
+        rcf = np.empty((nc, rows, LANE), np.int32)
+        rcwt = np.empty((nc, 8, LANE), np.int32)
+        lib.gm_planv_fill(handle, kindid, blkid, sbase, rbase,
+                          idxs.reshape(-1), val.reshape(-1),
+                          rcf.reshape(-1), rcwt.reshape(-1))
+    finally:
+        lib.gm_planv_destroy(handle)
+    got = np.zeros(n_pad, bool)
+    got[np.unique(np.asarray(receivers0))] = True
+    return SpmvVec2Plan(
+        n_pad=n_pad, n_send_pad=n_send_pad, hs=hs, hr=hr, wr=wr, nb=nb,
+        nc=nc, rows=rows, wy=wy, nnz=e,
+        fill=e / max(nc * rows * SLOTS, 1),
+        classes=tuple(int(w) for w in windows),
+        kindid=jnp.asarray(kindid), blkid=jnp.asarray(blkid),
+        sbase=jnp.asarray(sbase), rbase=jnp.asarray(rbase),
+        idxs=jnp.asarray(idxs), val=jnp.asarray(val),
+        rcf=jnp.asarray(rcf), rcwT=jnp.asarray(rcwt),
         got_static=jnp.asarray(got))
 
 
