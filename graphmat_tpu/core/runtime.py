@@ -336,7 +336,8 @@ class Engine:
             plan = self._plans[recv]
             plan_arrays, got_static = plans[recv]
             plan_static = (plan.hs, plan.hr, plan.wr, plan.nb, plan.nc,
-                           plan.n_pad, plan.rows, plan.wy, plan.classes)
+                           plan.n_pad, plan.rows, plan.wy, plan.classes,
+                           plan.segs)
             xw = pad32(x, plan.n_send_pad)
             vw = (pad32(vp_enc, plan.n_pad) if vp_enc is not None
                   else jnp.zeros(plan.hr * 128, jnp.float32))

@@ -49,6 +49,7 @@ __all__ = ["SpmvVec2Plan", "build_spmv_vec2_plan", "spmv_vec2"]
 LANE = 128
 KPAD = 32                # lanes per edge slot
 SLOTS = LANE // KPAD     # 4 edge slots per row
+NC_SEG_MAX = 50_000      # chunks per pallas call (1 MB SMEM prefetch cap)
 
 
 def _round_up(x, m):
@@ -78,6 +79,8 @@ class SpmvVec2Plan:
     rcf: Any             # i32[nc,rows,128] rc - blk*wr (rep x32); pad = wr
     rcwT: Any            # i32[nc,8,128] flat: row 0, lane (b*rows + i)
                          #   holds rc//4 - rbase; pads = 127
+    segs: tuple          # ((c0, c1, b0, b1), ...) block-aligned chunk
+                         #   ranges, each <= NC_SEG_MAX (SMEM budget)
     got_static: Any      # bool[n_pad]
 
 
@@ -208,10 +211,12 @@ def build_spmv_vec2_plan(senders0, receivers0, vals, n,
     got = np.zeros(n_pad, bool)
     if e:
         got[np.unique(np.asarray(receivers0))] = True
+    blkid_np = np.array([c["blk"] for c in chunks], np.int32)
     return SpmvVec2Plan(
         n_pad=n_pad, n_send_pad=n_send_pad, hs=hs, hr=hr, wr=wr, nb=nb,
         nc=nc, rows=rows, wy=wy, nnz=e,
         fill=e / max(nc * rows * SLOTS, 1), classes=tuple(windows),
+        segs=_segments(blkid_np, nb),
         kindid=jnp.asarray(np.array([c["kind"] for c in chunks], np.int32)),
         blkid=jnp.asarray(np.array([c["blk"] for c in chunks], np.int32)),
         sbase=jnp.asarray(np.array([c["sbase"] for c in chunks], np.int32)),
@@ -259,11 +264,34 @@ def _build_planv_native(lib, s, r, v, e, hs, hr, wr, nb, windows,
         nc=nc, rows=rows, wy=wy, nnz=e,
         fill=e / max(nc * rows * SLOTS, 1),
         classes=tuple(int(w) for w in windows),
+        segs=_segments(blkid, nb),
         kindid=jnp.asarray(kindid), blkid=jnp.asarray(blkid),
         sbase=jnp.asarray(sbase), rbase=jnp.asarray(rbase),
         idxs=jnp.asarray(idxs), val=jnp.asarray(val),
         rcf=jnp.asarray(rcf), rcwT=jnp.asarray(rcwt),
         got_static=jnp.asarray(got))
+
+
+
+
+def _segments(blkid: np.ndarray, nb: int, nc_max: int | None = None):
+    """Split chunks into block-aligned ranges of <= nc_max (the scalar
+    prefetch arrays live in 1 MB SMEM)."""
+    if nc_max is None:
+        nc_max = NC_SEG_MAX
+    nc = len(blkid)
+    if nc <= nc_max:
+        return ((0, nc, 0, nb),)
+    starts = np.searchsorted(blkid, np.arange(nb + 1))
+    segs = []
+    c0, b0 = 0, 0
+    for b in range(1, nb + 1):
+        if starts[b] - c0 > nc_max:
+            assert starts[b - 1] > c0, "single block exceeds the SMEM cap"
+            segs.append((int(c0), int(starts[b - 1]), int(b0), b - 1))
+            c0, b0 = int(starts[b - 1]), b - 1
+    segs.append((int(c0), nc, int(b0), nb))
+    return tuple(segs)
 
 
 # ------------------------------------------------------------------ kernel
@@ -428,6 +456,31 @@ def _make_vec2_kernel(process: Callable, wr: int, wy: int, rows: int,
                                               "has_extra"))
 def _spmv_vec2_call(plan_arrays, plan_static, x, vp, extra, process,
                     n_splits, interpret, has_extra):
+    if len(plan_static) > 9:
+        segs = plan_static[9]
+        base_static = plan_static[:9]
+        if len(segs) > 1:
+            kindid, blkid, sbase, rbase, idxs, val, rcf, rcwt = plan_arrays
+            outs = []
+            hs, hr, wr, nb, nc, n_pad, rows, wy, classes = base_static
+            for (c0, c1, b0, b1) in segs:
+                sub = (kindid[c0:c1], blkid[c0:c1], sbase[c0:c1],
+                       rbase[c0:c1], idxs[c0:c1], val[c0:c1], rcf[c0:c1],
+                       rcwt[c0:c1])
+                seg_static = (hs, hr, wr, b1 - b0, c1 - c0,
+                              (b1 - b0) * wr, rows, wy, classes)
+                outs.append(_spmv_vec2_seg(sub, seg_static, x, vp, extra,
+                                           process, n_splits, interpret,
+                                           has_extra, b0))
+            y = jnp.concatenate(outs, axis=0)
+            return y[: n_pad]
+        plan_static = base_static
+    return _spmv_vec2_seg(plan_arrays, plan_static, x, vp, extra, process,
+                          n_splits, interpret, has_extra, 0)
+
+
+def _spmv_vec2_seg(plan_arrays, plan_static, x, vp, extra, process,
+                   n_splits, interpret, has_extra, b0=0):
     hs, hr, wr, nb, nc, n_pad, rows, wy, classes = plan_static
     kindid, blkid, sbase, rbase, idxs, val, rcf, rcwt = plan_arrays
     x4 = x.reshape(hs, LANE)
@@ -453,7 +506,8 @@ def _spmv_vec2_call(plan_arrays, plan_static, x, vp, extra, process,
         grid=(nc,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, wr // 4, LANE),
-                               lambda i, kind, blk, sb, rb: (blk[i], 0, 0),
+                               lambda i, kind, blk, sb, rb:
+                               (blk[i] - b0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((wr // 4, LANE), jnp.float32),
                         pltpu.VMEM((4 * wmax, LANE), jnp.float32),
@@ -488,7 +542,8 @@ def spmv_vec2(plan: SpmvVec2Plan, x, process: Callable, vp_receiver,
     plan_arrays = (plan.kindid, plan.blkid, plan.sbase, plan.rbase,
                    plan.idxs, plan.val, plan.rcf, plan.rcwT)
     plan_static = (plan.hs, plan.hr, plan.wr, plan.nb, plan.nc,
-                   plan.n_pad, plan.rows, plan.wy, plan.classes)
+                   plan.n_pad, plan.rows, plan.wy, plan.classes,
+                   plan.segs)
     ex = None
     if extra is not None:
         ex = jnp.tile(jnp.pad(jnp.asarray(extra, jnp.float32),

@@ -390,7 +390,7 @@ class DistGraph:
         got_d = jax.device_put(got, sh)
         static = (plans[0].hs, plans[0].hr, wr_eff, nb, nc_max,
                   plans[0].n_pad, plans[0].rows, plans[0].wy,
-                  plans[0].classes)
+                  plans[0].classes)   # tiles stay single-segment (small)
         self._pallas_plans[key] = (arrays, static, got_d,
                                    plans[0].n_send_pad)
         return self._pallas_plans[key]

@@ -261,3 +261,34 @@ def test_lda_vec2_engine_matches_xla():
     ref = run(False)
     out = run(True)
     np.testing.assert_allclose(out, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_vec2_segmented_calls_match():
+    """SMEM-bounded segmentation: multi-call vec2 equals single-call."""
+    import graphmat_tpu.ops.pallas_spmv_vec2 as m
+    rng = np.random.default_rng(3)
+    n, e, K = 3000, 20000, 20
+    s = rng.integers(0, n, e).astype(np.int64)
+    r = rng.integers(0, n, e).astype(np.int64)
+    w = rng.standard_normal(e).astype(np.float32)
+    x = rng.standard_normal((n, K)).astype(np.float32) * 0.3
+    vp = rng.standard_normal((n, K)).astype(np.float32) * 0.3
+
+    def proc(xv, ev, vpr, extra, rid, block_sum):
+        return xv * (ev - block_sum(xv * vpr))
+
+    old = m.NC_SEG_MAX
+    try:
+        plan1 = m.build_spmv_vec2_plan(s, r, w, n, wr=512,
+                                       windows=(16, 64), wy=16,
+                                       cell_min=64)
+        m.NC_SEG_MAX = 200
+        plan2 = m.build_spmv_vec2_plan(s, r, w, n, wr=512,
+                                       windows=(16, 64), wy=16,
+                                       cell_min=64)
+    finally:
+        m.NC_SEG_MAX = old
+    assert len(plan2.segs) > 1
+    y1 = np.asarray(m.spmv_vec2(plan1, x, proc, vp, interpret=True))
+    y2 = np.asarray(m.spmv_vec2(plan2, x, proc, vp, interpret=True))
+    np.testing.assert_array_equal(y1, y2)
