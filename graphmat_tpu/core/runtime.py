@@ -138,8 +138,8 @@ class Engine:
         # program (hundreds of MB for big graphs).
         if self.use_pallas_vec2:
             self._plan_args = {
-                recv: ((p.kindid, p.blkid, p.sbase, p.rbase, p.idxs,
-                        p.val, p.rcf, p.rcwT), p.got_static)
+                recv: ((p.kindid, p.blkid, p.sbase, p.rbase, p.pk,
+                        p.valp, p.rcwt), p.got_static)
                 for recv, p in self._plans.items()}
         elif self.pallas_version == 2 and semiring is not None \
                 and semiring.reduce_kind != "sum":

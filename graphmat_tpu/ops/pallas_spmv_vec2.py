@@ -74,11 +74,12 @@ class SpmvVec2Plan:
     blkid: Any           # i32[nc]   receiver block (nondecreasing)
     sbase: Any           # i32[nc]   sender window base row (8-aligned)
     rbase: Any           # i32[nc]   receiver window base row (8-aligned)
-    idxs: Any            # i32[nc,rows,128] sender idx*4 + rotation (rep x32)
-    val: Any             # f32[nc,rows,128] edge value (replicated x32)
-    rcf: Any             # i32[nc,rows,128] rc - blk*wr (rep x32); pad = wr
-    rcwT: Any            # i32[nc,8,128] flat: row 0, lane (b*rows + i)
-                         #   holds rc//4 - rbase; pads = 127
+    # compact planes: 32 chunks per [rows,128] tile, 4 lanes per chunk
+    # (one per slot block); the kernel broadcasts to 32-lane blocks with a
+    # lane take_along_axis.  pk packs (gather idx << 13) | rcf.
+    pk: Any              # i32[ceil(nc/32),rows,128]
+    valp: Any            # f32[ceil(nc/32),rows,128]
+    rcwt: Any            # i32[ceil(nc/8),8,128]  row c%8, lane b*rows+i
     segs: tuple          # ((c0, c1, b0, b1), ...) block-aligned chunk
                          #   ranges, each <= NC_SEG_MAX (SMEM budget)
     got_static: Any      # bool[n_pad]
@@ -212,19 +213,22 @@ def build_spmv_vec2_plan(senders0, receivers0, vals, n,
     if e:
         got[np.unique(np.asarray(receivers0))] = True
     blkid_np = np.array([c["blk"] for c in chunks], np.int32)
+    pk, valp, rcwt = _compact_planes(
+        np.stack([c["idxs"] for c in chunks]),
+        np.stack([c["val"] for c in chunks]),
+        np.stack([c["rcf"] for c in chunks]),
+        np.stack([c["rcwt"][0] for c in chunks]), rows)
     return SpmvVec2Plan(
         n_pad=n_pad, n_send_pad=n_send_pad, hs=hs, hr=hr, wr=wr, nb=nb,
         nc=nc, rows=rows, wy=wy, nnz=e,
         fill=e / max(nc * rows * SLOTS, 1), classes=tuple(windows),
         segs=_segments(blkid_np, nb),
         kindid=jnp.asarray(np.array([c["kind"] for c in chunks], np.int32)),
-        blkid=jnp.asarray(np.array([c["blk"] for c in chunks], np.int32)),
+        blkid=jnp.asarray(blkid_np),
         sbase=jnp.asarray(np.array([c["sbase"] for c in chunks], np.int32)),
         rbase=jnp.asarray(np.array([c["rbase"] for c in chunks], np.int32)),
-        idxs=jnp.asarray(np.stack([c["idxs"] for c in chunks])),
-        val=jnp.asarray(np.stack([c["val"] for c in chunks])),
-        rcf=jnp.asarray(np.stack([c["rcf"] for c in chunks])),
-        rcwT=jnp.asarray(np.stack([c["rcwt"] for c in chunks])),
+        pk=jnp.asarray(pk), valp=jnp.asarray(valp),
+        rcwt=jnp.asarray(rcwt),
         got_static=jnp.asarray(got))
 
 
@@ -259,6 +263,7 @@ def _build_planv_native(lib, s, r, v, e, hs, hr, wr, nb, windows,
         lib.gm_planv_destroy(handle)
     got = np.zeros(n_pad, bool)
     got[np.unique(np.asarray(receivers0))] = True
+    pk, valp, rcwt2 = _compact_planes(idxs, val, rcf, rcwt[:, 0, :], rows)
     return SpmvVec2Plan(
         n_pad=n_pad, n_send_pad=n_send_pad, hs=hs, hr=hr, wr=wr, nb=nb,
         nc=nc, rows=rows, wy=wy, nnz=e,
@@ -267,11 +272,42 @@ def _build_planv_native(lib, s, r, v, e, hs, hr, wr, nb, windows,
         segs=_segments(blkid, nb),
         kindid=jnp.asarray(kindid), blkid=jnp.asarray(blkid),
         sbase=jnp.asarray(sbase), rbase=jnp.asarray(rbase),
-        idxs=jnp.asarray(idxs), val=jnp.asarray(val),
-        rcf=jnp.asarray(rcf), rcwT=jnp.asarray(rcwt),
+        pk=jnp.asarray(pk), valp=jnp.asarray(valp),
+        rcwt=jnp.asarray(rcwt2),
         got_static=jnp.asarray(got))
 
 
+
+
+RCF_BITS = 13            # pk = (gidx << RCF_BITS) | rcf; rcf <= wr = 4096
+
+
+def _compact_planes(idxs, val, rcf, rcwt_row0, rows):
+    """[nc,rows,128]-replicated planes -> packed tiles (32 chunks/tile)."""
+    nc = idxs.shape[0]
+    nidx = idxs[:, :, ::KPAD]           # [nc, rows, 4]
+    nval = val[:, :, ::KPAD]
+    nrcf = rcf[:, :, ::KPAD]
+    pk = (nidx.astype(np.int64) << RCF_BITS) | nrcf.astype(np.int64)
+    assert pk.max(initial=0) < 2 ** 31
+    npk = -(-nc // 32)
+    pad = npk * 32 - nc
+    if pad:
+        pk = np.concatenate(
+            [pk, np.zeros((pad, rows, SLOTS), np.int64)])
+        nval = np.concatenate(
+            [nval, np.zeros((pad, rows, SLOTS), np.float32)])
+    pk = (pk.reshape(npk, 32, rows, SLOTS).transpose(0, 2, 1, 3)
+          .reshape(npk, rows, LANE).astype(np.int32))
+    valp = (nval.reshape(npk, 32, rows, SLOTS).transpose(0, 2, 1, 3)
+            .reshape(npk, rows, LANE).astype(np.float32))
+    nr8 = -(-nc // 8)
+    pad8 = nr8 * 8 - nc
+    rw = rcwt_row0
+    if pad8:
+        rw = np.concatenate([rw, np.full((pad8, LANE), 127, np.int32)])
+    rcwt = rw.reshape(nr8, 8, LANE).astype(np.int32)
+    return pk, valp, rcwt
 
 
 def _segments(blkid: np.ndarray, nb: int, nc_max: int | None = None):
@@ -311,12 +347,12 @@ def _split_bf16(x, n_splits):
 
 def _make_vec2_kernel(process: Callable, wr: int, wy: int, rows: int,
                       classes, n_splits: int, has_extra: bool,
-                      interpret: bool = False):
+                      interpret: bool = False, c0: int = 0):
     ntiles = rows // 8
     wmax = max(classes)
 
-    def kernel(kind_ref, blk_ref, sbase_ref, rbase_ref, idxs_ref, val_ref,
-               rcf_ref, rcwt_ref, x4_ref, vp4_ref, *rest):
+    def kernel(kind_ref, blk_ref, sbase_ref, rbase_ref, pk_ref, valp_ref,
+               rcwt_ref, x4_ref, vp4_ref, *rest):
         if has_extra:
             extra_ref = rest[0]
             rest = rest[1:]
@@ -330,7 +366,18 @@ def _make_vec2_kernel(process: Callable, wr: int, wy: int, rows: int,
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        idx_tiles = [idxs_ref[0, 8 * t: 8 * t + 8, :] for t in range(ntiles)]
+        # unpack the compact planes: 32 chunks per tile, lanes
+        # (chunk % 32) * 4 + slot-block; broadcast to 32-lane blocks
+        gc = c0 + i                       # global chunk id
+        off32 = (gc % 32) * SLOTS
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
+        bigidx = off32 + lane_i // KPAD   # [rows, 128]
+        pkb = jnp.take_along_axis(pk_ref[0], bigidx, axis=1)
+        idxs_full = pkb >> RCF_BITS
+        rcf = pkb & ((1 << RCF_BITS) - 1)
+        ev = jnp.take_along_axis(valp_ref[0], bigidx, axis=1)
+
+        idx_tiles = [idxs_full[8 * t: 8 * t + 8, :] for t in range(ntiles)]
         subs = [(t >> 2) & 7 for t in idx_tiles]
         # fused (granule, rotation) key: one compare per (g, c) pass
         keys = [((t >> 5) << 2) | (t & 3) for t in idx_tiles]
@@ -385,7 +432,6 @@ def _make_vec2_kernel(process: Callable, wr: int, wy: int, rows: int,
                 vp4_ref.at[pl.ds(rb, wy), :], vscr_ref, dma_sem)
             dma_v.start()
             dma_v.wait()
-        rcf = rcf_ref[0]
         # rcf is block-local; rb is a global VP row base
         blk_rb = rb - jnp.int32(blk_ref[i]) * (wr // 4)
         idxv = (rcf >> 2) - blk_rb                      # [rows,128]
@@ -401,7 +447,6 @@ def _make_vec2_kernel(process: Callable, wr: int, wy: int, rows: int,
         vpr = jnp.concatenate(vpr_tiles, axis=0)        # [rows, 128]
 
         # ---- process (per 32-lane edge blocks) ----
-        ev = val_ref[0]
         rid = jnp.int32(blk_ref[i]) * wr + rcf          # global receiver id
 
         ones_blk = (jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
@@ -435,7 +480,7 @@ def _make_vec2_kernel(process: Callable, wr: int, wy: int, rows: int,
                                             1) // KPAD
         p_blocks = [jnp.where(lane_blk == b, p, 0.0) for b in range(SLOTS)]
         P = jnp.concatenate(p_blocks, axis=0)            # [4*rows, 128]
-        rcw_flat = rcwt_ref[0, 0:1, 0:SLOTS * rows]
+        rcw_flat = rcwt_ref[0, pl.ds(gc % 8, 1), 0:SLOTS * rows]
         iota_wy = jax.lax.broadcasted_iota(jnp.int32, (wy, SLOTS * rows), 0)
         oh_all = (iota_wy == rcw_flat).astype(jnp.bfloat16)
         contrib = None
@@ -460,44 +505,44 @@ def _spmv_vec2_call(plan_arrays, plan_static, x, vp, extra, process,
         segs = plan_static[9]
         base_static = plan_static[:9]
         if len(segs) > 1:
-            kindid, blkid, sbase, rbase, idxs, val, rcf, rcwt = plan_arrays
+            kindid, blkid, sbase, rbase, pk, valp, rcwt = plan_arrays
             outs = []
             hs, hr, wr, nb, nc, n_pad, rows, wy, classes = base_static
             for (c0, c1, b0, b1) in segs:
                 sub = (kindid[c0:c1], blkid[c0:c1], sbase[c0:c1],
-                       rbase[c0:c1], idxs[c0:c1], val[c0:c1], rcf[c0:c1],
-                       rcwt[c0:c1])
+                       rbase[c0:c1], pk, valp, rcwt)
                 seg_static = (hs, hr, wr, b1 - b0, c1 - c0,
                               (b1 - b0) * wr, rows, wy, classes)
                 outs.append(_spmv_vec2_seg(sub, seg_static, x, vp, extra,
                                            process, n_splits, interpret,
-                                           has_extra, b0))
+                                           has_extra, b0, c0))
             y = jnp.concatenate(outs, axis=0)
             return y[: n_pad]
         plan_static = base_static
     return _spmv_vec2_seg(plan_arrays, plan_static, x, vp, extra, process,
-                          n_splits, interpret, has_extra, 0)
+                          n_splits, interpret, has_extra, 0, 0)
 
 
 def _spmv_vec2_seg(plan_arrays, plan_static, x, vp, extra, process,
-                   n_splits, interpret, has_extra, b0=0):
+                   n_splits, interpret, has_extra, b0=0, c0=0):
     hs, hr, wr, nb, nc, n_pad, rows, wy, classes = plan_static
-    kindid, blkid, sbase, rbase, idxs, val, rcf, rcwt = plan_arrays
+    kindid, blkid, sbase, rbase, pk, valp, rcwt = plan_arrays
     x4 = x.reshape(hs, LANE)
     vp4 = vp.reshape(hr, LANE)
 
     kernel = _make_vec2_kernel(process, wr, wy, rows, classes, n_splits,
-                               has_extra, interpret)
+                               has_extra, interpret, c0)
     wmax = max(classes)
-    nmap = lambda i, *_: (i, 0, 0)
-    chunk_spec = pl.BlockSpec((1, rows, LANE), nmap,
-                              memory_space=pltpu.VMEM)
-    rcwt_spec = pl.BlockSpec((1, 8, LANE), nmap, memory_space=pltpu.VMEM)
+    pk_spec = pl.BlockSpec((1, rows, LANE),
+                           lambda i, *_: ((c0 + i) // 32, 0, 0),
+                           memory_space=pltpu.VMEM)
+    rcwt_spec = pl.BlockSpec((1, 8, LANE),
+                             lambda i, *_: ((c0 + i) // 8, 0, 0),
+                             memory_space=pltpu.VMEM)
     any_spec = pl.BlockSpec(memory_space=(pltpu.VMEM if interpret
                                           else pltpu.ANY))
-    in_specs = [chunk_spec, chunk_spec, chunk_spec, rcwt_spec,
-                any_spec, any_spec]
-    operands = [kindid, blkid, sbase, rbase, idxs, val, rcf, rcwt, x4, vp4]
+    in_specs = [pk_spec, pk_spec, rcwt_spec, any_spec, any_spec]
+    operands = [kindid, blkid, sbase, rbase, pk, valp, rcwt, x4, vp4]
     if has_extra:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         operands.append(extra.reshape(1, LANE))
@@ -540,7 +585,7 @@ def spmv_vec2(plan: SpmvVec2Plan, x, process: Callable, vp_receiver,
     xw = pad32(x, plan.n_send_pad)
     vw = pad32(vp_receiver, plan.n_pad)
     plan_arrays = (plan.kindid, plan.blkid, plan.sbase, plan.rbase,
-                   plan.idxs, plan.val, plan.rcf, plan.rcwT)
+                   plan.pk, plan.valp, plan.rcwt)
     plan_static = (plan.hs, plan.hr, plan.wr, plan.nb, plan.nc,
                    plan.n_pad, plan.rows, plan.wy, plan.classes,
                    plan.segs)

@@ -375,16 +375,30 @@ class DistGraph:
 
         sh = tile_sharding(self.mesh)
         wr_eff = plans[0].wr
+        # pad chunk SCALARS to nc_max; the compact planes pad to their
+        # own tile counts (pk/valp: ceil/32, rcwt: ceil/8)
+        def pad_to(name, tiles, fill):
+            outs = []
+            for p in plans:
+                a = np.asarray(getattr(p, name))
+                padn = tiles - a.shape[0]
+                if padn:
+                    a = np.concatenate(
+                        [a, np.full((padn,) + a.shape[1:], fill, a.dtype)])
+                outs.append(a)
+            return np.stack(outs)
+
+        npk = max(-(-p.nc // 32) for p in plans)
+        nr8 = max(-(-p.nc // 8) for p in plans)
         arrays = (
             jax.device_put(pad_stack("kindid", 0), sh),
             jax.device_put(pad_stack("blkid", 0, pad_blk=True), sh),
             jax.device_put(pad_stack("sbase", 0), sh),
             jax.device_put(pad_stack("rbase",
                                      (nb - 1) * wr_eff // 4), sh),
-            jax.device_put(pad_stack("idxs", 0), sh),
-            jax.device_put(pad_stack("val", 0), sh),
-            jax.device_put(pad_stack("rcf", wr_eff), sh),
-            jax.device_put(pad_stack("rcwT", 127), sh),
+            jax.device_put(pad_to("pk", npk, 0), sh),
+            jax.device_put(pad_to("valp", npk, 0), sh),
+            jax.device_put(pad_to("rcwt", nr8, 127), sh),
         )
         got = np.stack([np.asarray(p.got_static) for p in plans])
         got_d = jax.device_put(got, sh)
