@@ -88,9 +88,9 @@ def load_planner():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i32p,
             ctypes.c_int32, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_int32, ctypes.POINTER(ctypes.c_int64)]
-        lib.gm_planv_fill.restype = None
-        lib.gm_planv_fill.argtypes = [ctypes.c_void_p, i32p, i32p, i32p,
-                                      i32p, i32p, f32p, i32p, i32p]
+        lib.gm_planv_fill2.restype = None
+        lib.gm_planv_fill2.argtypes = [ctypes.c_void_p, i32p, i32p, i32p,
+                                       i32p, i32p, f32p, i32p]
         lib.gm_planv_destroy.restype = None
         lib.gm_planv_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib

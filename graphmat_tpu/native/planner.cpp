@@ -899,6 +899,10 @@ namespace {
 
 constexpr int kKpad = 32;
 constexpr int kSlots = 4;
+#ifndef GM_WYK
+#define GM_WYK 32
+#endif
+constexpr int kWyk = GM_WYK;   // per-chunk receiver-window rows
 
 struct PlanV {
   int64_t e = 0;
@@ -911,7 +915,8 @@ struct PlanV {
   std::vector<int32_t> gidx;       // sender idx*4 | rotation
   std::vector<int64_t> edge_order, cell_edge_start;
   std::vector<int64_t> cell_chunk_base;
-  std::vector<int32_t> cell_kind, cell_blk, cell_sbase, cell_rbase;
+  std::vector<int32_t> cell_kind, cell_blk, cell_sbase;
+  std::vector<int32_t> chunk_rbase;   // per GLOBAL chunk (vp window base)
   int64_t nc = 0;
   const int32_t* s = nullptr;
   const int32_t* r = nullptr;
@@ -1027,65 +1032,98 @@ void* gm_planv_create(const int32_t* senders, const int32_t* receivers,
     p->edge_order[p->cell_edge_start[p->cellid[i] + 1]++] = i;
   p->cell_edge_start.pop_back();
 
-  // per-cell: lane-block queues
+  // per-cell: receiver-sorted walk with lane-block queues; a chunk closes
+  // when any queue fills OR the receiver span exceeds kWyk rows
   p->echunk.resize(e);
   p->erow.resize(e);
   p->eblk.resize(e);
   p->gidx.resize(e);
   p->cell_kind.resize(nfc); p->cell_blk.resize(nfc);
-  p->cell_sbase.resize(nfc); p->cell_rbase.resize(nfc);
+  p->cell_sbase.resize(nfc);
   std::vector<int64_t> cell_nchunks(nfc, 0);
+  std::vector<std::vector<int32_t>> cell_cbases(nfc);
 #pragma omp parallel for schedule(dynamic, 16)
   for (int64_t q = 0; q < (int64_t)nfc; ++q) {
     const Cell& cl = final_cells[q];
     const int32_t W = p->windows[cl.kind];
     int32_t sbase = (int32_t)std::min<int64_t>(cl.swin * W, hs - W);
-    int32_t rbase = (int32_t)std::min<int64_t>(cl.rwin * wy, hr - wy);
     p->cell_kind[q] = cl.kind;
     p->cell_blk[q] = cl.blk;
     p->cell_sbase[q] = sbase;
-    p->cell_rbase[q] = rbase;
+    const int32_t blk_end = (cl.blk + 1) * (p->wr / 4);
+    auto& cbases = cell_cbases[q];
+    std::stable_sort(p->edge_order.begin() + p->cell_edge_start[q],
+                     p->edge_order.begin() + p->cell_edge_start[q + 1],
+                     [&](int64_t a, int64_t b2) {
+                       return p->r[a] < p->r[b2];
+                     });
+    // receiver-sorted walk; one open chunk at a time with per-lane-block
+    // counters and an 8-aligned kWyk-row vp window anchored at the
+    // chunk's first receiver
     int32_t cnt[kSlots] = {0, 0, 0, 0};
+    int32_t base = 0;
+    int64_t cur = -1;
     for (int64_t j = p->cell_edge_start[q]; j < p->cell_edge_start[q + 1];
          ++j) {
       const int64_t i = p->edge_order[j];
       const int b = p->r[i] & 3;
-      const int32_t k2 = cnt[b]++;
-      p->echunk[i] = k2 / p->rows;
-      p->erow[i] = (int8_t)(k2 % p->rows);
+      const int32_t rv = p->r[i] / 4;
+      if (cur < 0 || cnt[b] == p->rows || rv >= base + kWyk) {
+        ++cur;
+        cnt[0] = cnt[1] = cnt[2] = cnt[3] = 0;
+        base = std::min(rv & ~7, blk_end - kWyk);
+        cbases.push_back(base);
+      }
+      p->echunk[i] = (int32_t)cur;
+      p->erow[i] = (int8_t)cnt[b]++;
       p->eblk[i] = (int8_t)b;
       const int rot = ((p->r[i] - p->s[i]) % 4 + 4) & 3;
       p->gidx[i] = ((p->s[i] / 4 - sbase) << 2) | rot;
     }
-    int32_t mx = 0;
-    for (int b = 0; b < kSlots; ++b) mx = std::max(mx, cnt[b]);
-    cell_nchunks[q] = std::max<int64_t>((mx + p->rows - 1) / p->rows, 1);
+    if (cbases.empty())
+      cbases.push_back(cl.blk * (p->wr / 4));
+    cell_nchunks[q] = (int64_t)cbases.size();
   }
   p->cell_chunk_base.assign(nfc + 1, 0);
   for (size_t q = 0; q < nfc; ++q)
     p->cell_chunk_base[q + 1] = p->cell_chunk_base[q] + cell_nchunks[q];
   p->nc = p->cell_chunk_base[nfc];
+  p->chunk_rbase.resize(p->nc);
+  for (size_t q = 0; q < nfc; ++q)
+    for (size_t k = 0; k < cell_cbases[q].size(); ++k)
+      p->chunk_rbase[p->cell_chunk_base[q] + k] = cell_cbases[q][k];
   *nc_out = p->nc;
   return p;
 }
 
-void gm_planv_fill(void* handle, int32_t* kindid, int32_t* blkid,
-                   int32_t* sbase, int32_t* rbase, int32_t* idxs,
-                   float* val, int32_t* rcf, int32_t* rcwt) {
+// Compact-plane fill: pk/valp pack 32 chunks per [rows,128] tile (4 lanes
+// per chunk, one per slot block; pk = (gather idx << 13) | rcf) and rcwt
+// packs 8 chunks per [8,128] tile (row chunk % 8).
+void gm_planv_fill2(void* handle, int32_t* kindid, int32_t* blkid,
+                    int32_t* sbase, int32_t* rbase, int32_t* pk,
+                    float* valp, int32_t* rcwt) {
   auto* p = static_cast<PlanV*>(handle);
   const int64_t nc = p->nc;
-  const int64_t chunk_elems = (int64_t)p->rows * kLane;
+  const int64_t tile_elems = (int64_t)p->rows * kLane;
   const int64_t rcwt_elems = (int64_t)8 * kLane;
+  const int64_t npk = (nc + 31) / 32;
+  const int64_t nr8 = (nc + 7) / 8;
   const size_t nfc = p->cell_kind.size();
+  const int32_t rcf_sentinel = p->wr;   // < 2^13; matches no window row
 
 #pragma omp parallel for schedule(static)
-  for (int64_t c = 0; c < nc; ++c) {
-    std::memset(idxs + c * chunk_elems, 0, chunk_elems * sizeof(int32_t));
-    std::memset(val + c * chunk_elems, 0, chunk_elems * sizeof(float));
-    int32_t* rc = rcf + c * chunk_elems;
-    for (int64_t t = 0; t < chunk_elems; ++t) rc[t] = p->wr;
-    int32_t* rw = rcwt + c * rcwt_elems;
-    for (int64_t t = 0; t < rcwt_elems; ++t) rw[t] = 127;
+  for (int64_t t = 0; t < npk; ++t) {
+    int32_t* pt = pk + t * tile_elems;
+    float* vt = valp + t * tile_elems;
+    for (int64_t k = 0; k < tile_elems; ++k) {
+      pt[k] = rcf_sentinel;   // idx 0, rcf sentinel
+      vt[k] = 0.0f;
+    }
+  }
+#pragma omp parallel for schedule(static)
+  for (int64_t t = 0; t < nr8; ++t) {
+    int32_t* rw = rcwt + t * rcwt_elems;
+    for (int64_t k = 0; k < rcwt_elems; ++k) rw[k] = 127;
   }
 #pragma omp parallel for schedule(static)
   for (int64_t q = 0; q < (int64_t)nfc; ++q) {
@@ -1094,32 +1132,25 @@ void gm_planv_fill(void* handle, int32_t* kindid, int32_t* blkid,
       kindid[c] = p->cell_kind[q];
       blkid[c] = p->cell_blk[q];
       sbase[c] = p->cell_sbase[q];
-      rbase[c] = p->cell_rbase[q];
+      rbase[c] = p->chunk_rbase[c];
     }
   }
 #pragma omp parallel for schedule(dynamic, 16)
   for (int64_t q = 0; q < (int64_t)nfc; ++q) {
     const int64_t wrblk = (int64_t)p->cell_blk[q] * p->wr;
-    const int32_t rbase = p->cell_rbase[q];
     for (int64_t j = p->cell_edge_start[q]; j < p->cell_edge_start[q + 1];
          ++j) {
       const int64_t i = p->edge_order[j];
       const int64_t chunk = p->cell_chunk_base[q] + p->echunk[i];
       const int row = (int)p->erow[i];
       const int b = (int)p->eblk[i];
-      int32_t* ib = idxs + chunk * chunk_elems + (int64_t)row * kLane
-                    + b * kKpad;
-      float* vb = val + chunk * chunk_elems + (int64_t)row * kLane
-                  + b * kKpad;
-      int32_t* rb = rcf + chunk * chunk_elems + (int64_t)row * kLane
-                    + b * kKpad;
-      for (int t = 0; t < kKpad; ++t) {
-        ib[t] = p->gidx[i];
-        vb[t] = p->v[i];
-        rb[t] = (int32_t)(p->r[i] - wrblk);
-      }
-      rcwt[chunk * rcwt_elems + b * p->rows + row] =
-          (int32_t)(p->r[i] / 4 - rbase);
+      const int64_t slot = (chunk / 32) * tile_elems
+                           + (int64_t)row * kLane + (chunk % 32) * 4 + b;
+      pk[slot] = (p->gidx[i] << 13) | (int32_t)(p->r[i] - wrblk);
+      valp[slot] = p->v[i];
+      rcwt[(chunk / 8) * rcwt_elems + (chunk % 8) * kLane
+           + b * p->rows + row] =
+          (int32_t)(p->r[i] / 4 - p->chunk_rbase[chunk]);
     }
   }
 }

@@ -50,6 +50,7 @@ LANE = 128
 KPAD = 32                # lanes per edge slot
 SLOTS = LANE // KPAD     # 4 edge slots per row
 NC_SEG_MAX = 50_000      # chunks per pallas call (1 MB SMEM prefetch cap)
+WYK = 32                 # per-chunk receiver-window rows (vp gather span)
 
 
 def _round_up(x, m):
@@ -66,7 +67,7 @@ class SpmvVec2Plan:
     nb: int
     nc: int
     rows: int            # chunk sublanes
-    wy: int              # receiver window rows (VP2 rows per chunk)
+    wy: int              # per-chunk vp window rows (= WYK)
     nnz: int
     fill: float
     classes: tuple       # sender window classes (X4 rows)
@@ -87,10 +88,15 @@ class SpmvVec2Plan:
 
 def build_spmv_vec2_plan(senders0, receivers0, vals, n,
                          n_recv: int | None = None, wr: int = 4096,
-                         windows=(64, 256, 1024), wy: int = 64,
-                         cell_min: int = 256,
+                         windows=(160, 256, 1024), wy: int = 1024,
+                         cell_min: int = 512,
                          rows: int = 32) -> SpmvVec2Plan:
-    """Pack a 0-based COO edge list into the vec2 chunk layout."""
+    """Pack a 0-based COO edge list into the vec2 chunk layout.
+
+    ``wy`` is the *cell-formation* receiver window (wide, for packing);
+    each chunk's vp gather/scatter window is the narrow per-chunk
+    ``WYK``-row span recorded in ``rbase`` (receiver-sorted walk).
+    """
     if n_recv is None:
         n_recv = n
     hs = max(_round_up(_round_up(n, 4) // 4, LANE), LANE)
@@ -142,8 +148,9 @@ def build_spmv_vec2_plan(senders0, receivers0, vals, n,
         if (kind >= 0).all():
             break
 
-    # pack per (rwin, kind, swin-cell): lane-block queues (rc % 4),
-    # cap = rows per block per chunk
+    # pack per (rwin, kind, swin-cell): edges receiver-sorted within the
+    # cell so a chunk spans a narrow vp window (WYK rows); lane-block
+    # queues (rc % 4) with cap = rows per block per chunk
     order = np.lexsort((r, scell, kind, rwin))
     ks, cs, rw_ = kind[order], scell[order], rwin[order]
     key = (rw_ * (len(windows) + 1) + ks) * (2 ** 32) + cs
@@ -158,22 +165,32 @@ def build_spmv_vec2_plan(senders0, receivers0, vals, n,
         W = windows[kd]
         se, re_, ve = s[idxs_g], r[idxs_g], v[idxs_g]
         blk = int(re_[0] // wr)
-        rbase = int(((re_[0] // 4) // wy) * wy)
-        rbase = min(rbase, hr - wy)
         nsw = -(-hs // W)
         sbase = min(int((se[0] // 4) // W) * W, hs - W)
-        # lane-block queues (vectorized cumcount per rc%4)
+        # receiver-sorted walk (edges already r-sorted within the cell):
+        # one open chunk with per-lane-block counters and an 8-aligned
+        # WYK-row vp window anchored at the chunk's first receiver —
+        # mirrors the native walk in planner.cpp::gm_planv_create
         bq = (re_ % 4).astype(np.int64)
-        o2 = np.argsort(bq, kind="stable")
-        bs_ = bq[o2]
-        start = np.r_[0, np.flatnonzero(bs_[1:] != bs_[:-1]) + 1]
-        seq = np.arange(len(se), dtype=np.int64)
-        seq -= np.repeat(start, np.diff(np.r_[start, len(se)]))
-        k_ = np.empty(len(se), np.int64)
-        k_[o2] = seq
-        chunk_of = k_ // rows
-        row_of = k_ % rows
-        ncc = int(chunk_of.max()) + 1 if len(se) else 1
+        blk_end = (blk + 1) * (wr // 4)
+        chunk_of = np.empty(len(se), np.int64)
+        row_of = np.empty(len(se), np.int64)
+        cbase = []
+        cnt = [0] * SLOTS
+        base = None
+        for t in range(len(se)):
+            b = int(bq[t])
+            rv = int(re_[t] // 4)
+            if base is None or cnt[b] == rows or rv >= base + WYK:
+                base = min(rv & ~7, blk_end - WYK)
+                cbase.append(base)
+                cnt = [0] * SLOTS
+            chunk_of[t] = len(cbase) - 1
+            row_of[t] = cnt[b]
+            cnt[b] += 1
+        if not cbase:
+            cbase = [blk * (wr // 4)]
+        ncc = len(cbase)
         # narrow [ncc, rows, 4] arrays, expanded to 128 lanes at the end
         idxs_n = np.zeros((ncc, rows, SLOTS), np.int32)
         val_n = np.zeros((ncc, rows, SLOTS), np.float32)
@@ -186,11 +203,12 @@ def build_spmv_vec2_plan(senders0, receivers0, vals, n,
         rcf_n[chunk_of, row_of, bq] = (re_ - blk * wr).astype(np.int32)
         # flat layout: row 0, lane (b*rows + i) — the kernel's batched
         # scatter one-hot reads it as [1, SLOTS*rows] without a reshape
+        cbase_arr = np.asarray(cbase, np.int64)
         rcwt_n[chunk_of, 0, bq * rows + row_of] = (
-            re_ // 4 - rbase).astype(np.int32)
+            re_ // 4 - cbase_arr[chunk_of]).astype(np.int32)
         for c in range(ncc):
             chunks.append(dict(
-                kind=kd, blk=blk, sbase=sbase, rbase=rbase,
+                kind=kd, blk=blk, sbase=sbase, rbase=int(cbase_arr[c]),
                 idxs=np.repeat(idxs_n[c], KPAD, axis=1),
                 val=np.repeat(val_n[c], KPAD, axis=1),
                 rcf=np.repeat(rcf_n[c], KPAD, axis=1),
@@ -201,7 +219,7 @@ def build_spmv_vec2_plan(senders0, receivers0, vals, n,
     for b in range(nb):
         if b not in covered:
             chunks.append(dict(
-                kind=0, blk=b, sbase=0, rbase=min(b * wr // 4, hr - wy),
+                kind=0, blk=b, sbase=0, rbase=b * (wr // 4),
                 idxs=np.zeros((rows, LANE), np.int32),
                 val=np.zeros((rows, LANE), np.float32),
                 rcf=np.full((rows, LANE), wr, np.int32),
@@ -220,7 +238,7 @@ def build_spmv_vec2_plan(senders0, receivers0, vals, n,
         np.stack([c["rcwt"][0] for c in chunks]), rows)
     return SpmvVec2Plan(
         n_pad=n_pad, n_send_pad=n_send_pad, hs=hs, hr=hr, wr=wr, nb=nb,
-        nc=nc, rows=rows, wy=wy, nnz=e,
+        nc=nc, rows=rows, wy=WYK, nnz=e,
         fill=e / max(nc * rows * SLOTS, 1), classes=tuple(windows),
         segs=_segments(blkid_np, nb),
         kindid=jnp.asarray(np.array([c["kind"] for c in chunks], np.int32)),
@@ -252,21 +270,19 @@ def _build_planv_native(lib, s, r, v, e, hs, hr, wr, nb, windows,
         blkid = np.empty(nc, np.int32)
         sbase = np.empty(nc, np.int32)
         rbase = np.empty(nc, np.int32)
-        idxs = np.empty((nc, rows, LANE), np.int32)
-        val = np.empty((nc, rows, LANE), np.float32)
-        rcf = np.empty((nc, rows, LANE), np.int32)
-        rcwt = np.empty((nc, 8, LANE), np.int32)
-        lib.gm_planv_fill(handle, kindid, blkid, sbase, rbase,
-                          idxs.reshape(-1), val.reshape(-1),
-                          rcf.reshape(-1), rcwt.reshape(-1))
+        pk = np.empty((-(-nc // 32), rows, LANE), np.int32)
+        valp = np.empty((-(-nc // 32), rows, LANE), np.float32)
+        rcwt2 = np.empty((-(-nc // 8), 8, LANE), np.int32)
+        lib.gm_planv_fill2(handle, kindid, blkid, sbase, rbase,
+                           pk.reshape(-1), valp.reshape(-1),
+                           rcwt2.reshape(-1))
     finally:
         lib.gm_planv_destroy(handle)
     got = np.zeros(n_pad, bool)
     got[np.unique(np.asarray(receivers0))] = True
-    pk, valp, rcwt2 = _compact_planes(idxs, val, rcf, rcwt[:, 0, :], rows)
     return SpmvVec2Plan(
         n_pad=n_pad, n_send_pad=n_send_pad, hs=hs, hr=hr, wr=wr, nb=nb,
-        nc=nc, rows=rows, wy=wy, nnz=e,
+        nc=nc, rows=rows, wy=WYK, nnz=e,
         fill=e / max(nc * rows * SLOTS, 1),
         classes=tuple(int(w) for w in windows),
         segs=_segments(blkid, nb),
@@ -423,15 +439,19 @@ def _make_vec2_kernel(process: Callable, wr: int, wy: int, rows: int,
         xvs = list(jax.lax.switch(kind_ref[i], branches))
         xv = jnp.concatenate(xvs, axis=0)              # [rows, 128]
 
-        # ---- receiver-vector gather: aligned DMA'd window, no rotation --
+        # ---- receiver-vector gather: per-chunk WYK-row window ----
         rb = pl.multiple_of(rbase_ref[i], 8)
-        if interpret:
-            vscr_ref[:] = vp4_ref[pl.ds(rb, wy), :]
-        else:
-            dma_v = pltpu.make_async_copy(
-                vp4_ref.at[pl.ds(rb, wy), :], vscr_ref, dma_sem)
-            dma_v.start()
-            dma_v.wait()
+        same_vwin = jnp.logical_and(i > 0, rbase_ref[i] == rbase_ref[prev])
+
+        @pl.when(jnp.logical_not(same_vwin))
+        def _():
+            if interpret:
+                vscr_ref[:] = vp4_ref[pl.ds(rb, wy), :]
+            else:
+                dma_v = pltpu.make_async_copy(
+                    vp4_ref.at[pl.ds(rb, wy), :], vscr_ref, dma_sem)
+                dma_v.start()
+                dma_v.wait()
         # rcf is block-local; rb is a global VP row base
         blk_rb = rb - jnp.int32(blk_ref[i]) * (wr // 4)
         idxv = (rcf >> 2) - blk_rb                      # [rows,128]
@@ -475,13 +495,14 @@ def _make_vec2_kernel(process: Callable, wr: int, wy: int, rows: int,
         # ---- scatter: one batched matmul over a block-diagonal layout.
         # Rows of P are grouped by lane-block; block b's copy keeps only
         # its own 32 lanes, so oh_all @ P sums each block's edges into its
-        # own lane range in one [wy, 4*rows] x [4*rows, 128] contraction.
+        # own lane range in one [WYK, 4*rows] x [4*rows, 128] contraction.
         lane_blk = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE),
                                             1) // KPAD
         p_blocks = [jnp.where(lane_blk == b, p, 0.0) for b in range(SLOTS)]
         P = jnp.concatenate(p_blocks, axis=0)            # [4*rows, 128]
         rcw_flat = rcwt_ref[0, pl.ds(gc % 8, 1), 0:SLOTS * rows]
-        iota_wy = jax.lax.broadcasted_iota(jnp.int32, (wy, SLOTS * rows), 0)
+        iota_wy = jax.lax.broadcasted_iota(jnp.int32, (wy, SLOTS * rows),
+                                           0)
         oh_all = (iota_wy == rcw_flat).astype(jnp.bfloat16)
         contrib = None
         for part in _split_bf16(P, n_splits):
