@@ -119,7 +119,7 @@ def _pack_lanes(cell, lane, n_cells, cap=ROWS):
 def build_spmv2_plan(senders0: np.ndarray, receivers0: np.ndarray,
                      vals: np.ndarray, n: int, n_recv: int | None = None,
                      wr: int = 4096, hub: int = 2048,
-                     windows=(64, 256, 1024, 2048),
+                     windows=(160, 256, 1024, 2048),
                      cell_min: int = 4000, rows: int = 32) -> Spmv2Plan:
     """Pack a 0-based COO edge list into the v2 chunked layout.
 

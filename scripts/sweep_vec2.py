@@ -84,6 +84,7 @@ def main():
             def chain(lv):
                 out, _ = jax.lax.scan(one_iter, lv, None, length=reps)
                 return out
+            # (plan arrays ride as closure constants; small enough here)
 
             r = chain(lv)
             float(r[0, 0])
