@@ -466,7 +466,15 @@ def _make_kernel(process: Callable, wr: int, h: int, n_splits: int,
         for k in range(1, n_splits):
             contrib = contrib + M[k * G:(k + 1) * G]
         acc_ref[:] = acc_ref[:] + contrib             # [G, 128]
-        y_ref[0] = acc_ref[:]
+
+        # flush only on the block's last chunk (blkid is nondecreasing)
+        npr = pl.num_programs(0)
+        nxt = jnp.minimum(i + 1, npr - 1)
+        last = jnp.logical_or(i == npr - 1, blk_ref[nxt] != blk_ref[i])
+
+        @pl.when(last)
+        def _():
+            y_ref[0] = acc_ref[:]
 
     return kernel
 
@@ -1020,7 +1028,15 @@ def _make_kernel_mm(reduce_kind: str, process: Callable, wr: int, h: int,
             red = (jnp.min if reduce_kind == "min" else jnp.max)(
                 pm, axis=0, keepdims=True)             # [1,128]
             acc_ref[g:g + 1, :] = comb(acc_ref[g:g + 1, :], red)
-        y_ref[0] = acc_ref[:]
+
+        # flush only on the block's last chunk (blkid is nondecreasing)
+        npr = pl.num_programs(0)
+        nxt = jnp.minimum(i + 1, npr - 1)
+        last = jnp.logical_or(i == npr - 1, blk_ref[nxt] != blk_ref[i])
+
+        @pl.when(last)
+        def _():
+            y_ref[0] = acc_ref[:]
 
     return kernel
 

@@ -512,7 +512,17 @@ def _make_vec2_kernel(process: Callable, wr: int, wy: int, rows: int,
         # accumulate into the block accumulator at the receiver window
         cur = acc_ref[pl.ds(blk_rb, wy), :]
         acc_ref[pl.ds(blk_rb, wy), :] = cur + contrib
-        y_ref[0] = acc_ref[:]
+
+        # flush only on the block's last chunk (blkid nondecreasing; an
+        # unconditional copy is 512 KB per chunk — measured +13% kernel
+        # time on SGD-CF)
+        npr = pl.num_programs(0)
+        nxt = jnp.minimum(i + 1, npr - 1)
+        last = jnp.logical_or(i == npr - 1, blk_ref[nxt] != blk_ref[i])
+
+        @pl.when(last)
+        def _():
+            y_ref[0] = acc_ref[:]
 
     return kernel
 
