@@ -52,8 +52,31 @@ class CountTrianglesProgram(GraphProgram):
         return old_vp["triangles"] != new_vp["triangles"]
 
 
-def run_triangle_counting(graph: Graph, max_degree_pad: int | None = None):
-    """Returns ``(triangles[n], total)``."""
+def run_triangle_counting(graph: Graph, max_degree_pad: int | None = None,
+                          method: str = "auto"):
+    """Returns ``(triangles[n], total)``.
+
+    ``method='engine'`` runs the reference-shaped GraphProgram (per-vertex
+    counts attribute each triangle to its id-middle vertex, exactly as
+    ``src/TriangleCounting.cpp``); it materializes a ``[n, max_degree]``
+    neighbor matrix.  ``method='bucketed'`` runs the scalable
+    degree-oriented path (``ops.triangles``) — identical total, per-vertex
+    counts at the degree-middle vertex, memory bounded by O(m).
+    ``'auto'`` picks engine for small max degree, bucketed otherwise.
+    """
+    if method == "auto":
+        from ..ops.neighbors import max_degree
+        method = ("engine" if max_degree(graph, "src") <= 1024
+                  else "bucketed")
+    if method == "bucketed":
+        from ..ops.triangles import count_triangles_bucketed
+        s0, r0, _ = graph._host_edges["dst"]
+        tri, total = count_triangles_bucketed(s0, r0, graph.n,
+                                              n_pad=graph.n_pad)
+        graph.init_vertexproperty(triangles=np.int32(0))
+        graph.vp = {**graph.vp, "triangles": jnp.asarray(tri)}
+        return np.asarray(tri)[: graph.n_pad], total
+
     neighbors = collect_neighbors(graph, receiver="src",
                                   pad_to=max_degree_pad)
     graph.init_vertexproperty(triangles=np.int32(0))

@@ -1,0 +1,166 @@
+"""Scalable exact triangle counting (degree-oriented, degree-bucketed).
+
+The engine path (``apps.triangle_counting``) mirrors the reference
+program structure (``src/TriangleCounting.cpp:80-156``) but materializes a
+``[n, max_degree]`` neighbor matrix — fine for fixtures, infeasible for
+power-law graphs at LiveJournal scale (max degree ~10^4 -> terabyte
+intermediates on the gather).  This module is the TPU-native scalable
+path:
+
+* **Degree orientation**: each undirected edge {u, v} is oriented toward
+  the (degree, id)-larger endpoint, which bounds every out-degree by
+  O(sqrt(m)) and makes Σ |N⁺(u)| ∩-work ~ m^1.5 total — the standard
+  load-balanced formulation.  Total triangles are orientation-invariant:
+  Σ_{(u,v) oriented} |N⁺(u) ∩ N⁺(v)| counts each triangle exactly once
+  (at its degree-middle vertex, where the engine path counts at the
+  id-middle vertex — per-vertex attributions differ, totals match).
+
+* **Degree buckets**: vertices are grouped into pad classes (x4 ladder),
+  each class holding a *compact* ``[n_c, D_c]`` sorted neighbor matrix —
+  total storage <= 4m int32 regardless of the degree distribution.
+
+* **Batched intersection**: oriented edges are grouped by (sender class,
+  receiver class); each group runs fixed-shape batches through a
+  vectorized sorted-membership count (searching the smaller-padded side
+  in the larger), accumulated with a `lax.scan` over batches.
+
+Everything device-side is static-shape; all ragged work happens once on
+the host in vectorized numpy.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .neighbors import PAD_ID
+
+__all__ = ["count_triangles_bucketed"]
+
+
+def _prep(src0, dst0, n, ladder=(16, 64, 256, 1024, 4096)):
+    """Host prep: orient, bucket, group.  Returns (mats, groups, m)."""
+    u = np.asarray(src0, np.int64)
+    v = np.asarray(dst0, np.int64)
+    keep = u != v
+    u, v = u[keep], v[keep]
+    # dedup undirected pairs (the input may carry both directions) —
+    # one sort of the packed key
+    key = np.minimum(u, v) * np.int64(n) + np.maximum(u, v)
+    key = np.sort(key)
+    if len(key):
+        key = key[np.r_[True, key[1:] != key[:-1]]]
+    a, b = key // n, key % n
+
+    deg = np.bincount(a, minlength=n) + np.bincount(b, minlength=n)
+    # orient toward the (degree, id)-larger endpoint
+    fwd = (deg[a] < deg[b]) | ((deg[a] == deg[b]) & (a < b))
+    s = np.where(fwd, a, b)
+    r = np.where(fwd, b, a)
+
+    odeg = np.bincount(s, minlength=n)
+    dmax = int(odeg.max()) if len(s) else 1
+    classes = [d for d in ladder if d < dmax] + [max(
+        int(1 << int(np.ceil(np.log2(max(dmax, 1))))), 1)]
+    classes = sorted(set(classes))
+
+    cls_of = np.searchsorted(classes, np.maximum(odeg, 1))
+    # CSR by sender (one sort), ranks within each sender segment (once)
+    order = np.lexsort((r, s))
+    s_s, r_s = s[order], r[order]
+    first = np.r_[True, s_s[1:] != s_s[:-1]] if len(s_s) else \
+        np.zeros(0, bool)
+    seg_start = np.flatnonzero(first)
+    seg_id = np.cumsum(first) - 1
+    rank = np.arange(len(s_s)) - seg_start[seg_id] if len(s_s) else \
+        np.zeros(0, np.int64)
+    row_in_cls = np.full(n, -1, np.int64)
+    mats = []
+    cls_edge = cls_of[s_s] if len(s_s) else np.zeros(0, np.int64)
+    for ci, D in enumerate(classes):
+        vs = np.flatnonzero((cls_of == ci) & (odeg > 0))
+        row_in_cls[vs] = np.arange(len(vs))
+        mat = np.full((max(len(vs), 1) + 1, D), PAD_ID, np.int32)
+        if len(vs):
+            em = cls_edge == ci
+            mat[row_in_cls[s_s[em]], rank[em]] = r_s[em]
+        mats.append(mat)
+
+    # group oriented edges by (sender class, receiver class); receivers
+    # with odeg == 0 intersect empty sets — drop those edges outright.
+    # <= |classes|^2 groups: per-group flatnonzero beats a third sort.
+    live = odeg[r] > 0
+    sl, rl = s[live], r[live]
+    gkey = cls_of[sl] * len(classes) + cls_of[rl]
+    present = np.flatnonzero(np.bincount(gkey,
+                                         minlength=len(classes) ** 2))
+    groups = []
+    for gk in present:
+        sel = np.flatnonzero(gkey == gk)
+        sl_g, rl_g = sl[sel], rl[sel]
+        cs, cr = divmod(int(gk), len(classes))
+        Ds, Dr = classes[cs], classes[cr]
+        # fixed batch: ~64M fused compares per step
+        B = max(256, min(1 << 16, (1 << 26) // (Ds * Dr)))
+        ne = len(sl_g)
+        npad_e = -(-ne // B) * B
+        ru = np.full(npad_e, len(mats[cs]) - 1, np.int64)   # dummy row
+        rv = np.full(npad_e, len(mats[cr]) - 1, np.int64)
+        vg = np.full(npad_e, n, np.int64)                   # dummy vertex
+        ru[:ne] = row_in_cls[sl_g]
+        rv[:ne] = row_in_cls[rl_g]
+        vg[:ne] = rl_g
+        groups.append(dict(
+            cs=cs, cr=cr, B=B, vg=vg,
+            ru=ru.reshape(-1, B).astype(np.int32),
+            rv=rv.reshape(-1, B).astype(np.int32)))
+    return mats, groups, len(s)
+
+
+def count_triangles_bucketed(src0, dst0, n, n_pad=None):
+    """Exact triangle counts from a 0-based edge list (any orientation,
+    duplicates tolerated).  Returns ``(per_vertex[n_pad] int32, total)``;
+    per-vertex counts attribute each triangle to its degree-middle vertex
+    (see module docstring).
+    """
+    if n_pad is None:
+        n_pad = n
+    mats_np, groups, _ = _prep(src0, dst0, n)
+    mats = [jnp.asarray(m) for m in mats_np]
+    gargs = [(mats[g["cs"]], mats[g["cr"]],
+              jnp.asarray(g["ru"]), jnp.asarray(g["rv"])) for g in groups]
+
+    cnts = _count_device(tuple(gargs))
+    # per-vertex reduction on host: a device scatter-add over n is the
+    # one op TPUs serialize; np.add.at over m edge counts is instant
+    per_vertex = np.zeros(max(n_pad, n) + 1, np.int64)
+    for g, cnt in zip(groups, cnts):
+        np.add.at(per_vertex, g["vg"], np.asarray(cnt).reshape(-1))
+    total = int(per_vertex[:n].sum())
+    return per_vertex[:n_pad].astype(np.int32), total
+
+
+@jax.jit
+def _count_device(gargs):
+    """Per-edge intersection counts, one [nb, B] array per group.
+
+    Membership by broadcast equality, not searchsorted: degree
+    orientation caps both paddings at O(sqrt(m)), and XLA fuses the
+    ``[B, Da, Db]`` compare into its reduction — pure VPU throughput,
+    where a vmapped binary search lowers to serial control flow.
+    """
+    outs = []
+    for (Ns, Nr, ru, rv) in gargs:
+        def body(_, batch):
+            bu, bv = batch
+            a = Ns[bu]                      # [B, Ds]
+            b = Nr[bv]                      # [B, Dr]
+            eq = a[:, :, None] == b[:, None, :]
+            eq &= (a != PAD_ID)[:, :, None]
+            cnt = jnp.sum(eq, axis=(1, 2), dtype=jnp.int32)
+            return 0, cnt
+
+        _, cnt = jax.lax.scan(body, 0, (ru, rv))
+        outs.append(cnt)
+    return outs

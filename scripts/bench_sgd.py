@@ -8,8 +8,13 @@ executable, discard the first timed batch, fetch a scalar (not just
 block_until_ready).
 
 Usage: python scripts/bench_sgd.py [iters_per_dispatch]
+
+Env: SGD_USERS / SGD_ITEMS / SGD_RATINGS override the workload shape
+(e.g. 162541 / 59047 / 25000000 for the MovieLens-25M shape — measured
+325 ms/iter = 154M edge-updates/s on one v5e chip, plan fill 0.83).
 """
 
+import os
 import sys
 import time
 
@@ -28,7 +33,10 @@ def main():
     from graphmat_tpu.apps.sgd import SGDProgram, init_sgd_graph
 
     rng = np.random.default_rng(0)
-    nu, ni, e, K = 60000, 20000, 1_000_000, 20
+    nu = int(os.environ.get("SGD_USERS", "60000"))
+    ni = int(os.environ.get("SGD_ITEMS", "20000"))
+    e = int(os.environ.get("SGD_RATINGS", "1000000"))
+    K = 20
     n = nu + ni
     us = rng.integers(1, nu + 1, e).astype(np.int64)
     it = (nu + rng.integers(1, ni + 1, e)).astype(np.int64)
@@ -54,40 +62,43 @@ def main():
 
     plans = list(eng._plans.values())
     lv = jnp.asarray(np.asarray(g.vp["lv"], np.float32))
+    statics = tuple((p.hs, p.hr, p.wr, p.nb, p.nc, p.n_pad, p.rows,
+                     p.wy, p.classes, p.segs) for p in plans)
+    arrays0 = tuple((p.kindid, p.blkid, p.sbase, p.rbase, p.pk, p.valp,
+                     p.rcwt) for p in plans)
+    spads = tuple(p.n_send_pad for p in plans)
+    npad0 = plans[0].n_pad
+    proc = prog.pallas_vec2_semiring().process
 
-    def pad32(a, target_rows):
-        a = jnp.pad(a, ((0, target_rows - a.shape[0]), (0, KPAD - K)))
-        return a.reshape(-1)
-
-    def one_iter(lv, _):
-        total = jnp.zeros((plans[0].n_pad, KPAD), jnp.float32)
-        for plan in plans:
-            xw = pad32(lv, plan.n_send_pad)
-            vw = pad32(lv, plan.n_pad)
-            arrays = (plan.kindid, plan.blkid, plan.sbase, plan.rbase,
-                      plan.pk, plan.valp, plan.rcwt)
-            static = (plan.hs, plan.hr, plan.wr, plan.nb, plan.nc,
-                      plan.n_pad, plan.rows, plan.wy, plan.classes,
-                      plan.segs)
-            y = _spmv_vec2_call(arrays, static, xw, vw, None,
-                                prog.pallas_vec2_semiring().process,
-                                2, False, False)
-            total = total + y[: plans[0].n_pad]
-        new_lv = lv + 3.5e-7 * (-0.001 * lv
-                                + total[: lv.shape[0], :K])
-        return new_lv, 0.0
-
+    # plan arrays flow as jit ARGUMENTS — closure capture would inline
+    # them as constants (hundreds of MB at MovieLens-25M scale)
     @jax.jit
-    def chain(lv):
+    def chain(arrays, lv):
+        def pad32(a, target_rows):
+            a = jnp.pad(a, ((0, target_rows - a.shape[0]), (0, KPAD - K)))
+            return a.reshape(-1)
+
+        def one_iter(lv, _):
+            total = jnp.zeros((npad0, KPAD), jnp.float32)
+            for arr, static, spad in zip(arrays, statics, spads):
+                xw = pad32(lv, spad)
+                vw = pad32(lv, static[5])
+                y = _spmv_vec2_call(arr, static, xw, vw, None, proc,
+                                    2, False, False)
+                total = total + y[: npad0]
+            new_lv = lv + 3.5e-7 * (-0.001 * lv
+                                    + total[: lv.shape[0], :K])
+            return new_lv, 0.0
+
         out, _ = jax.lax.scan(one_iter, lv, None, length=reps)
         return out
 
-    r = chain(lv)
+    r = chain(arrays0, lv)
     float(r[0, 0])  # compile + warm
     best = np.inf
     for trial in range(4):
         t0 = time.perf_counter()
-        r = chain(lv)
+        r = chain(arrays0, lv)
         float(r[0, 0])
         dt = (time.perf_counter() - t0) / reps
         if trial:

@@ -292,3 +292,51 @@ def test_vec2_segmented_calls_match():
     y1 = np.asarray(m.spmv_vec2(plan1, x, proc, vp, interpret=True))
     y2 = np.asarray(m.spmv_vec2(plan2, x, proc, vp, interpret=True))
     np.testing.assert_array_equal(y1, y2)
+
+
+def test_triangles_bucketed_matches_engine():
+    """Scalable degree-bucketed path: same totals as the engine path."""
+    from graphmat_tpu.ops.triangles import count_triangles_bucketed
+    for seed in (13, 99):
+        e = convert_to_upper_triangular(random_edgelist(40, 6, seed=seed))
+        g = Graph(e)
+        _, want = run_triangle_counting(g, method="engine")
+        tri, total = count_triangles_bucketed(e.src - 1, e.dst - 1,
+                                              max(e.m, e.n))
+        assert total == want
+        assert int(tri.sum()) == want
+
+
+def test_triangles_bucketed_fixture_2_10():
+    from graphmat_tpu.ops.triangles import count_triangles_bucketed
+    e = load_edgelist("data/2_10_upper_triangle.bin.mtx")
+    g = Graph(e)
+    tri, total = run_triangle_counting(g, method="bucketed")
+    from scipy.sparse import coo_matrix
+    n = max(e.m, e.n)
+    a = coo_matrix((np.ones(e.nnz), (e.src - 1, e.dst - 1)),
+                   shape=(n, n)).tocsr()
+    expect = int((a @ a).multiply(a).sum())
+    assert total == expect
+    assert int(tri[:n].sum()) == expect
+
+
+def test_triangles_bucketed_hubs_and_duplicates():
+    """Power-law degrees exercise multiple pad classes; duplicate and
+    self edges must be ignored."""
+    from graphmat_tpu.ops.triangles import count_triangles_bucketed, _prep
+    rng = np.random.default_rng(5)
+    n, m = 1500, 60000
+    s = rng.integers(0, n, m)
+    r = (rng.zipf(1.4, m) - 1) % n
+    s = np.r_[s, s[:500], np.arange(50)]       # dupes + self loops
+    r = np.r_[r, r[:500], np.arange(50)]
+    mats, groups, _ = _prep(s, r, n)
+    assert len(mats) >= 2                      # multiple pad classes hit
+    tri, total = count_triangles_bucketed(s, r, n)
+    A = np.zeros((n, n), bool)
+    keep = s != r
+    A[s[keep], r[keep]] = True
+    A[r[keep], s[keep]] = True
+    Ai = A.astype(np.int64)
+    assert total == int(np.trace(Ai @ Ai @ Ai) // 6)
