@@ -93,6 +93,15 @@ def load_planner():
                                        i32p, i32p, f32p, i32p]
         lib.gm_planv_destroy.restype = None
         lib.gm_planv_destroy.argtypes = [ctypes.c_void_p]
+        lib.gm_tri_create.restype = ctypes.c_void_p
+        lib.gm_tri_create.argtypes = [i32p, i32p, ctypes.c_int64,
+                                      ctypes.c_int32,
+                                      ctypes.POINTER(ctypes.c_int64)]
+        lib.gm_tri_fill.restype = None
+        lib.gm_tri_fill.argtypes = [ctypes.c_void_p, i32p, i32p, i32p,
+                                    i32p]
+        lib.gm_tri_destroy.restype = None
+        lib.gm_tri_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 

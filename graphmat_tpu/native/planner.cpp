@@ -1158,3 +1158,98 @@ void gm_planv_fill2(void* handle, int32_t* kindid, int32_t* blkid,
 void gm_planv_destroy(void* handle) { delete static_cast<PlanV*>(handle); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Triangle-counting host prep — C++ counterpart of ops/triangles.py::_prep's
+// heavy phase: dedup undirected pairs, degree-orient, CSR-sort by (s, r).
+// The numpy version spends ~18 s on three 16M-element sorts; parallel sorts
+// bring this to ~1-2 s.
+// ---------------------------------------------------------------------------
+
+#include <parallel/algorithm>
+
+namespace {
+
+struct TriPrep {
+  int64_t m = 0;                 // deduped oriented edge count
+  int32_t n = 0;
+  std::vector<int64_t> key;      // sorted s * n + r (CSR order)
+  std::vector<int32_t> odeg;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* gm_tri_create(const int32_t* u, const int32_t* v, int64_t e,
+                    int32_t n, int64_t* m_out) {
+  auto* p = new TriPrep();
+  p->n = n;
+  const int64_t N = n;
+  // pack undirected keys, drop self loops
+  std::vector<int64_t>& key = p->key;
+  key.resize(e);
+  std::atomic<int64_t> nk{0};
+#pragma omp parallel
+  {
+    std::vector<int64_t> local;
+    local.reserve(e / omp_get_num_threads() + 1);
+#pragma omp for nowait
+    for (int64_t i = 0; i < e; ++i) {
+      if (u[i] == v[i]) continue;
+      const int64_t a = std::min(u[i], v[i]);
+      const int64_t b = std::max(u[i], v[i]);
+      local.push_back(a * N + b);
+    }
+    const int64_t at = nk.fetch_add((int64_t)local.size());
+    std::copy(local.begin(), local.end(), key.begin() + at);
+  }
+  key.resize(nk.load());
+  __gnu_parallel::sort(key.begin(), key.end());
+  key.erase(std::unique(key.begin(), key.end()), key.end());
+
+  // degrees over the deduped undirected support
+  std::vector<int32_t> deg(n, 0);
+  for (const int64_t k : key) {
+    ++deg[k / N];
+    ++deg[k % N];
+  }
+  // orient toward the (degree, id)-larger endpoint, re-pack, re-sort
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < (int64_t)key.size(); ++i) {
+    const int32_t a = (int32_t)(key[i] / N);
+    const int32_t b = (int32_t)(key[i] % N);
+    const bool fwd = deg[a] < deg[b] || (deg[a] == deg[b] && a < b);
+    const int32_t s = fwd ? a : b;
+    const int32_t r = fwd ? b : a;
+    key[i] = (int64_t)s * N + r;
+  }
+  __gnu_parallel::sort(key.begin(), key.end());
+  p->m = (int64_t)key.size();
+  p->odeg.assign(n, 0);
+  for (const int64_t k : key) ++p->odeg[k / N];
+  *m_out = p->m;
+  return p;
+}
+
+// s/r in CSR order, rank of each edge within its sender segment, odeg[n].
+void gm_tri_fill(void* handle, int32_t* s_out, int32_t* r_out,
+                 int32_t* rank_out, int32_t* odeg_out) {
+  auto* p = static_cast<TriPrep*>(handle);
+  const int64_t N = p->n;
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < p->m; ++i) {
+    s_out[i] = (int32_t)(p->key[i] / N);
+    r_out[i] = (int32_t)(p->key[i] % N);
+  }
+  int32_t rk = 0;
+  for (int64_t i = 0; i < p->m; ++i) {
+    rk = (i > 0 && s_out[i] == s_out[i - 1]) ? rk + 1 : 0;
+    rank_out[i] = rk;
+  }
+  std::memcpy(odeg_out, p->odeg.data(), (size_t)p->n * sizeof(int32_t));
+}
+
+void gm_tri_destroy(void* handle) { delete static_cast<TriPrep*>(handle); }
+
+}  // extern "C"

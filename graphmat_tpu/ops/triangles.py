@@ -39,8 +39,30 @@ from .neighbors import PAD_ID
 __all__ = ["count_triangles_bucketed"]
 
 
-def _prep(src0, dst0, n, ladder=(16, 64, 256, 1024, 4096)):
-    """Host prep: orient, bucket, group.  Returns (mats, groups, m)."""
+def _orient_csr(src0, dst0, n):
+    """Dedup + degree-orient + CSR-sort.  Native (C++/OpenMP parallel
+    sorts in planner.cpp::gm_tri_create) with a numpy fallback.
+    Returns (s_s, r_s, rank, odeg) with edges sorted by (s, r)."""
+    from ..native import load_planner
+    lib = load_planner()
+    if lib is not None and hasattr(lib, "gm_tri_create") and len(src0):
+        import ctypes
+        u = np.ascontiguousarray(src0, np.int32)
+        v = np.ascontiguousarray(dst0, np.int32)
+        m_out = ctypes.c_int64()
+        h = lib.gm_tri_create(u, v, len(u), n, ctypes.byref(m_out))
+        m = int(m_out.value)
+        try:
+            s_s = np.empty(m, np.int32)
+            r_s = np.empty(m, np.int32)
+            rank = np.empty(m, np.int32)
+            odeg = np.empty(n, np.int32)
+            lib.gm_tri_fill(h, s_s, r_s, rank, odeg)
+        finally:
+            lib.gm_tri_destroy(h)
+        return (s_s.astype(np.int64), r_s.astype(np.int64),
+                rank.astype(np.int64), odeg.astype(np.int64))
+
     u = np.asarray(src0, np.int64)
     v = np.asarray(dst0, np.int64)
     keep = u != v
@@ -58,15 +80,8 @@ def _prep(src0, dst0, n, ladder=(16, 64, 256, 1024, 4096)):
     fwd = (deg[a] < deg[b]) | ((deg[a] == deg[b]) & (a < b))
     s = np.where(fwd, a, b)
     r = np.where(fwd, b, a)
-
     odeg = np.bincount(s, minlength=n)
-    dmax = int(odeg.max()) if len(s) else 1
-    classes = [d for d in ladder if d < dmax] + [max(
-        int(1 << int(np.ceil(np.log2(max(dmax, 1))))), 1)]
-    classes = sorted(set(classes))
 
-    cls_of = np.searchsorted(classes, np.maximum(odeg, 1))
-    # CSR by sender (one sort), ranks within each sender segment (once)
     order = np.lexsort((r, s))
     s_s, r_s = s[order], r[order]
     first = np.r_[True, s_s[1:] != s_s[:-1]] if len(s_s) else \
@@ -75,6 +90,18 @@ def _prep(src0, dst0, n, ladder=(16, 64, 256, 1024, 4096)):
     seg_id = np.cumsum(first) - 1
     rank = np.arange(len(s_s)) - seg_start[seg_id] if len(s_s) else \
         np.zeros(0, np.int64)
+    return s_s, r_s, rank, odeg
+
+
+def _prep(src0, dst0, n, ladder=(16, 64, 256, 1024, 4096)):
+    """Host prep: orient, bucket, group.  Returns (mats, groups, m)."""
+    s_s, r_s, rank, odeg = _orient_csr(src0, dst0, n)
+
+    dmax = int(odeg.max()) if len(s_s) else 1
+    classes = [d for d in ladder if d < dmax] + [max(
+        int(1 << int(np.ceil(np.log2(max(dmax, 1))))), 1)]
+    classes = sorted(set(classes))
+    cls_of = np.searchsorted(classes, np.maximum(odeg, 1))
     row_in_cls = np.full(n, -1, np.int64)
     mats = []
     cls_edge = cls_of[s_s] if len(s_s) else np.zeros(0, np.int64)
@@ -90,8 +117,8 @@ def _prep(src0, dst0, n, ladder=(16, 64, 256, 1024, 4096)):
     # group oriented edges by (sender class, receiver class); receivers
     # with odeg == 0 intersect empty sets — drop those edges outright.
     # <= |classes|^2 groups: per-group flatnonzero beats a third sort.
-    live = odeg[r] > 0
-    sl, rl = s[live], r[live]
+    live = odeg[r_s] > 0
+    sl, rl = s_s[live], r_s[live]
     gkey = cls_of[sl] * len(classes) + cls_of[rl]
     present = np.flatnonzero(np.bincount(gkey,
                                          minlength=len(classes) ** 2))
@@ -115,7 +142,7 @@ def _prep(src0, dst0, n, ladder=(16, 64, 256, 1024, 4096)):
             cs=cs, cr=cr, B=B, vg=vg,
             ru=ru.reshape(-1, B).astype(np.int32),
             rv=rv.reshape(-1, B).astype(np.int32)))
-    return mats, groups, len(s)
+    return mats, groups, len(s_s)
 
 
 def count_triangles_bucketed(src0, dst0, n, n_pad=None):
