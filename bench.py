@@ -72,10 +72,13 @@ def run_bench():
     eng.run(iterations=iters)  # compile with the same static iter count
     warm_s = time.time() - t0
 
-    setup()
-    t0 = time.time()
-    eng.run(iterations=iters)
-    run_s = time.time() - t0
+    # best of 3 measured runs — the tunnel adds +-15% per-run noise
+    run_s = float("inf")
+    for _ in range(3):
+        setup()
+        t0 = time.time()
+        eng.run(iterations=iters)
+        run_s = min(run_s, time.time() - t0)
 
     pr = g.vp_numpy()["pagerank"]
     assert np.isfinite(pr).all(), "non-finite pagerank output"
