@@ -137,11 +137,19 @@ class DistGraph:
             if isinstance(permute, np.ndarray):
                 self.perm = permute.astype(np.int64)
             elif permute == "degree":
-                # hub senders to low ids — raises kernel window fill
+                # segment-strided degree layout (the reference's
+                # vertexToNative idea, Graph.h:112-150): the k-th hottest
+                # sender goes to segment k % (R*C) at offset k // (R*C) —
+                # every tile row/column gets an equal share of the hubs
+                # AND each segment's local prefix holds its own hottest
+                # vertices (the per-tile Pallas hub table boundary).
+                # At 1x1 this degenerates to a plain degree sort.
                 deg = np.bincount(src0, minlength=n)
                 order = np.argsort(-deg, kind="stable")
+                nseg = R * C
+                k = np.arange(n)
                 self.perm = np.empty(n, np.int64)
-                self.perm[order] = np.arange(n)
+                self.perm[order] = (k % nseg) * self.S + k // nseg
             else:
                 rng = np.random.default_rng(permute_seed)
                 self.perm = rng.permutation(n).astype(np.int64)

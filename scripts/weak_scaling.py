@@ -60,7 +60,7 @@ def main() -> int:
         extra = int(math.log2(nd))
         e = rmat_edgelist(args.scale + extra, args.edgefactor, seed=7)
         mesh = make_mesh(devices[:nd], factor2d(nd))
-        g = DistGraph(e, mesh)
+        g = DistGraph(e, mesh, permute="degree")
         g.init_vertexproperty(pagerank=np.float32(0.3), degree=np.int32(0))
         g.set_all_active()
         DistEngine(DegreeProgram(), g).run(iterations=1)
