@@ -236,7 +236,7 @@ def build_spmv_vec2_plan(senders0, receivers0, vals, n,
         np.stack([c["val"] for c in chunks]),
         np.stack([c["rcf"] for c in chunks]),
         np.stack([c["rcwt"][0] for c in chunks]), rows)
-    return SpmvVec2Plan(
+    return _maybe_validate(SpmvVec2Plan(
         n_pad=n_pad, n_send_pad=n_send_pad, hs=hs, hr=hr, wr=wr, nb=nb,
         nc=nc, rows=rows, wy=WYK, nnz=e,
         fill=e / max(nc * rows * SLOTS, 1), classes=tuple(windows),
@@ -247,7 +247,7 @@ def build_spmv_vec2_plan(senders0, receivers0, vals, n,
         rbase=jnp.asarray(np.array([c["rbase"] for c in chunks], np.int32)),
         pk=jnp.asarray(pk), valp=jnp.asarray(valp),
         rcwt=jnp.asarray(rcwt),
-        got_static=jnp.asarray(got))
+        got_static=jnp.asarray(got)))
 
 
 def _build_planv_native(lib, s, r, v, e, hs, hr, wr, nb, windows,
@@ -280,7 +280,7 @@ def _build_planv_native(lib, s, r, v, e, hs, hr, wr, nb, windows,
         lib.gm_planv_destroy(handle)
     got = np.zeros(n_pad, bool)
     got[np.unique(np.asarray(receivers0))] = True
-    return SpmvVec2Plan(
+    return _maybe_validate(SpmvVec2Plan(
         n_pad=n_pad, n_send_pad=n_send_pad, hs=hs, hr=hr, wr=wr, nb=nb,
         nc=nc, rows=rows, wy=WYK, nnz=e,
         fill=e / max(nc * rows * SLOTS, 1),
@@ -290,7 +290,14 @@ def _build_planv_native(lib, s, r, v, e, hs, hr, wr, nb, windows,
         sbase=jnp.asarray(sbase), rbase=jnp.asarray(rbase),
         pk=jnp.asarray(pk), valp=jnp.asarray(valp),
         rcwt=jnp.asarray(rcwt2),
-        got_static=jnp.asarray(got))
+        got_static=jnp.asarray(got)))
+
+
+def _maybe_validate(plan):
+    from ..utils.debug import debug_enabled, validate_planv
+    if debug_enabled():
+        validate_planv(plan)
+    return plan
 
 
 

@@ -16,7 +16,7 @@ import os
 import numpy as np
 
 __all__ = ["debug_enabled", "validate_plan2", "validate_plan2m",
-           "assert_all_finite"]
+           "validate_planv", "assert_all_finite"]
 
 
 def debug_enabled() -> bool:
@@ -53,6 +53,36 @@ def validate_plan2m(plan) -> None:
     _basic(plan, plan.h)
     real = (np.asarray(plan.rcf) < plan.wr).sum()
     assert real == plan.nnz, f"slot conservation {real} != {plan.nnz}"
+
+
+def validate_planv(plan) -> None:
+    """Invariants of the K-wide vec2 plan (``build_spmv_vec2_plan``)."""
+    from ..ops.pallas_spmv_vec2 import RCF_BITS, WYK
+    blk = np.asarray(plan.blkid)
+    assert (np.diff(blk) >= 0).all(), "blkid must be nondecreasing"
+    sbase = np.asarray(plan.sbase)
+    rbase = np.asarray(plan.rbase)
+    assert (sbase % 8 == 0).all() and sbase.min() >= 0, "sbase misaligned"
+    assert (rbase % 8 == 0).all(), "rbase must be 8-aligned"
+    # per-chunk vp window stays inside the chunk's receiver block
+    g = plan.wr // 4
+    assert (rbase >= blk * g).all() and (rbase + WYK <= (blk + 1) * g).all(), \
+        "vp window leaves the receiver block"
+    pk = np.asarray(plan.pk)
+    rcf = pk & ((1 << RCF_BITS) - 1)
+    assert rcf.min() >= 0 and rcf.max() <= plan.wr, "rcf out of range"
+    assert (pk >> RCF_BITS).min() >= 0, "negative gather index"
+    # real-slot conservation over REAL chunks only (tile-pad chunks in
+    # the python fallback carry zeros, not the rcf sentinel)
+    lane = np.arange(pk.shape[2])
+    cid = (np.arange(pk.shape[0])[:, None, None] * 32
+           + (lane // 4)[None, None, :])
+    real = int(((rcf < plan.wr) & (cid < plan.nc)).sum())
+    assert real == plan.nnz, f"slot conservation {real} != {plan.nnz}"
+    rcwt = np.asarray(plan.rcwt)
+    assert rcwt.min() >= 0, "negative rcwt"
+    assert ((rcwt < WYK) | (rcwt == 127)).all(), \
+        "rcwt outside the WYK window"
 
 
 def assert_all_finite(name: str, arr) -> None:

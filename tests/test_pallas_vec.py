@@ -147,3 +147,27 @@ def test_engine_vec_lda_matches_xla():
         rt.Engine.__init__ = orig_init
     np.testing.assert_allclose(N2, N1, rtol=3e-4, atol=3e-4)
     np.testing.assert_allclose(gN2, gN1, rtol=3e-4)
+
+
+def test_graphmat_debug_validates_vec2_plan(monkeypatch):
+    """GRAPHMAT_DEBUG=1 runs plan-invariant validation at build time."""
+    import numpy as np
+    from graphmat_tpu.ops.pallas_spmv_vec2 import build_spmv_vec2_plan
+    from graphmat_tpu.utils.debug import validate_planv
+    monkeypatch.setenv("GRAPHMAT_DEBUG", "1")
+    rng = np.random.default_rng(7)
+    n, e = 3000, 20000
+    s = rng.integers(0, n, e)
+    r = rng.integers(0, n, e)
+    v = rng.standard_normal(e).astype(np.float32)
+    plan = build_spmv_vec2_plan(s, r, v, n)   # validates internally
+    validate_planv(plan)
+    # corruption is caught
+    bad = plan
+    object.__setattr__(bad, "nnz", plan.nnz + 1)
+    try:
+        validate_planv(bad)
+    except AssertionError:
+        pass
+    else:
+        raise AssertionError("corrupted plan passed validation")
