@@ -255,6 +255,10 @@ class Engine:
             fill = jnp.float32(PALLAS_BIG if kind == "min" else -PALLAS_BIG)
             x = jnp.where(sent, x, fill)
             x = jnp.clip(x, -PALLAS_BIG, PALLAS_BIG)
+        # ACTIVE_ONLY programs feed the sender mask to the v2 kernels for
+        # frontier-driven chunk skipping (the reference's sparse-frontier
+        # column skip, singlenode/spmspv.h:48-60)
+        sent_arg = None if dense or not v2 else sent
 
         y = None
         got = None
@@ -276,11 +280,11 @@ class Engine:
                     ns = getattr(sem, "n_splits", 3)
                     return _spmv2_call(plan_arrays, plan_static,
                                        xp[: plan.n_send_pad], proc,
-                                       ns, interpret)
+                                       ns, interpret, sent=sent_arg)
                 if v2:
                     return _spmv2m_call(plan_arrays, plan_static,
                                         xp[: plan.n_send_pad], kd, proc,
-                                        interpret)
+                                        interpret, sent=sent_arg)
                 return _spmv_call(plan_arrays, plan_static,
                                   xp[: plan.n_send_pad], kd, proc, interpret)
 

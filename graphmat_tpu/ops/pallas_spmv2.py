@@ -352,15 +352,19 @@ def _split_bf16(x, n_splits):
 
 
 def _make_kernel(process: Callable, wr: int, h: int, n_splits: int,
-                 classes, debug=None, x2_hbm=False, rows=ROWS):
+                 classes, debug=None, x2_hbm=False, rows=ROWS,
+                 sparse=False):
     G = wr // LANE
     wmax = max(classes)
     chunk = rows * LANE
     ntiles = rows // 8
 
-    def kernel(kind_ref, blk_ref, base_ref, idx_ref, val_ref,
-               rcf_ref, x2_ref, xtop_ref, xrot_ref, y_ref, acc_ref,
-               wscr_ref, *dma_sem):
+    def kernel(kind_ref, blk_ref, base_ref, *rest):
+        if sparse:
+            act_ref = rest[0]
+            rest = rest[2:]   # rest[1] = eff_ref, used by index maps only
+        (idx_ref, val_ref, rcf_ref, x2_ref, xtop_ref, xrot_ref, y_ref,
+         acc_ref, wscr_ref, *dma_sem) = rest
         i = pl.program_id(0)
         first = jnp.logical_or(
             i == 0, blk_ref[i] != blk_ref[jnp.maximum(i - 1, 0)])
@@ -368,58 +372,6 @@ def _make_kernel(process: Callable, wr: int, h: int, n_splits: int,
         @pl.when(first)
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
-
-        subs = [idx_ref[0, 8 * t: 8 * t + 8, :] & 7 for t in range(ntiles)]
-        gsels = [idx_ref[0, 8 * t: 8 * t + 8, :] >> 3
-                 for t in range(ntiles)]
-
-        def gather_from(tbl_for_g, ngran):
-            """Statically unrolled granule walk (the dynamic-trip loop
-            variant measured ~86 ns/granule in loop+slice overhead alone)."""
-            xvs = [jnp.zeros((8, LANE), jnp.float32)
-                   for _ in range(ntiles)]
-            for g in range(ngran):
-                tbl = tbl_for_g(g)
-                for t in range(ntiles):
-                    got = jnp.take_along_axis(tbl, subs[t], axis=0)
-                    xvs[t] = jnp.where(gsels[t] == g, got, xvs[t])
-            return tuple(xvs)
-
-        def hub_branch():
-            def tbl(g):
-                if g < 16:
-                    return xtop_ref[8 * g: 8 * g + 8, :]
-                if g < 18:
-                    # x2[0:16] mirror lives at the tail of wscr in HBM mode
-                    if x2_hbm:
-                        return wscr_ref[wmax + 8 * (g - 16):
-                                        wmax + 8 * (g - 16) + 8, :]
-                    return x2_ref[8 * (g - 16): 8 * (g - 16) + 8, :]
-                return xrot_ref[8 * (g - 18): 8 * (g - 18) + 8, :]
-            return gather_from(tbl, HUB_GRANULES)
-
-        prev = jnp.maximum(i - 1, 0)
-        same_win = jnp.logical_and(
-            i > 0, jnp.logical_and(kind_ref[i] == kind_ref[prev],
-                                   base_ref[i] == base_ref[prev]))
-
-        def window_branch(W):
-            def inner():
-                base = pl.multiple_of(base_ref[i], 8)
-
-                @pl.when(jnp.logical_not(same_win))
-                def _():
-                    if x2_hbm:
-                        dma = pltpu.make_async_copy(
-                            x2_ref.at[pl.ds(base, W), :],
-                            wscr_ref.at[0:W, :], dma_sem[0])
-                        dma.start()
-                        dma.wait()
-                    else:
-                        wscr_ref[0:W, :] = x2_ref[pl.ds(base, W), :]
-                return gather_from(lambda g: wscr_ref[8 * g: 8 * g + 8, :],
-                                   W // 8)
-            return inner
 
         if x2_hbm:
             @pl.when(i == 0)
@@ -430,42 +382,114 @@ def _make_kernel(process: Callable, wr: int, h: int, n_splits: int,
                 dma0.start()
                 dma0.wait()
 
-        if debug == "nogather":
-            xvs = [jnp.full((8, LANE), 1.0, jnp.float32)
-                   for _ in range(ntiles)]
+        def compute():
+            subs = [idx_ref[0, 8 * t: 8 * t + 8, :] & 7
+                    for t in range(ntiles)]
+            gsels = [idx_ref[0, 8 * t: 8 * t + 8, :] >> 3
+                     for t in range(ntiles)]
+
+            def gather_from(tbl_for_g, ngran):
+                """Statically unrolled granule walk (the dynamic-trip loop
+                variant measured ~86 ns/granule in loop+slice overhead
+                alone)."""
+                xvs = [jnp.zeros((8, LANE), jnp.float32)
+                       for _ in range(ntiles)]
+                for g in range(ngran):
+                    tbl = tbl_for_g(g)
+                    for t in range(ntiles):
+                        got = jnp.take_along_axis(tbl, subs[t], axis=0)
+                        xvs[t] = jnp.where(gsels[t] == g, got, xvs[t])
+                return tuple(xvs)
+
+            def hub_branch():
+                def tbl(g):
+                    if g < 16:
+                        return xtop_ref[8 * g: 8 * g + 8, :]
+                    if g < 18:
+                        # x2[0:16] mirror is at the tail of wscr (HBM mode)
+                        if x2_hbm:
+                            return wscr_ref[wmax + 8 * (g - 16):
+                                            wmax + 8 * (g - 16) + 8, :]
+                        return x2_ref[8 * (g - 16): 8 * (g - 16) + 8, :]
+                    return xrot_ref[8 * (g - 18): 8 * (g - 18) + 8, :]
+                return gather_from(tbl, HUB_GRANULES)
+
+            prev = jnp.maximum(i - 1, 0)
+            same_win = jnp.logical_and(
+                i > 0, jnp.logical_and(kind_ref[i] == kind_ref[prev],
+                                       base_ref[i] == base_ref[prev]))
+            # sparse mode: chunk activity is a function of (kind, base)
+            # only, so same_win implies the previous chunk was active too
+            # and did load the window — reuse stays safe under skipping.
+
+            def window_branch(W):
+                def inner():
+                    base = pl.multiple_of(base_ref[i], 8)
+
+                    @pl.when(jnp.logical_not(same_win))
+                    def _():
+                        if x2_hbm:
+                            dma = pltpu.make_async_copy(
+                                x2_ref.at[pl.ds(base, W), :],
+                                wscr_ref.at[0:W, :], dma_sem[0])
+                            dma.start()
+                            dma.wait()
+                        else:
+                            wscr_ref[0:W, :] = x2_ref[pl.ds(base, W), :]
+                    return gather_from(
+                        lambda g: wscr_ref[8 * g: 8 * g + 8, :], W // 8)
+                return inner
+
+            if debug == "nogather":
+                xvs = [jnp.full((8, LANE), 1.0, jnp.float32)
+                       for _ in range(ntiles)]
+            else:
+                branches = [hub_branch] + [window_branch(W)
+                                           for W in classes]
+                xvs = list(jax.lax.switch(kind_ref[i], branches))
+
+            ps = [process(xvs[t], val_ref[0, 8 * t: 8 * t + 8, :]).astype(
+                jnp.float32) for t in range(ntiles)]
+            p = jnp.concatenate(ps, axis=0)               # [rows, 128]
+            if debug == "noscatter":
+                acc_ref[0:1, :] = acc_ref[0:1, :] + jnp.sum(
+                    p, axis=0, keepdims=True)
+                y_ref[0] = acc_ref[:]
+                return
+            pf = p.reshape(1, chunk)                      # [1, rows*128]
+
+            # ---- factored scatter: one MXU matmul ----
+            rcf = rcf_ref[0].reshape(1, chunk)
+            rcg = rcf >> 7
+            rcl = rcf & (LANE - 1)
+            iota_g = jax.lax.broadcasted_iota(jnp.int32, (G, chunk), 0)
+            iota_l = jax.lax.broadcasted_iota(jnp.int32, (LANE, chunk), 0)
+            ohlo = (iota_l == rcl).astype(jnp.bfloat16)   # [128, 2048]
+            gm = iota_g == rcg                            # [G, 2048]
+            planes = [jnp.where(gm,
+                                jnp.broadcast_to(part.astype(jnp.float32),
+                                                 gm.shape), 0.0)
+                      for part in _split_bf16(pf, n_splits)]
+            P = jnp.concatenate(planes, axis=0).astype(jnp.bfloat16)
+            M = jax.lax.dot_general(P, ohlo, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            contrib = M[0:G]
+            for k in range(1, n_splits):
+                contrib = contrib + M[k * G:(k + 1) * G]
+            acc_ref[:] = acc_ref[:] + contrib             # [G, 128]
+
+        if sparse:
+            # frontier-driven chunk skip — the TPU analog of the
+            # reference's sparse-frontier column skip
+            # (singlenode/spmspv.h:48-60): inactive chunks contribute the
+            # exact ⊕-identity and their plan blocks are never re-fetched
+            # (the index map routes them to the previous active chunk's
+            # block, which the pipeline treats as a revisit).
+            @pl.when(act_ref[i] != 0)
+            def _():
+                compute()
         else:
-            branches = [hub_branch] + [window_branch(W) for W in classes]
-            xvs = list(jax.lax.switch(kind_ref[i], branches))
-
-        ps = [process(xvs[t], val_ref[0, 8 * t: 8 * t + 8, :]).astype(
-            jnp.float32) for t in range(ntiles)]
-        p = jnp.concatenate(ps, axis=0)               # [rows, 128]
-        if debug == "noscatter":
-            acc_ref[0:1, :] = acc_ref[0:1, :] + jnp.sum(
-                p, axis=0, keepdims=True)
-            y_ref[0] = acc_ref[:]
-            return
-        pf = p.reshape(1, chunk)                      # [1, rows*128]
-
-        # ---- factored scatter: one MXU matmul ----
-        rcf = rcf_ref[0].reshape(1, chunk)
-        rcg = rcf >> 7
-        rcl = rcf & (LANE - 1)
-        iota_g = jax.lax.broadcasted_iota(jnp.int32, (G, chunk), 0)
-        iota_l = jax.lax.broadcasted_iota(jnp.int32, (LANE, chunk), 0)
-        ohlo = (iota_l == rcl).astype(jnp.bfloat16)   # [128, 2048]
-        gm = iota_g == rcg                            # [G, 2048]
-        planes = [jnp.where(gm,
-                            jnp.broadcast_to(part.astype(jnp.float32),
-                                             gm.shape), 0.0)
-                  for part in _split_bf16(pf, n_splits)]
-        P = jnp.concatenate(planes, axis=0).astype(jnp.bfloat16)
-        M = jax.lax.dot_general(P, ohlo, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        contrib = M[0:G]
-        for k in range(1, n_splits):
-            contrib = contrib + M[k * G:(k + 1) * G]
-        acc_ref[:] = acc_ref[:] + contrib             # [G, 128]
+            compute()
 
         # flush only on the block's last chunk (blkid is nondecreasing)
         npr = pl.num_programs(0)
@@ -479,11 +503,35 @@ def _make_kernel(process: Callable, wr: int, h: int, n_splits: int,
     return kernel
 
 
+def _chunk_activity(sent, kindid, base, classes, h, nc):
+    """Per-chunk frontier activity + effective-block routing.
+
+    ``sent``: bool[h*128] sender activity in X2 layout.  A chunk is active
+    iff any sender in its gather range is — hub chunks read X2 rows
+    [0, 16), window chunks [base, base + W).  Activity is thus a function
+    of (kind, base) alone, which the kernel's window-reuse skip relies on.
+    ``eff[i]`` = most recent active chunk id <= i (leading inactive chunks
+    route to block 0): inactive chunks' plan blocks become pipeline
+    revisits and are never fetched.
+    """
+    rowact = jnp.any(sent.reshape(h, LANE), axis=1).astype(jnp.int32)
+    pref = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(rowact)])
+    # rows gathered per kind: hub = 16 (hub <= 16*128 senders), else W
+    wlen = jnp.asarray(np.array([16] + list(classes), np.int64),
+                       dtype=jnp.int32)
+    L = jnp.take(wlen, kindid)
+    b = jnp.where(kindid == 0, 0, base)
+    cact = (pref[jnp.minimum(b + L, h)] - pref[b]) > 0
+    idxs = jnp.arange(nc, dtype=jnp.int32)
+    eff = jax.lax.cummax(jnp.where(cact, idxs, -1))
+    return cact.astype(jnp.int32), jnp.maximum(eff, 0)
+
+
 @functools.partial(jax.jit, static_argnames=("plan_static", "process",
                                               "n_splits", "interpret",
                                               "debug", "x2_hbm"))
 def _spmv2_call(plan_arrays, plan_static, x, process, n_splits, interpret,
-                debug=None, x2_hbm=None):
+                debug=None, x2_hbm=None, sent=None):
     h, wr, nb, nc, n_pad, classes = plan_static[:6]
     rows = plan_static[6] if len(plan_static) > 6 else ROWS
     kindid, blkid, base, ngran, idx, val, rcf = plan_arrays
@@ -492,13 +540,24 @@ def _spmv2_call(plan_arrays, plan_static, x, process, n_splits, interpret,
     x2 = x.reshape(h, LANE)
     xtop = jnp.broadcast_to(x[:LANE, None], (LANE, LANE))
     xrot = jnp.roll(x2[:16], 64, axis=1)
+    sparse = sent is not None
+    if sparse:
+        if sent.shape[0] < h * LANE:
+            sent = jnp.pad(sent, (0, h * LANE - sent.shape[0]))
+        act, eff = _chunk_activity(sent[: h * LANE], kindid, base,
+                                   classes, h, nc)
 
     if x2_hbm is None:
         x2_hbm = h > VMEM_X2_MAX_ROWS and not interpret
     kernel = _make_kernel(process, wr, h, n_splits, classes, debug,
-                          x2_hbm, rows)
+                          x2_hbm, rows, sparse)
     wmax = max(classes) if classes else 8
-    nmap = lambda i, *_: (i, 0, 0)
+    if sparse:
+        nmap = lambda i, kd, bk, bs, a, eff_: (eff_[i], 0, 0)
+        omap = lambda i, kd, bk, bs, a, eff_: (bk[i], 0, 0)
+    else:
+        nmap = lambda i, *_: (i, 0, 0)
+        omap = lambda i, kind, blk, bs: (blk[i], 0, 0)
     chunk_spec = pl.BlockSpec((1, rows, LANE), nmap,
                               memory_space=pltpu.VMEM)
     x2_spec = pl.BlockSpec(memory_space=(pltpu.ANY if x2_hbm
@@ -510,21 +569,22 @@ def _spmv2_call(plan_arrays, plan_static, x, process, n_splits, interpret,
     if x2_hbm:
         scratch.append(pltpu.SemaphoreType.DMA(()))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5 if sparse else 3,
         grid=(nc,),
         in_specs=[chunk_spec, chunk_spec, chunk_spec, x2_spec,
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, G, LANE),
-                               lambda i, kind, blk, bs: (blk[i], 0, 0),
+        out_specs=pl.BlockSpec((1, G, LANE), omap,
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
     )
+    operands = ((kindid, blkid, base, act, eff) if sparse
+                else (kindid, blkid, base))
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, G, LANE), jnp.float32),
         interpret=interpret,
-    )(kindid, blkid, base, idx, val, rcf, x2, xtop, xrot)
+    )(*operands, idx, val, rcf, x2, xtop, xrot)
     return out.reshape(nb * wr)[:n_pad]
 
 
@@ -542,12 +602,18 @@ def _maybe_validate(plan, mm=False):
 
 def spmv2(plan: Spmv2Plan, x, reduce_kind: str = "sum",
           process: Optional[Callable] = None, interpret: bool = False,
-          n_splits: int = 3):
+          n_splits: int = 3, sent=None):
     """Generalized SpMV: ``y[r] = sum_{(s->r)} process(x[s], val)``.
 
     ``x``: f32[plan.n_send_pad] (shorter inputs are padded).  Returns
     f32[plan.n_pad].  v2 supports ⊕ = sum; the engine routes min/max to
     the v1 kernel.
+
+    ``sent``: optional bool[n_send_pad] sender-activity mask enabling the
+    sparse-frontier fast path — chunks whose gather range holds no active
+    sender contribute exactly 0 and their plan blocks are never fetched.
+    Inactive senders inside active chunks must already carry 0 in ``x``
+    (the engine masks them), so skipping removes only exact zeros.
     """
     if reduce_kind != "sum":
         raise NotImplementedError("spmv2 supports sum only")
@@ -561,7 +627,7 @@ def spmv2(plan: Spmv2Plan, x, reduce_kind: str = "sum",
     plan_static = (plan.h, plan.wr, plan.nb, plan.nc, plan.n_pad,
                    plan.classes, plan.rows)
     return _spmv2_call(plan_arrays, plan_static, x, process, n_splits,
-                       interpret)
+                       interpret, sent=sent)
 
 
 # ------------------------------------------------------- min/max variant
@@ -914,16 +980,19 @@ def _build_plan2m_native(lib, s, r, v, e, h, wr, nb, hub, windows,
 
 
 def _make_kernel_mm(reduce_kind: str, process: Callable, wr: int, h: int,
-                    classes, x2_hbm=False, rows=ROWS):
+                    classes, x2_hbm=False, rows=ROWS, sparse=False):
     G = wr // LANE
     wmax = max(classes)
     ntiles = rows // 8
     ident = np.float32(np.inf if reduce_kind == "min" else -np.inf)
     comb = jnp.minimum if reduce_kind == "min" else jnp.maximum
 
-    def kernel(kind_ref, blk_ref, base_ref, rowmask_ref,
-               hi2_ref, slo_ref, val_ref, rcf_ref, x2_ref, xtop_ref,
-               xrot_ref, y_ref, acc_ref, wscr_ref, *dma_sem):
+    def kernel(kind_ref, blk_ref, base_ref, rowmask_ref, *rest):
+        if sparse:
+            act_ref = rest[0]
+            rest = rest[2:]   # rest[1] = eff_ref, used by index maps only
+        (hi2_ref, slo_ref, val_ref, rcf_ref, x2_ref, xtop_ref, xrot_ref,
+         y_ref, acc_ref, wscr_ref, *dma_sem) = rest
         i = pl.program_id(0)
         first = jnp.logical_or(
             i == 0, blk_ref[i] != blk_ref[jnp.maximum(i - 1, 0)])
@@ -931,56 +1000,6 @@ def _make_kernel_mm(reduce_kind: str, process: Callable, wr: int, h: int,
         @pl.when(first)
         def _():
             acc_ref[:] = jnp.full_like(acc_ref, ident)
-
-        subs = [hi2_ref[0, 8 * t: 8 * t + 8, :] & 7
-                for t in range(ntiles)]
-        gsels = [hi2_ref[0, 8 * t: 8 * t + 8, :] >> 3
-                 for t in range(ntiles)]
-
-        def gather_from(tbl_for_g, ngran):
-            qs = [jnp.zeros((8, LANE), jnp.float32)
-                  for _ in range(ntiles)]
-            for g in range(ngran):
-                tbl = tbl_for_g(g)
-                for t in range(ntiles):
-                    got = jnp.take_along_axis(tbl, subs[t], axis=0)
-                    qs[t] = jnp.where(gsels[t] == g, got, qs[t])
-            return tuple(qs)
-
-        def hub_branch():
-            def tbl(g):
-                if g < 16:
-                    return xtop_ref[8 * g: 8 * g + 8, :]
-                if g < 18:
-                    if x2_hbm:
-                        return wscr_ref[wmax + 8 * (g - 16):
-                                        wmax + 8 * (g - 16) + 8, :]
-                    return x2_ref[8 * (g - 16): 8 * (g - 16) + 8, :]
-                return xrot_ref[8 * (g - 18): 8 * (g - 18) + 8, :]
-            return gather_from(tbl, HUB_GRANULES)
-
-        prev = jnp.maximum(i - 1, 0)
-        same_win = jnp.logical_and(
-            i > 0, jnp.logical_and(kind_ref[i] == kind_ref[prev],
-                                   base_ref[i] == base_ref[prev]))
-
-        def window_branch(W):
-            def inner():
-                base = pl.multiple_of(base_ref[i], 8)
-
-                @pl.when(jnp.logical_not(same_win))
-                def _():
-                    if x2_hbm:
-                        dma = pltpu.make_async_copy(
-                            x2_ref.at[pl.ds(base, W), :],
-                            wscr_ref.at[0:W, :], dma_sem[0])
-                        dma.start()
-                        dma.wait()
-                    else:
-                        wscr_ref[0:W, :] = x2_ref[pl.ds(base, W), :]
-                return gather_from(lambda g: wscr_ref[8 * g: 8 * g + 8, :],
-                                   W // 8)
-            return inner
 
         if x2_hbm:
             @pl.when(i == 0)
@@ -991,43 +1010,106 @@ def _make_kernel_mm(reduce_kind: str, process: Callable, wr: int, h: int,
                 dma0.start()
                 dma0.wait()
 
-        branches = [hub_branch] + [window_branch(W) for W in classes]
-        qs = list(jax.lax.switch(kind_ref[i], branches))
+        def compute():
+            subs = [hi2_ref[0, 8 * t: 8 * t + 8, :] & 7
+                    for t in range(ntiles)]
+            gsels = [hi2_ref[0, 8 * t: 8 * t + 8, :] >> 3
+                     for t in range(ntiles)]
 
-        # route to receiver-lane slots, then process
-        ps = []
-        for t in range(ntiles):
-            xv = jnp.take_along_axis(qs[t], slo_ref[0, 8 * t: 8 * t + 8, :],
-                                     axis=1)
-            ps.append(process(xv, val_ref[0, 8 * t: 8 * t + 8, :]).astype(
-                jnp.float32))
-        p = jnp.concatenate(ps, axis=0)                # [rows,128]
-        rcf = rcf_ref[0]                               # [16,128]; pad = wr
+            def gather_from(tbl_for_g, ngran):
+                qs = [jnp.zeros((8, LANE), jnp.float32)
+                      for _ in range(ntiles)]
+                for g in range(ngran):
+                    tbl = tbl_for_g(g)
+                    for t in range(ntiles):
+                        got = jnp.take_along_axis(tbl, subs[t], axis=0)
+                        qs[t] = jnp.where(gsels[t] == g, got, qs[t])
+                return tuple(qs)
 
-        # single-receiver rows (in-degree hubs): reduce the whole row and
-        # route the one result to the receiver's lane before the group
-        # reduce.  rc_row = min(rcf) is the row's receiver (pads carry wr).
-        red_ax1 = jnp.min if reduce_kind == "min" else jnp.max
-        rm = rowmask_ref[i]
-        iota_r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-        mode = ((rm >> jnp.minimum(iota_r, 31)) & 1) == 1   # [rows,1]
-        rc_row = jnp.min(rcf, axis=1, keepdims=True)   # [rows,1]
-        pmask = jnp.where(rcf == rc_row, p, ident)
-        rowred = red_ax1(pmask, axis=1, keepdims=True)  # [rows,1]
-        lane_i = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
-        hit = lane_i == (rc_row & (LANE - 1))
-        p_rm = jnp.where(hit, jnp.broadcast_to(rowred, (rows, LANE)),
-                         ident)
-        rcf_rm = jnp.where(hit, jnp.broadcast_to(rc_row, (rows, LANE)),
-                           wr)
-        p = jnp.where(mode, p_rm, p)
-        rg = jnp.where(mode, rcf_rm, rcf) >> 7
+            def hub_branch():
+                def tbl(g):
+                    if g < 16:
+                        return xtop_ref[8 * g: 8 * g + 8, :]
+                    if g < 18:
+                        if x2_hbm:
+                            return wscr_ref[wmax + 8 * (g - 16):
+                                            wmax + 8 * (g - 16) + 8, :]
+                        return x2_ref[8 * (g - 16): 8 * (g - 16) + 8, :]
+                    return xrot_ref[8 * (g - 18): 8 * (g - 18) + 8, :]
+                return gather_from(tbl, HUB_GRANULES)
 
-        for g in range(G):
-            pm = jnp.where(rg == g, p, ident)
-            red = (jnp.min if reduce_kind == "min" else jnp.max)(
-                pm, axis=0, keepdims=True)             # [1,128]
-            acc_ref[g:g + 1, :] = comb(acc_ref[g:g + 1, :], red)
+            prev = jnp.maximum(i - 1, 0)
+            same_win = jnp.logical_and(
+                i > 0, jnp.logical_and(kind_ref[i] == kind_ref[prev],
+                                       base_ref[i] == base_ref[prev]))
+            # sparse mode: activity is (kind, base)-determined, so a
+            # same_win predecessor was active and loaded the window.
+
+            def window_branch(W):
+                def inner():
+                    base = pl.multiple_of(base_ref[i], 8)
+
+                    @pl.when(jnp.logical_not(same_win))
+                    def _():
+                        if x2_hbm:
+                            dma = pltpu.make_async_copy(
+                                x2_ref.at[pl.ds(base, W), :],
+                                wscr_ref.at[0:W, :], dma_sem[0])
+                            dma.start()
+                            dma.wait()
+                        else:
+                            wscr_ref[0:W, :] = x2_ref[pl.ds(base, W), :]
+                    return gather_from(
+                        lambda g: wscr_ref[8 * g: 8 * g + 8, :], W // 8)
+                return inner
+
+            branches = [hub_branch] + [window_branch(W) for W in classes]
+            qs = list(jax.lax.switch(kind_ref[i], branches))
+
+            # route to receiver-lane slots, then process
+            ps = []
+            for t in range(ntiles):
+                xv = jnp.take_along_axis(
+                    qs[t], slo_ref[0, 8 * t: 8 * t + 8, :], axis=1)
+                ps.append(process(
+                    xv, val_ref[0, 8 * t: 8 * t + 8, :]).astype(
+                        jnp.float32))
+            p = jnp.concatenate(ps, axis=0)                # [rows,128]
+            rcf = rcf_ref[0]                               # pads = wr
+
+            # single-receiver rows (in-degree hubs): reduce the whole row
+            # and route the one result to the receiver's lane before the
+            # group reduce.  rc_row = min(rcf) is the row's receiver.
+            red_ax1 = jnp.min if reduce_kind == "min" else jnp.max
+            rm = rowmask_ref[i]
+            iota_r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+            mode = ((rm >> jnp.minimum(iota_r, 31)) & 1) == 1   # [rows,1]
+            rc_row = jnp.min(rcf, axis=1, keepdims=True)   # [rows,1]
+            pmask = jnp.where(rcf == rc_row, p, ident)
+            rowred = red_ax1(pmask, axis=1, keepdims=True)  # [rows,1]
+            lane_i = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
+            hit = lane_i == (rc_row & (LANE - 1))
+            p_rm = jnp.where(hit, jnp.broadcast_to(rowred, (rows, LANE)),
+                             ident)
+            rcf_rm = jnp.where(hit, jnp.broadcast_to(rc_row, (rows, LANE)),
+                               wr)
+            p = jnp.where(mode, p_rm, p)
+            rg = jnp.where(mode, rcf_rm, rcf) >> 7
+
+            for g in range(G):
+                pm = jnp.where(rg == g, p, ident)
+                red = (jnp.min if reduce_kind == "min" else jnp.max)(
+                    pm, axis=0, keepdims=True)             # [1,128]
+                acc_ref[g:g + 1, :] = comb(acc_ref[g:g + 1, :], red)
+
+        if sparse:
+            # frontier-driven chunk skip (see _make_kernel): inactive
+            # chunks contribute ident and their blocks are never fetched.
+            @pl.when(act_ref[i] != 0)
+            def _():
+                compute()
+        else:
+            compute()
 
         # flush only on the block's last chunk (blkid is nondecreasing)
         npr = pl.num_programs(0)
@@ -1045,7 +1127,7 @@ def _make_kernel_mm(reduce_kind: str, process: Callable, wr: int, h: int,
                                               "process", "interpret",
                                               "x2_hbm"))
 def _spmv2m_call(plan_arrays, plan_static, x, reduce_kind, process,
-                 interpret, x2_hbm=None):
+                 interpret, x2_hbm=None, sent=None):
     h, wr, nb, nc, n_pad, classes = plan_static[:6]
     rows = plan_static[6] if len(plan_static) > 6 else ROWS
     kindid, blkid, base, ngran, rowmask, hi2, slo, val, rcf = plan_arrays
@@ -1054,13 +1136,24 @@ def _spmv2m_call(plan_arrays, plan_static, x, reduce_kind, process,
     x2 = x.reshape(h, LANE)
     xtop = jnp.broadcast_to(x[:LANE, None], (LANE, LANE))
     xrot = jnp.roll(x2[:16], 64, axis=1)
+    sparse = sent is not None
+    if sparse:
+        if sent.shape[0] < h * LANE:
+            sent = jnp.pad(sent, (0, h * LANE - sent.shape[0]))
+        act, eff = _chunk_activity(sent[: h * LANE], kindid, base,
+                                   classes, h, nc)
 
     if x2_hbm is None:
         x2_hbm = h > VMEM_X2_MAX_ROWS and not interpret
     kernel = _make_kernel_mm(reduce_kind, process, wr, h, classes, x2_hbm,
-                             rows)
+                             rows, sparse)
     wmax = max(classes) if classes else 8
-    nmap = lambda i, *_: (i, 0, 0)
+    if sparse:
+        nmap = lambda i, kd, bk, bs, rmk, a, eff_: (eff_[i], 0, 0)
+        omap = lambda i, kd, bk, bs, rmk, a, eff_: (bk[i], 0, 0)
+    else:
+        nmap = lambda i, *_: (i, 0, 0)
+        omap = lambda i, kind, blk, bs, rmk: (blk[i], 0, 0)
     chunk_spec = pl.BlockSpec((1, rows, LANE), nmap,
                               memory_space=pltpu.VMEM)
     x2_spec = pl.BlockSpec(memory_space=(pltpu.ANY if x2_hbm
@@ -1071,30 +1164,37 @@ def _spmv2m_call(plan_arrays, plan_static, x, reduce_kind, process,
     if x2_hbm:
         scratch.append(pltpu.SemaphoreType.DMA(()))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=6 if sparse else 4,
         grid=(nc,),
         in_specs=[chunk_spec] * 4
         + [x2_spec,
            pl.BlockSpec(memory_space=pltpu.VMEM),
            pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, G, LANE),
-                               lambda i, kind, blk, bs, rmk:
-                               (blk[i], 0, 0),
+        out_specs=pl.BlockSpec((1, G, LANE), omap,
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
     )
+    operands = ((kindid, blkid, base, rowmask, act, eff) if sparse
+                else (kindid, blkid, base, rowmask))
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, G, LANE), jnp.float32),
         interpret=interpret,
-    )(kindid, blkid, base, rowmask, hi2, slo, val, rcf, x2, xtop,
-      xrot)
+    )(*operands, hi2, slo, val, rcf, x2, xtop, xrot)
     return out.reshape(nb * wr)[:n_pad]
 
 
 def spmv2m(plan: Spmv2mPlan, x, reduce_kind: str,
-           process: Optional[Callable] = None, interpret: bool = False):
-    """Generalized SpMV with ⊕ = min/max on the mm (colored) layout."""
+           process: Optional[Callable] = None, interpret: bool = False,
+           sent=None):
+    """Generalized SpMV with ⊕ = min/max on the mm (colored) layout.
+
+    ``sent``: optional bool[n_send_pad] sender-activity mask; when given,
+    chunks whose gather range holds no active sender are skipped outright
+    (they contribute the ⊕-identity ±inf) — the sparse-frontier fast path.
+    Inactive senders inside active chunks must already carry the
+    ±PALLAS_BIG fill in ``x`` (the engine does this).
+    """
     assert reduce_kind in ("min", "max")
     if process is None:
         process = _identity_process
@@ -1106,4 +1206,4 @@ def spmv2m(plan: Spmv2mPlan, x, reduce_kind: str,
     plan_static = (plan.h, plan.wr, plan.nb, plan.nc, plan.n_pad,
                    plan.classes, plan.rows)
     return _spmv2m_call(plan_arrays, plan_static, x, reduce_kind, process,
-                        interpret)
+                        interpret, sent=sent)

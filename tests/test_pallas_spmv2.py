@@ -170,3 +170,59 @@ def test_spmv2_rows32_matches_oracle():
                          process=lambda xv, ev: xv * ev, interpret=True))
     ref = sp.csr_matrix((v, (r, s)), shape=(n, n)) @ x.astype(np.float64)
     assert np.allclose(y[:n], ref, rtol=2e-6, atol=1e-5)
+
+
+def test_spmv2_sparse_frontier_matches_dense():
+    """Chunk-skip fast path: with inactive senders carrying 0 in x, the
+    skipped result is bit-identical to the dense sweep (skipping removes
+    only exact zeros from the sums)."""
+    rng = np.random.default_rng(11)
+    n, e = 5000, 60000
+    s, r, v = _rand_graph(rng, n, e)
+    plan = build_spmv2_plan(s, r, v, n, wr=1024, hub=512,
+                            windows=(64, 256), cell_min=100)
+    for density in (0.0, 0.03, 1.0):
+        act = rng.random(plan.n_send_pad) < density
+        x = np.where(act, rng.standard_normal(plan.n_send_pad),
+                     0.0).astype(np.float32)
+        y_dense = np.asarray(spmv2(plan, jnp.asarray(x), "sum",
+                                   process=lambda xv, ev: xv * ev,
+                                   interpret=True))
+        y_sparse = np.asarray(spmv2(plan, jnp.asarray(x), "sum",
+                                    process=lambda xv, ev: xv * ev,
+                                    interpret=True,
+                                    sent=jnp.asarray(act)))
+        assert np.array_equal(y_dense, y_sparse), density
+
+
+def test_spmv2m_sparse_frontier_matches_dense():
+    from graphmat_tpu.ops.pallas_spmv2 import build_spmv2m_plan, spmv2m
+    BIG = 1e30
+    rng = np.random.default_rng(12)
+    n, e = 5000, 60000
+    s, r, v = _rand_graph(rng, n, e)
+    plan = build_spmv2m_plan(s, r, v, n, wr=1024, hub=512,
+                             windows=(64, 256), cell_min=100)
+    for density in (0.0, 0.03, 1.0):
+        act = rng.random(plan.n_send_pad) < density
+        x = np.where(act, rng.standard_normal(plan.n_send_pad),
+                     BIG).astype(np.float32)
+        y_dense = np.asarray(spmv2m(plan, jnp.asarray(x), "min",
+                                    process=lambda xv, ev: xv + ev,
+                                    interpret=True))
+        y_sparse = np.asarray(spmv2m(plan, jnp.asarray(x), "min",
+                                     process=lambda xv, ev: xv + ev,
+                                     interpret=True,
+                                     sent=jnp.asarray(act)))
+        # skipped chunks yield the true identity (inf) where the dense
+        # sweep yields ~BIG; after the engine's sentinel threshold the
+        # two agree everywhere
+        got_d = y_dense < BIG / 2
+        got_s = y_sparse < BIG / 2
+        assert np.array_equal(got_d, got_s), density
+        assert np.array_equal(y_dense[got_d], y_sparse[got_d]), density
+        # oracle on the active edges
+        om = np.full(plan.n_pad, np.inf)
+        aedge = act[s]
+        np.minimum.at(om, r[aedge], x[s[aedge]] + v[aedge])
+        assert np.allclose(y_sparse[got_s], om[got_s], rtol=1e-6)

@@ -180,3 +180,41 @@ def test_connected_components_two_islands():
     assert ncomp == 2
     assert labels[0] == labels[1] == labels[2] == 1
     assert labels[3] == labels[4] == labels[5] == 4
+
+
+def test_bfs_pallas_sparse_frontier_engine():
+    """ACTIVE_ONLY programs drive the v2 kernels' chunk-skip path; depths
+    must match scipy exactly (interpret mode on CPU)."""
+    from graphmat_tpu.apps.bfs import BFSProgram, init_bfs_graph
+    from graphmat_tpu.core.runtime import Engine
+    e = random_edgelist(120, 4, seed=7)
+    g = Graph(e, build_in_edges=False)
+    init_bfs_graph(g, 1)
+    eng = Engine(BFSProgram(), g, use_pallas=True)
+    assert eng.pallas_version == 2 and eng.use_pallas
+    eng.run()
+    depth = g.vp_numpy()["depth"]
+    np.testing.assert_array_equal(depth, scipy_depths(e, 1))
+
+
+def test_incremental_pr_pallas_sparse_engine():
+    """ACTIVE_ONLY + sum: IncrementalPageRank exercises the sum kernel's
+    chunk-skip path (plus its sparse got pass)."""
+    from graphmat_tpu.apps.incremental_pagerank import (DegreeProgram,
+                                                        DeltaPageRankProgram)
+    from graphmat_tpu.apps.pagerank import run_pagerank
+    from graphmat_tpu.core.runtime import Engine
+    e = random_edgelist(100, 5, seed=9)
+    pr, _ = run_pagerank(Graph(e, build_in_edges=True))
+    g2 = Graph(e, build_in_edges=True)
+    g2.init_vertexproperty(delta=np.float32(0.3), pagerank=np.float32(0.3),
+                           degree=np.int32(0))
+    g2.set_all_active()
+    Engine(DegreeProgram(), g2).run(iterations=1)
+    g2.set_all_active()
+    eng = Engine(DeltaPageRankProgram(), g2, use_pallas=True)
+    assert eng.pallas_version == 2
+    eng.run(max_iterations=10_000)
+    dpr = g2.vp_numpy()["pagerank"]
+    np.testing.assert_allclose(np.asarray(dpr, np.float64),
+                               np.asarray(pr, np.float64), atol=5e-4)
