@@ -212,6 +212,10 @@ class DistEngine:
                 x = jnp.clip(x, -PALLAS_BIG, PALLAS_BIG)
             x_col = lax.all_gather(x, ROW_AXIS, tiled=True)       # [R*S]
             sent_col = None
+            sent_bool_col = None
+            if not dense:
+                # frontier mask for per-tile chunk skipping (v2 kernels)
+                sent_bool_col = lax.all_gather(sent, ROW_AXIS, tiled=True)
             if kind == "sum" and not dense:
                 sentf = jnp.where(sent, 1.0, 0.0).astype(jnp.float32)
                 sent_col = lax.all_gather(sentf, ROW_AXIS, tiled=True)
@@ -222,6 +226,13 @@ class DistEngine:
                 (arrays, got_static) = structure["pplans"][recv]
                 static, n_send_pad = self._pplan_static_for(recv)
                 local = tuple(a[0] for a in arrays)
+                sent_arg = None
+                if v2 and sent_bool_col is not None:
+                    sent_arg = sent_bool_col
+                    if sent_arg.shape[0] < n_send_pad:
+                        sent_arg = jnp.pad(
+                            sent_arg, (0, n_send_pad - sent_arg.shape[0]))
+                    sent_arg = sent_arg[:n_send_pad]
 
                 def call(xin, kd, proc):
                     xp = xin
@@ -230,10 +241,12 @@ class DistEngine:
                     if v2 and kd == "sum":
                         ns = getattr(sem, "n_splits", 3)
                         return _spmv2_call(local, static, xp[:n_send_pad],
-                                           proc, ns, interpret)
+                                           proc, ns, interpret,
+                                           sent=sent_arg)
                     if v2:
                         return _spmv2m_call(local, static, xp[:n_send_pad],
-                                            kd, proc, interpret)
+                                            kd, proc, interpret,
+                                            sent=sent_arg)
                     return _spmv_call(local, static, xp[:n_send_pad], kd,
                                       proc, interpret)
 
