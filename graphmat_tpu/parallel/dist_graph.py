@@ -441,9 +441,23 @@ class DistGraph:
             vp[name] = jax.device_put(full, self.vec_sharding)
         self.vp = vp
 
+    @staticmethod
+    def _fetch(v) -> np.ndarray:
+        """Host copy of a (possibly multi-process) sharded array.
+
+        Under jax.distributed with >1 process the array spans
+        non-addressable devices; process_allgather replicates it to every
+        host first (the analog of the reference tests' collect_edges
+        MPI_Allgatherv, test/test_utils.h:52-81)."""
+        if getattr(v, "is_fully_addressable", True):
+            return np.asarray(v)
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(
+            v, tiled=True))
+
     def get_vertexproperty(self, vid1: int) -> Dict[str, Any]:
         i = self._internal_index(vid1)
-        return {k: np.asarray(v[i]) for k, v in self.vp.items()}
+        return {k: self._fetch(v)[i] for k, v in self.vp.items()}
 
     def set_vertexproperty(self, vid1: int, **fields) -> None:
         i = self._internal_index(vid1)
@@ -455,7 +469,7 @@ class DistGraph:
         """Host copies in original vertex order."""
         out = {}
         for k, v in self.vp.items():
-            a = np.asarray(v)
+            a = self._fetch(v)
             if self.perm is not None:
                 a = a[self.perm]
             else:
