@@ -28,7 +28,8 @@ import numpy as np
 from ..io.edgelist import EdgeList, load_edgelist
 from .mesh import make_mesh
 
-__all__ = ["initialize", "hosts_mesh", "load_edgelist_sharded"]
+__all__ = ["initialize", "hosts_mesh", "load_edgelist_sharded",
+           "allgather_edgelist"]
 
 
 def initialize(coordinator_address: str | None = None,
@@ -74,13 +75,50 @@ def hosts_mesh(rows_per_host: int | None = None):
     return make_mesh(devs, (r, c))
 
 
+def allgather_edgelist(e: EdgeList) -> EdgeList:
+    """Union of every host's partial edge list (identical on all hosts).
+
+    The reference shuffles loaded edges to their owner ranks with
+    Isend/Irecv (``SpMat.h:171-217``); here each host contributes its
+    partial list and receives the union, then the shared DistGraph build
+    device_puts only the tiles this host's devices own.  One collective,
+    host-memory bound like the reference's shuffle buffers.
+    """
+    if jax.process_count() <= 1:
+        return e
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    def ag(a):
+        return np.asarray(multihost_utils.process_allgather(
+            jnp.asarray(a)))
+
+    meta = ag(np.array([e.nnz, e.m, e.n], np.int64))   # [H, 3]
+    mlen = int(meta[:, 0].max())
+
+    def pad(a, dtype):
+        a = np.asarray(a, dtype)
+        return np.concatenate([a, np.zeros(mlen - len(a), dtype)])
+
+    ids = ag(np.stack([pad(e.src, np.int64),
+                       pad(e.dst, np.int64)]))         # [H, 2, mlen]
+    vals = ag(pad(e.val, np.float64))                  # [H, mlen]
+    keep = np.concatenate([np.r_[np.ones(c, bool),
+                                 np.zeros(mlen - c, bool)]
+                           for c in meta[:, 0]])
+    vdt = np.asarray(e.val).dtype
+    return EdgeList(int(meta[:, 1].max()), int(meta[:, 2].max()),
+                    ids[:, 0, :].reshape(-1)[keep].astype(np.int32),
+                    ids[:, 1, :].reshape(-1)[keep].astype(np.int32),
+                    vals.reshape(-1)[keep].astype(vdt))
+
+
 def load_edgelist_sharded(prefix: str, **kw) -> EdgeList:
     """Host-strided shard loading: host h reads ``prefix{h, h+H, ...}``.
 
-    Mirrors ``load_edgelist``'s rank striding.  Note: the current
-    DistGraph build expects the full edge list on every host; per-host
-    partial ingest with a device-side exchange is the next step (the
-    reference's Isend/Irecv shuffle analog).
+    Mirrors ``load_edgelist``'s rank striding (``edgelist.h:250-274``).
+    Follow with :func:`allgather_edgelist` to exchange partial lists
+    before the DistGraph build (the Isend/Irecv shuffle analog).
     """
     h = jax.process_index()
     nh = max(jax.process_count(), 1)

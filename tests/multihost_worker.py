@@ -24,12 +24,21 @@ def main() -> int:
     from graphmat_tpu.apps.pagerank import DegreeProgram, PageRankProgram
     from graphmat_tpu.parallel.dist_graph import DistGraph
     from graphmat_tpu.parallel.dist_runtime import DistEngine
-    from graphmat_tpu.parallel.multihost import hosts_mesh
+    from graphmat_tpu.parallel.multihost import (allgather_edgelist,
+                                                 hosts_mesh,
+                                                 load_edgelist_sharded)
     from graphmat_tpu.utils.generators import rmat_edgelist
 
     mesh = hosts_mesh()
     assert mesh.devices.shape[0] == nproc, mesh.devices.shape
-    e = rmat_edgelist(8, 8, seed=3)
+    shard_prefix = sys.argv[5] if len(sys.argv) > 5 else ""
+    if shard_prefix:
+        # distributed ingest: host h reads shards {h, h+H, ...} then the
+        # partial lists are exchanged (the reference's load + shuffle)
+        mine = load_edgelist_sharded(shard_prefix, binaryformat=False)
+        e = allgather_edgelist(mine)
+    else:
+        e = rmat_edgelist(8, 8, seed=3)
 
     # PageRank (ALL_VERTICES, sum)
     g = DistGraph(e, mesh, seg_align=8)

@@ -25,7 +25,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_dist_matches_single_device(tmp_path):
+def _spawn_workers(tmp_path, extra_args=()):
     port = _free_port()
     out = tmp_path / "result.npz"
     env = dict(os.environ)
@@ -34,13 +34,18 @@ def test_two_process_dist_matches_single_device(tmp_path):
     env.pop("JAX_PLATFORMS", None)
     worker = os.path.join(REPO, "tests", "multihost_worker.py")
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(i), "2", str(port), str(out)],
+        [sys.executable, worker, str(i), "2", str(port), str(out),
+         *extra_args],
         env=env, cwd=REPO, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT) for i in range(2)]
     logs = [p.communicate(timeout=540)[0].decode() for p in procs]
     for i, p in enumerate(procs):
         assert p.returncode == 0, f"worker {i} failed:\n{logs[i][-3000:]}"
-    got = np.load(out)
+    return np.load(out)
+
+
+def test_two_process_dist_matches_single_device(tmp_path):
+    got = _spawn_workers(tmp_path)
 
     # single-device oracle (this process, CPU)
     from graphmat_tpu import Graph
@@ -53,3 +58,27 @@ def test_two_process_dist_matches_single_device(tmp_path):
     np.testing.assert_allclose(got["pagerank"][:n], pr, atol=2e-5)
     depth, _parent, _ = run_bfs(Graph(e, build_in_edges=False), 1)
     np.testing.assert_array_equal(got["depth"][:n], depth)
+
+
+def test_two_process_sharded_ingest(tmp_path):
+    """Distributed ingest: host h loads shard files {h, h+H, ...}, the
+    partial lists are exchanged (allgather_edgelist = the reference's
+    Isend/Irecv shuffle analog, SpMat.h:171-217), and the result matches
+    the single-process whole-file run."""
+    from graphmat_tpu import Graph
+    from graphmat_tpu.apps.pagerank import run_pagerank
+    from graphmat_tpu.io.edgelist import write_edgelist
+    from graphmat_tpu.utils.generators import rmat_edgelist
+    e = rmat_edgelist(8, 8, seed=3)
+    # 4 shard files, strided over 2 hosts
+    prefix = str(tmp_path / "shard")
+    nsh = 4
+    for i in range(nsh):
+        from graphmat_tpu.io.edgelist import EdgeList
+        sl = slice(i, None, nsh)
+        write_edgelist(EdgeList(e.m, e.n, e.src[sl], e.dst[sl], e.val[sl]),
+                       f"{prefix}{i}", binaryformat=False)
+    got = _spawn_workers(tmp_path, extra_args=(prefix,))
+    pr, _ = run_pagerank(Graph(e))
+    n = len(pr)
+    np.testing.assert_allclose(got["pagerank"][:n], pr, atol=2e-5)
