@@ -27,8 +27,8 @@ from ..core.types import Activity, Direction, MIN, UNTIL_CONVERGENCE
 from ..io.edgelist import EdgeList
 from ..io.transforms import filter_edges
 
-__all__ = ["DeltaSteppingProgram", "run_delta_stepping", "INF_DIST",
-           "INF_BUCKET"]
+__all__ = ["DeltaSteppingProgram", "run_delta_stepping",
+           "run_delta_stepping_dist", "INF_DIST", "INF_BUCKET"]
 
 INF_DIST = np.iinfo(np.int32).max
 INF_BUCKET = np.iinfo(np.int32).max
@@ -94,6 +94,45 @@ def run_delta_stepping(edges: EdgeList, delta: int, source1: int,
     prog = DeltaSteppingProgram(delta)
     eng_light = Engine(prog, g)
     eng_heavy = Engine(prog, g2)
+
+    bid = 0
+    while True:
+        g.set_all_active()
+        eng_light.run(iterations=UNTIL_CONVERGENCE, state=jnp.int32(bid))
+        g2.set_all_active()
+        eng_heavy.run(iterations=1, state=jnp.int32(bid))
+        bid += 1
+        bucket = g.vp_numpy()["bucket"]
+        if not ((bucket >= bid) & (bucket < INF_BUCKET)).any():
+            break
+        if bid >= max_buckets:
+            raise RuntimeError("delta-stepping did not terminate")
+    return g.vp_numpy()["distance"], bid
+
+
+def run_delta_stepping_dist(edges: EdgeList, delta: int, source1: int,
+                            mesh, max_buckets: int = 1_000_000,
+                            seg_align: int = 128):
+    """2D-sharded delta-stepping: two DistGraphs (light/heavy) over one
+    mesh sharing the vertex-property store, same outer bucket loop."""
+    from ..parallel.dist_graph import DistGraph
+    from ..parallel.dist_runtime import DistEngine
+
+    light = filter_edges(edges, lambda s, d, v: v <= delta)
+    heavy = filter_edges(edges, lambda s, d, v: v > delta)
+
+    g = DistGraph(light, mesh, build_in_edges=False, seg_align=seg_align)
+    g2 = DistGraph(heavy, mesh, build_in_edges=False, seg_align=seg_align)
+    g.init_vertexproperty(distance=np.int32(INF_DIST),
+                          bucket=np.int32(INF_BUCKET))
+    g2.share_vertex_property(g)
+
+    g.set_vertexproperty(source1, distance=0, bucket=0)
+    g.set_active(source1)
+
+    prog = DeltaSteppingProgram(delta)
+    eng_light = DistEngine(prog, g)
+    eng_heavy = DistEngine(prog, g2)
 
     bid = 0
     while True:

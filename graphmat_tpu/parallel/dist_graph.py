@@ -180,9 +180,26 @@ class DistGraph:
         else:
             vv[self.perm] = True
         self.valid_vertex = jax.device_put(vv, self.vec_sharding)
-        self.vp: Dict[str, Any] = {}
+        from ..core.graph import _VpRef
+        self._vpref = _VpRef({})
         self.active = jax.device_put(np.zeros(self.n_pad, bool),
                                      self.vec_sharding)
+
+    @property
+    def vp(self) -> Dict[str, Any]:
+        return self._vpref.vp
+
+    @vp.setter
+    def vp(self, value) -> None:
+        self._vpref.vp = value
+
+    def share_vertex_property(self, other: "DistGraph") -> None:
+        """Alias this graph's vertex properties to ``other``'s
+        (``Graph.h:301-305``) — both graphs must share (mesh, n_pad)."""
+        if other.n_pad != self.n_pad or other.mesh is not self.mesh:
+            raise ValueError("shareVertexProperty requires matching mesh "
+                             "and padded size")
+        self._vpref = other._vpref
 
     def _localize(self, src0, dst0, vals, receiver_is_dst):
         """Per-tile (senders_local, receivers_local, vals) host arrays."""

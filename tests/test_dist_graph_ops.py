@@ -90,3 +90,30 @@ def test_dist_apply_to_all_edges(mesh):
             dst1 = (r_glob if send_is_src else s_glob) + 1
             for s, d, vv in zip(src1, dst1, v):
                 assert vv == expect[(int(s), int(d))]
+
+
+def test_dist_share_vertex_property(mesh):
+    """Two DistGraphs over the same mesh alias one property store
+    (DeltaStepping's light/heavy split, Graph.h:301-305)."""
+    g1, _ = make_dist_graph(mesh, seed=5)
+    g2, _ = make_dist_graph(mesh, seed=6)
+    g2.share_vertex_property(g1)
+    apply_to_all_vertices(g2, lambda vp: {"val": vp["val"] + 7})
+    np.testing.assert_array_equal(g1.vp_numpy()["val"],
+                                  np.arange(1, g1.n + 1) + 7)
+    g1.set_vertexproperty(3, val=999)
+    assert g2.get_vertexproperty(3)["val"] == 999
+
+
+def test_dist_delta_stepping_matches_dijkstra(mesh):
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import dijkstra
+    from graphmat_tpu.apps.delta_stepping import (INF_DIST,
+                                                  run_delta_stepping_dist)
+    e = random_edgelist(50, 4, seed=11, weight_range=9)
+    dist, _ = run_delta_stepping_dist(e, 3, 1, mesh, seg_align=8)
+    n = max(e.m, e.n)
+    a = coo_matrix((e.val, (e.src - 1, e.dst - 1)), shape=(n, n)).tocsr()
+    ref = dijkstra(a, directed=True, indices=0)
+    ref_i = np.where(np.isfinite(ref), ref, INF_DIST).astype(np.int64)
+    np.testing.assert_array_equal(dist[:n], ref_i)
