@@ -19,7 +19,7 @@ import numpy as np
 
 from ..core.graph import Graph
 from ..core.program import GraphProgram, PallasSemiring
-from ..core.runtime import Engine
+from ..core.runtime import engine_for
 from ..core.types import Activity, Direction, ANY, UNTIL_CONVERGENCE
 
 __all__ = ["BFSProgram", "run_bfs", "INF_DEPTH"]
@@ -83,7 +83,7 @@ def run_bfs(graph: Graph, source1: int,
             iterations: int = UNTIL_CONVERGENCE):
     """Returns ``(depth[n], parent[n], niter)``; unreached depth = INF_DEPTH."""
     init_bfs_graph(graph, source1)
-    eng = Engine(BFSProgram(), graph)
+    eng = engine_for(BFSProgram(), graph)
     niter = eng.run(iterations=iterations)
     vp = graph.vp_numpy()
     return vp["depth"], vp["parent"], niter

@@ -17,7 +17,7 @@ import numpy as np
 
 from ..core.graph import Graph
 from ..core.program import GraphProgram, PallasSemiring
-from ..core.runtime import Engine
+from ..core.runtime import engine_for
 from ..core.types import Activity, Direction, MIN, UNTIL_CONVERGENCE
 
 __all__ = ["ConnectedComponentsProgram", "run_connected_components"]
@@ -58,7 +58,7 @@ def run_connected_components(graph: Graph,
     ids = np.arange(1, graph.n + 1, dtype=np.int32)
     graph.init_vertexproperty(label=ids)
     graph.set_all_active()
-    niter = Engine(ConnectedComponentsProgram(), graph).run(
+    niter = engine_for(ConnectedComponentsProgram(), graph).run(
         iterations=iterations)
     labels = graph.vp_numpy()["label"]
     return labels, int(np.unique(labels).size), niter

@@ -18,7 +18,7 @@ import numpy as np
 
 from ..core.graph import Graph
 from ..core.program import GraphProgram, PallasSemiring
-from ..core.runtime import Engine
+from ..core.runtime import engine_for
 from ..core.types import Activity, Direction, SUM, UNTIL_CONVERGENCE
 from .pagerank import DegreeProgram
 
@@ -78,11 +78,11 @@ def run_incremental_pagerank(graph: Graph, alpha: float = 0.3,
         degree=np.int32(0),
     )
     graph.set_all_active()
-    Engine(DegreeProgram(), graph).run(iterations=1)
+    engine_for(DegreeProgram(), graph).run(iterations=1)
 
     graph.set_all_active()
     prog = DeltaPageRankProgram(alpha=alpha, dtype=dtype)
-    niter = Engine(prog, graph).run(iterations=iterations,
+    niter = engine_for(prog, graph).run(iterations=iterations,
                                     max_iterations=max_iterations)
     return graph.vp_numpy()["pagerank"], niter
 

@@ -26,7 +26,7 @@ import numpy as np
 from ..core.graph import Graph
 from ..core.program import (GraphProgram, PallasVec2Semiring,
                             PallasVecSemiring)
-from ..core.runtime import Engine
+from ..core.runtime import engine_for
 from ..core.types import Activity, Direction, SUM
 from ..utils.reference_rng import rand_r_jnp
 
@@ -326,18 +326,18 @@ def run_lda(graph: Graph, ndoc: int, nterms: int, k: int = 20,
         token_loglik=np.array(0, np.dtype(dtype)),
     )
 
-    Engine(LDAInitProgram(k, dtype=dtype), graph).run(iterations=1)
+    engine_for(LDAInitProgram(k, dtype=dtype), graph).run(iterations=1)
 
     prog = LDAProgram(k, alpha, eta, vocab_size=nterms, ndoc=ndoc,
                       dtype=dtype)
-    eng = Engine(prog, graph)
+    eng = engine_for(prog, graph)
     # ldap.calcGlobalN() before the run (:279)
     global_n = _global_topic_totals(graph.vp, eng.ctx, dtype)
     eng.run(iterations=iterations, state=global_n)
     global_n = jnp.asarray(eng.final_state)
 
     ll_prog = LDALLProgram(global_n, eta, nterms, k, dtype=dtype)
-    Engine(ll_prog, graph).run(iterations=1)
+    engine_for(ll_prog, graph).run(iterations=1)
     vp = graph.vp_numpy()
     total_ll = float(vp["token_loglik"].sum())
     return vp["N"], np.asarray(global_n), total_ll

@@ -20,7 +20,7 @@ import numpy as np
 
 from ..core.graph import Graph
 from ..core.program import GraphProgram, PallasSemiring
-from ..core.runtime import Engine
+from ..core.runtime import engine_for
 from ..core.types import Activity, Direction, SUM, UNTIL_CONVERGENCE
 
 __all__ = ["DegreeProgram", "PageRankProgram", "run_pagerank"]
@@ -112,10 +112,10 @@ def run_pagerank(graph: Graph, alpha: float = 0.3,
 
     dg = DegreeProgram()
     graph.set_all_active()
-    Engine(dg, graph).run(iterations=1)
+    engine_for(dg, graph).run(iterations=1)
 
     pr = PageRankProgram(alpha=alpha, dtype=dtype)
-    eng = Engine(pr, graph)
+    eng = engine_for(pr, graph)
     niter = eng.run(iterations=iterations)
     return graph.vp_numpy()["pagerank"], niter
 

@@ -28,7 +28,7 @@ import numpy as np
 from ..core.graph import Graph
 from ..core.program import (GraphProgram, PallasVec2Semiring,
                             PallasVecSemiring)
-from ..core.runtime import Engine
+from ..core.runtime import engine_for
 from ..core.types import Activity, Direction, SUM
 from ..utils.reference_rng import rand_r_uniform_np
 
@@ -175,7 +175,7 @@ def init_sgd_graph(graph: Graph, k: int = 20, dtype=jnp.float32) -> None:
 def rmse_per_edge(graph: Graph, dtype=jnp.float32, k: int = 20) -> float:
     """sqrt(Σ sqerr / nnz) — the reference's printed metric (:186-188)."""
     graph.set_all_active()
-    Engine(RMSEProgram(dtype=dtype, k=k), graph).run(iterations=1)
+    engine_for(RMSEProgram(dtype=dtype, k=k), graph).run(iterations=1)
     err = float(graph.vp_numpy()["sqerr"].sum())
     return float(np.sqrt(err / graph.nnz))
 
@@ -190,7 +190,7 @@ def run_sgd(graph: Graph, k: int = 20, lambda_: float = 0.001,
     rmse0 = rmse_per_edge(graph, dtype, k)
 
     graph.set_all_active()
-    Engine(SGDProgram(lambda_, step, dtype=dtype, k=k), graph).run(
+    engine_for(SGDProgram(lambda_, step, dtype=dtype, k=k), graph).run(
         iterations=iterations)
     rmse1 = rmse_per_edge(graph, dtype, k)
     return graph.vp_numpy()["lv"], rmse0, rmse1

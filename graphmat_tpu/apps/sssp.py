@@ -13,7 +13,7 @@ import numpy as np
 
 from ..core.graph import Graph
 from ..core.program import GraphProgram, PallasSemiring
-from ..core.runtime import Engine
+from ..core.runtime import engine_for
 from ..core.types import Activity, Direction, MIN, UNTIL_CONVERGENCE
 
 __all__ = ["SSSPProgram", "run_sssp", "INF_DIST"]
@@ -66,7 +66,7 @@ def run_sssp(graph: Graph, source1: int,
              iterations: int = UNTIL_CONVERGENCE):
     """Returns ``(distance[n], niter)``; unreachable = INF_DIST."""
     init_sssp_graph(graph, source1)
-    eng = Engine(SSSPProgram(), graph)
+    eng = engine_for(SSSPProgram(), graph)
     niter = eng.run(iterations=iterations)
     return graph.vp_numpy()["distance"], niter
 

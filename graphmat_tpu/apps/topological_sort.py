@@ -21,7 +21,7 @@ import numpy as np
 
 from ..core.graph import Graph
 from ..core.program import GraphProgram, PallasSemiring
-from ..core.runtime import Engine
+from ..core.runtime import engine_for
 from ..core.types import Activity, Direction, SUM, UNTIL_CONVERGENCE
 
 __all__ = ["TopSortProgram", "run_topological_sort", "INF_ORDER"]
@@ -100,7 +100,7 @@ def run_topological_sort(graph: Graph,
     """
     graph.init_vertexproperty(topsort_order=np.int32(INF_ORDER),
                               in_degree=np.int32(0))
-    Engine(InDegreeProgram(), graph).run(iterations=1)
+    engine_for(InDegreeProgram(), graph).run(iterations=1)
 
     indeg = graph.vp_numpy()["in_degree"]
     seeds = np.where(indeg == 0)[0]
@@ -111,7 +111,7 @@ def run_topological_sort(graph: Graph,
     active = graph.active
     graph.active = active.at[seeds].set(True)
 
-    niter = Engine(TopSortProgram(), graph).run(iterations=iterations)
+    niter = engine_for(TopSortProgram(), graph).run(iterations=iterations)
     order = graph.vp_numpy()["topsort_order"]
     has_cycle = bool((order == INF_ORDER).any())
     return order, has_cycle, niter

@@ -24,7 +24,7 @@ import numpy as np
 
 from ..core.graph import Graph
 from ..core.program import GraphProgram
-from ..core.runtime import Engine
+from ..core.runtime import engine_for
 from ..core.types import Activity, Direction, SUM
 from ..ops.neighbors import collect_neighbors, intersect_sorted_counts
 
@@ -82,7 +82,7 @@ def run_triangle_counting(graph: Graph, max_degree_pad: int | None = None,
     graph.init_vertexproperty(triangles=np.int32(0))
     graph.vp = {**graph.vp, "neighbors": neighbors}
 
-    Engine(CountTrianglesProgram(), graph).run(iterations=1)
+    engine_for(CountTrianglesProgram(), graph).run(iterations=1)
     tri = graph.vp_numpy()["triangles"]
     return tri, int(tri.sum())
 

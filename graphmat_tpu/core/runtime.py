@@ -38,7 +38,20 @@ _PALLAS_IDENT = {"sum": 0.0, "min": float("inf"), "max": float("-inf")}
 # before the kernel and restored after.
 PALLAS_BIG = 1e30
 
-__all__ = ["Engine", "run_graph_program", "graph_program_init"]
+__all__ = ["Engine", "engine_for", "run_graph_program",
+           "graph_program_init"]
+
+
+def engine_for(program, graph, **kw):
+    """Engine dispatch by graph type: single-device :class:`Engine` for a
+    ``Graph``, :class:`~graphmat_tpu.parallel.dist_runtime.DistEngine`
+    for a 2D-sharded ``DistGraph``.  Lets every app runner accept either
+    (the reference's binaries are likewise mpirun-agnostic)."""
+    from ..parallel.dist_graph import DistGraph
+    if isinstance(graph, DistGraph):
+        from ..parallel.dist_runtime import DistEngine
+        return DistEngine(program, graph, **kw)
+    return Engine(program, graph, **kw)
 
 
 def _direction_receivers(order: Direction):

@@ -117,3 +117,47 @@ def test_dist_delta_stepping_matches_dijkstra(mesh):
     ref = dijkstra(a, directed=True, indices=0)
     ref_i = np.where(np.isfinite(ref), ref, INF_DIST).astype(np.int64)
     np.testing.assert_array_equal(dist[:n], ref_i)
+
+
+def test_dist_toposort_via_polymorphic_runner(mesh):
+    """run_topological_sort works unchanged on a DistGraph (engine_for)."""
+    from graphmat_tpu.apps.topological_sort import run_topological_sort
+    from graphmat_tpu.utils.generators import upper_triangular_edgelist
+    from graphmat_tpu.core.graph import Graph
+    e = upper_triangular_edgelist(20)
+    g = DistGraph(e, mesh, seg_align=8)
+    order_d, cyc_d, _ = run_topological_sort(g)
+    order_s, cyc_s, _ = run_topological_sort(Graph(e))
+    n = max(e.m, e.n)
+    np.testing.assert_array_equal(order_d[:n], order_s[:n])
+    assert cyc_d == cyc_s == False  # noqa: E712
+
+
+def test_dist_incremental_pagerank_runner(mesh):
+    from graphmat_tpu.apps.incremental_pagerank import run_incremental_pagerank
+    from graphmat_tpu.apps.pagerank import run_pagerank
+    from graphmat_tpu.core.graph import Graph
+    e = random_edgelist(50, 4, seed=2)
+    pr, _ = run_pagerank(Graph(e))
+    g = DistGraph(e, mesh, seg_align=8)
+    dpr, _ = run_incremental_pagerank(g)
+    n = max(e.m, e.n)
+    np.testing.assert_allclose(np.asarray(dpr[:n], np.float64),
+                               np.asarray(pr[:n], np.float64), atol=5e-4)
+
+
+def test_dist_connected_components_runner(mesh):
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components as scipy_cc
+    from graphmat_tpu.apps.connected_components import \
+        run_connected_components
+    e = random_edgelist(40, 2, seed=8)
+    g = DistGraph(e, mesh, seg_align=8)
+    labels, _ncomp, _ = run_connected_components(g)
+    n = max(e.m, e.n)
+    a = coo_matrix((np.ones(e.nnz), (e.src - 1, e.dst - 1)), shape=(n, n))
+    _, ref = scipy_cc(a, directed=True, connection="weak")
+    # same partition (labels may differ by renaming)
+    import itertools
+    for i, j in itertools.combinations(range(n), 2):
+        assert (labels[i] == labels[j]) == (ref[i] == ref[j])
