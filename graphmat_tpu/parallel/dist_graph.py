@@ -514,6 +514,33 @@ class DistGraph:
             raise ValueError(f"graph built without receiver={receiver} tiles")
         return t
 
+    def get_edges(self):
+        """Export back to a 1-based EdgeList (``SpMat::get_edges``,
+        ``SpMat.h:343-376``) from the host tile copies, inverting the
+        vertex permutation like ``Graph::getEdgelist``."""
+        from ..io.edgelist import EdgeList
+        recv = "dst" if "dst" in self._host_tiles else "src"
+        tiles = self._host_tiles[recv]
+        C, S = self.C, self.S
+        srcs, dsts, vals = [], [], []
+        for t, (s_loc, r_loc, v) in enumerate(tiles):
+            ti, tj = t // C, t % C
+            s_glob = ((s_loc // S) * C + tj) * S + (s_loc % S)
+            r_glob = ti * (C * S) + r_loc
+            srcs.append(s_glob if recv == "dst" else r_glob)
+            dsts.append(r_glob if recv == "dst" else s_glob)
+            vals.append(v)
+        src = np.concatenate(srcs) if srcs else np.zeros(0, np.int64)
+        dst = np.concatenate(dsts) if dsts else np.zeros(0, np.int64)
+        val = np.concatenate(vals) if vals else np.zeros(0, np.int32)
+        if self.perm is not None:
+            inv = np.empty(self.n, np.int64)
+            inv[self.perm] = np.arange(self.n)
+            src = inv[src]
+            dst = inv[dst]
+        return EdgeList(self.n, self.n, (src + 1).astype(np.int32),
+                        (dst + 1).astype(np.int32), val)
+
     def __repr__(self):
         return (f"DistGraph(n={self.n}, nnz={self.nnz}, mesh={self.R}x{self.C}, "
                 f"S={self.S})")

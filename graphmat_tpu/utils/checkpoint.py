@@ -53,7 +53,8 @@ def save_graph_state(graph, path: str) -> None:
     original vertex order, so mesh shape does not matter).
     """
     vp = graph.vp_numpy()
-    active = np.asarray(graph.active)
+    fetch = getattr(graph, "_fetch", np.asarray)  # multi-process safe
+    active = np.asarray(fetch(graph.active))
     if getattr(graph, "perm", None) is not None:
         active = active[graph.perm]
     else:

@@ -161,3 +161,12 @@ def test_dist_connected_components_runner(mesh):
     import itertools
     for i, j in itertools.combinations(range(n), 2):
         assert (labels[i] == labels[j]) == (ref[i] == ref[j])
+
+
+def test_dist_get_edges_roundtrip(mesh):
+    """SpMat::get_edges analog: the DistGraph exports the ingested edge
+    list back exactly (order-insensitive)."""
+    e = random_edgelist(45, 3, seed=4)
+    g = DistGraph(e, mesh, seg_align=8)
+    out = g.get_edges()
+    assert out.as_records() == e.as_records()
