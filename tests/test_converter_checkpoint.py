@@ -108,3 +108,33 @@ def test_save_vertexproperty_text(tmp_path):
     save_vertexproperty(g, p, "x")
     lines = open(p).read().strip().split("\n")
     assert lines[0] == "1 0" and lines[9] == "10 9"
+
+
+def test_orbax_sharded_state_roundtrip_across_meshes(tmp_path):
+    """Device-sharded orbax checkpoint restores onto a DIFFERENT mesh
+    shape (the reference's GraphMatBin refuses exactly this,
+    Graph.h:165-175)."""
+    import jax
+    import numpy as np
+    from graphmat_tpu.parallel.dist_graph import DistGraph
+    from graphmat_tpu.parallel.mesh import make_mesh
+    from graphmat_tpu.utils.checkpoint_orbax import (load_sharded_state,
+                                                     save_sharded_state)
+    from graphmat_tpu.utils.generators import random_edgelist
+
+    e = random_edgelist(40, 3, seed=5)
+    mesh_a = make_mesh(jax.devices()[:8], (2, 4))
+    g1 = DistGraph(e, mesh_a, seg_align=8)
+    g1.init_vertexproperty(val=np.arange(1, g1.n + 1, dtype=np.int32),
+                           w=np.float32(0.5))
+    g1.set_all_active()
+    path = str(tmp_path / "orbax_ckpt")
+    save_sharded_state(g1, path)
+
+    mesh_b = make_mesh(jax.devices()[:4], (4, 1))
+    g2 = DistGraph(e, mesh_b, seg_align=8)
+    g2.init_vertexproperty(val=np.int32(0), w=np.float32(0))
+    load_sharded_state(g2, path)
+    np.testing.assert_array_equal(g2.vp_numpy()["val"],
+                                  g1.vp_numpy()["val"])
+    assert bool(np.asarray(g2.active)[: g2.n].all())
