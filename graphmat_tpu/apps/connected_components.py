@@ -67,12 +67,12 @@ def run_connected_components(graph: Graph,
 def _main(argv=None):
     import sys
     import time
-    from ._cli import load_graph_file
+    from ._cli import build_graph, load_graph_file
     args = (argv if argv is not None else sys.argv[1:])
     if not args:
         print("Correct format: connected_components A.mtx")
         return 0
-    g = Graph(load_graph_file(args[0]))
+    g = build_graph(load_graph_file(args[0]))
     t0 = time.time()
     labels, ncomp, niter = run_connected_components(g)
     print(f"Completed {niter} iterations")

@@ -91,13 +91,13 @@ def _main(argv=None):
     """CLI parity with ``src/IncrementalPageRank.cpp``: <A.mtx>."""
     import sys
     import time
-    from ._cli import load_graph_file
+    from ._cli import build_graph, load_graph_file
     args = (argv if argv is not None else sys.argv[1:])
     if not args:
         print("Correct format: incremental_pagerank A.mtx")
         return 0
     from ..core.graph import Graph
-    g = Graph(load_graph_file(args[0]))
+    g = build_graph(load_graph_file(args[0]))
     t0 = time.time()
     pr, niter = run_incremental_pagerank(g)
     print(f"PR Time = {(time.time() - t0) * 1e3:.3f} ms "

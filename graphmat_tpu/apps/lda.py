@@ -347,13 +347,13 @@ def _main(argv=None):
     """CLI parity with ``src/LDA.cpp``: <A.mtx> <NDOC> <NTERMS> [iters]."""
     import sys
     import time
-    from ._cli import load_graph_file
+    from ._cli import build_graph, load_graph_file
     args = (argv if argv is not None else sys.argv[1:])
     if len(args) < 3:
         print("Correct format: lda A.mtx #DOC #TERMS {#iterations (default 10)}")
         return 0
     from ..core.graph import Graph
-    g = Graph(load_graph_file(args[0]))
+    g = build_graph(load_graph_file(args[0]))
     iters = int(args[3]) if len(args) > 3 else 10
     t0 = time.time()
     N, gN, ll = run_lda(g, int(args[1]), int(args[2]), iterations=iters)

@@ -200,13 +200,13 @@ def _main(argv=None):
     """CLI parity with ``src/SGD.cpp``: <ratings.mtx>."""
     import sys
     import time
-    from ._cli import load_graph_file
+    from ._cli import build_graph, load_graph_file
     args = (argv if argv is not None else sys.argv[1:])
     if not args:
         print("Correct format: sgd ratings.mtx")
         return 0
     from ..core.graph import Graph
-    g = Graph(load_graph_file(args[0]))
+    g = build_graph(load_graph_file(args[0]))
     t0 = time.time()
     lv, rmse0, rmse1 = run_sgd(g)
     print(f"RMSE error = {rmse0:.6f} per edge (before)")

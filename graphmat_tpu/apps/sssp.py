@@ -79,13 +79,13 @@ def _main(argv=None):
     """CLI parity with ``src/SSSP.cpp``: <A.mtx> <source 1-based>."""
     import sys
     import time
-    from ._cli import load_graph_file
+    from ._cli import build_graph, load_graph_file
     args = (argv if argv is not None else sys.argv[1:])
     if len(args) < 2:
         print("Correct format: sssp A.mtx source_vertex (1-based index)")
         return 0
     from ..core.graph import Graph
-    g = Graph(load_graph_file(args[0]), build_in_edges=False)
+    g = build_graph(load_graph_file(args[0]), build_in_edges=False)
     t0 = time.time()
     dist, niter = run_sssp(g, int(args[1]))
     print(f"Completed {niter} iterations")

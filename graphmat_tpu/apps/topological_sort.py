@@ -121,13 +121,13 @@ def _main(argv=None):
     """CLI parity with ``src/TopologicalSort.cpp``: <A.mtx>."""
     import sys
     import time
-    from ._cli import load_graph_file
+    from ._cli import build_graph, load_graph_file
     args = (argv if argv is not None else sys.argv[1:])
     if not args:
         print("Correct format: topological_sort A.mtx")
         return 0
     from ..core.graph import Graph
-    g = Graph(load_graph_file(args[0]))
+    g = build_graph(load_graph_file(args[0]))
     t0 = time.time()
     order, has_cycle, niter = run_topological_sort(g)
     print(f"Time = {(time.time() - t0) * 1e3:.3f} ms")

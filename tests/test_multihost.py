@@ -82,3 +82,26 @@ def test_two_process_sharded_ingest(tmp_path):
     pr, _ = run_pagerank(Graph(e))
     n = len(pr)
     np.testing.assert_allclose(got["pagerank"][:n], pr, atol=2e-5)
+
+
+def test_cli_mesh_env_matches_single_device(tmp_path):
+    """GRAPHMAT_MESH=RxC runs the unchanged app CLI 2D-sharded (the
+    mpirun-with-same-binary analog); output matches the one-device run."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["GRAPHMAT_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+
+    def run(mesh):
+        e2 = dict(env)
+        e2["GRAPHMAT_MESH"] = mesh
+        r = subprocess.run(
+            [sys.executable, "-m", "graphmat_tpu.apps.pagerank",
+             "data/test.bin.mtx"], env=e2, cwd=REPO, timeout=240,
+            capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return [ln for ln in r.stdout.splitlines()
+                if ln and ln[0].isdigit() and " : " in ln]
+
+    single = run("")
+    assert single and single == run("2x4")
