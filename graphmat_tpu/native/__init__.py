@@ -102,6 +102,12 @@ def load_planner():
                                     i32p]
         lib.gm_tri_destroy.restype = None
         lib.gm_tri_destroy.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "gm_rmat_gen"):
+            lib.gm_rmat_gen.restype = ctypes.c_int64
+            lib.gm_rmat_gen.argtypes = [
+                ctypes.c_int32, ctypes.c_int64, ctypes.c_double,
+                ctypes.c_double, ctypes.c_double, ctypes.c_uint64,
+                ctypes.c_int32, ctypes.c_int32, i32p, i32p, i32p]
         if hasattr(lib, "gm_parse_text_edges"):
             lib.gm_parse_text_edges.restype = ctypes.c_int64
             lib.gm_parse_text_edges.argtypes = [

@@ -1363,3 +1363,99 @@ int64_t gm_parse_text_edges(const char* buf, int64_t len, int32_t val_kind,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// RMAT generator (Graph500-style recursive bisection).
+//
+// Native counterpart of graphmat_tpu/utils/generators.py::rmat_edgelist.
+// Counter-based: edge i's quadrant choices come from a splitmix64 stream
+// seeded by (seed, i), so output is deterministic for a given seed
+// regardless of thread count.  Self loops are always dropped; dedup != 0
+// additionally sorts by (src, dst) and keeps one edge per pair (the
+// python path's remove_duplicate_edges semantics; values are derived from
+// the (src, dst) key so the kept edge's weight is order-independent).
+
+#include <parallel/algorithm>
+
+namespace {
+
+inline uint64_t splitmix64(uint64_t x) {
+  x += 0x9E3779B97F4A7C15ULL;
+  x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ULL;
+  x = (x ^ (x >> 27)) * 0x94D049BB133111EBULL;
+  return x ^ (x >> 31);
+}
+
+}  // namespace
+
+extern "C" {
+
+// src_out/dst_out/val_out must hold nnz int32 each; returns the edge count
+// actually written (after self-loop removal and optional dedup), 1-based ids.
+int64_t gm_rmat_gen(int32_t scale, int64_t nnz, double a, double b, double c,
+                    uint64_t seed, int32_t dedup, int32_t weight_range,
+                    int32_t* src_out, int32_t* dst_out, int32_t* val_out) {
+  const double ab = a + b;
+  const double c_norm = c / (1.0 - ab);
+  const double b_norm = b / ab;
+
+  std::vector<uint64_t> keys(nnz);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < nnz; ++i) {
+    uint64_t state = splitmix64(seed * 0xD1342543DE82EF95ULL + (uint64_t)i);
+    uint32_t s = 0, d = 0;
+    for (int32_t lvl = 0; lvl < scale; ++lvl) {
+      uint64_t x = state = splitmix64(state);
+      double r1 = (uint32_t)(x >> 32) * 0x1.0p-32;
+      double r2 = (uint32_t)x * 0x1.0p-32;
+      int sb = r1 > ab;
+      int db = sb ? (r2 > c_norm) : (r2 > b_norm);
+      s = (s << 1) | (uint32_t)sb;
+      d = (d << 1) | (uint32_t)db;
+    }
+    keys[i] = ((uint64_t)s << 32) | d;
+  }
+
+  if (dedup) {
+    __gnu_parallel::sort(keys.begin(), keys.end());
+  }
+
+  // compact (drop self loops; with dedup also drop equal neighbors)
+  int nthreads = 1;
+#if defined(_OPENMP)
+  nthreads = omp_get_max_threads();
+#endif
+  std::vector<int64_t> cnt(nthreads, 0), off(nthreads + 1, 0);
+#pragma omp parallel for schedule(static) num_threads(nthreads)
+  for (int t = 0; t < nthreads; ++t) {
+    int64_t lo = nnz * t / nthreads, hi = nnz * (t + 1) / nthreads;
+    int64_t n = 0;
+    for (int64_t i = lo; i < hi; ++i) {
+      uint32_t s = (uint32_t)(keys[i] >> 32), d = (uint32_t)keys[i];
+      if (s == d) continue;
+      if (dedup && i > 0 && keys[i] == keys[i - 1]) continue;
+      ++n;
+    }
+    cnt[t] = n;
+  }
+  for (int t = 0; t < nthreads; ++t) off[t + 1] = off[t] + cnt[t];
+#pragma omp parallel for schedule(static) num_threads(nthreads)
+  for (int t = 0; t < nthreads; ++t) {
+    int64_t lo = nnz * t / nthreads, hi = nnz * (t + 1) / nthreads;
+    int64_t o = off[t];
+    for (int64_t i = lo; i < hi; ++i) {
+      uint32_t s = (uint32_t)(keys[i] >> 32), d = (uint32_t)keys[i];
+      if (s == d) continue;
+      if (dedup && i > 0 && keys[i] == keys[i - 1]) continue;
+      src_out[o] = (int32_t)s + 1;
+      dst_out[o] = (int32_t)d + 1;
+      val_out[o] = weight_range > 0
+          ? (int32_t)(1 + splitmix64(seed ^ keys[i]) % (uint64_t)weight_range)
+          : 1;
+      ++o;
+    }
+  }
+  return off[nthreads];
+}
+
+}  // extern "C"

@@ -84,14 +84,29 @@ def dense_edgelist(n: int, wdtype=np.int32) -> EdgeList:
 def rmat_edgelist(scale: int, edge_factor: int = 16,
                   a: float = 0.57, b: float = 0.19, c: float = 0.19,
                   seed: int = 0, dedup: bool = True,
-                  weight_range: int = 0, wdtype=np.int32) -> EdgeList:
+                  weight_range: int = 0, wdtype=np.int32,
+                  native: bool | None = None) -> EdgeList:
     """Graph500-style RMAT: 2^scale vertices, ~edge_factor·2^scale edges.
 
     Vectorized recursive bisection: at each of ``scale`` levels every edge
     picks a quadrant with probabilities (a, b, c, 1-a-b-c).
+
+    ``native=None`` (default) uses the C++/OpenMP generator when available
+    (counter-based splitmix64 streams — deterministic for a given seed
+    independent of thread count, ~20x faster at scale 20).  The native and
+    numpy paths draw different RNG streams, so they produce *different*
+    (same-distribution) graphs for the same seed; force ``native=False``
+    to reproduce the numpy stream.
     """
     n = 1 << scale
     nnz = n * edge_factor
+    if native is not False:
+        e = _rmat_native(scale, nnz, a, b, c, seed, dedup, weight_range,
+                         wdtype)
+        if e is not None or native:
+            if e is None:
+                raise RuntimeError("native RMAT generator unavailable")
+            return e
     rng = np.random.default_rng(seed)
     src = np.zeros(nnz, np.int64)
     dst = np.zeros(nnz, np.int64)
@@ -115,3 +130,18 @@ def rmat_edgelist(scale: int, edge_factor: int = 16,
     if dedup:
         e = remove_duplicate_edges(e)
     return e
+
+
+def _rmat_native(scale, nnz, a, b, c, seed, dedup, weight_range, wdtype):
+    from ..native import load_planner
+    lib = load_planner()
+    if lib is None or not hasattr(lib, "gm_rmat_gen"):
+        return None
+    src = np.empty(nnz, np.int32)
+    dst = np.empty(nnz, np.int32)
+    val = np.empty(nnz, np.int32)
+    m = lib.gm_rmat_gen(scale, nnz, a, b, c, seed, int(dedup),
+                        int(weight_range), src, dst, val)
+    n = 1 << scale
+    return edgelist_from_arrays(src[:m].copy(), dst[:m].copy(),
+                                val[:m].astype(wdtype), m=n, n=n)
