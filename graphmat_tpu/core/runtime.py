@@ -162,8 +162,8 @@ class Engine:
                 for recv, p in self._plans.items()}
         elif self.pallas_version == 2:
             self._plan_args = {
-                recv: ((p.kindid, p.blkid, p.base, p.ngran, p.idx, p.val,
-                        p.rcf), p.got_static)
+                recv: ((p.kindid, p.blkid, p.base, p.goff, p.pk, p.val),
+                       p.got_static)
                 for recv, p in self._plans.items()}
         else:
             self._plan_args = {
@@ -280,7 +280,8 @@ class Engine:
             plan_arrays, got_static = plans[recv]
             if v2:
                 plan_static = (plan.h, plan.wr, plan.nb, plan.nc,
-                               plan.n_pad, plan.classes, plan.rows)
+                               plan.n_pad, plan.classes, plan.rows,
+                               getattr(plan, "has_narrow", False))
             else:
                 plan_static = (plan.nc, plan.nb, plan.wr, plan.h,
                                plan.n_pad, plan.row_e, plan.win)
@@ -447,8 +448,10 @@ class Engine:
                 structure, state, g.vp, g.active, jnp.int32(max_iterations))
         g.vp = vp
         g.active = active
-        self.final_state = jax.device_get(state)
-        return int(it)
+        # one batched fetch: each separate host read pays a full device
+        # round-trip (~30 ms through the axon tunnel)
+        it_val, self.final_state = jax.device_get((it, state))
+        return int(it_val)
 
     def step_once(self, state=None):
         """Single un-looped iteration (debugging / stats)."""

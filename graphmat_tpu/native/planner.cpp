@@ -221,7 +221,9 @@ int gm_omp_threads() {
 
 // ---------------------------------------------------------------------------
 // v2 plan builder — C++ counterpart of pallas_spmv2.py::build_spmv2_plan.
-// Lane-binned [16,128] chunks, hub stream + aligned sender-window classes.
+// Lane-binned [rows,128] chunks, hub stream + aligned sender-window classes,
+// receiver-subwindow splitting for the narrow (8-group) scatter, packed
+// pk = idx << 13 | rcf output plane.
 // No explicit edge sort: per-(cell,lane) counters replicate the python
 // packer's stable order (original edge order within each cell).
 // ---------------------------------------------------------------------------
@@ -230,20 +232,22 @@ namespace {
 
 constexpr int kRows2 = 16;        // chunk sublanes
 constexpr int kHubGran = 20;
+constexpr int kPkBits = 14;       // low bits of pk hold rcf
+constexpr int kGN = 8;            // narrow-scatter group span
 
 struct Plan2 {
   int64_t e = 0;
   int32_t h = 0, wr = 0, nb = 0, hub = 0, rows = kRows2;
   std::vector<int32_t> windows;   // ascending, clamped to h
   // per edge
-  std::vector<int32_t> cellid;    // compact active-cell index
+  std::vector<int32_t> cellid;    // FINAL cell index
   std::vector<int8_t> lane;       // chunk lane (sender lane / hub RR)
   std::vector<int32_t> gidx;      // gather row index
-  // edges bucketed by compact cell (stable) for the parallel fill
+  // edges bucketed by final cell (stable) for the parallel fill
   std::vector<int64_t> edge_order, cell_edge_start;
-  // per active cell (in final chunk order)
+  // per final cell (in chunk order)
   std::vector<int64_t> cell_chunk_base;  // prefix over cells
-  std::vector<int32_t> cell_kind, cell_blk, cell_base, cell_ngran;
+  std::vector<int32_t> cell_kind, cell_blk, cell_base, cell_goff;
   int64_t nc = 0;
   const int32_t* s = nullptr;     // borrowed views (numpy keeps them alive
   const int32_t* r = nullptr;     //  across create/fill on the python side)
@@ -258,7 +262,7 @@ void* gm_plan2_create(const int32_t* senders, const int32_t* receivers,
                       const float* vals, int64_t e, int32_t h, int32_t wr,
                       int32_t nb, int32_t hub, const int32_t* windows,
                       int32_t nw, int64_t cell_min, int32_t rows,
-                      int64_t* nc_out) {
+                      int64_t sub_min, int64_t* nc_out) {
   auto* p = new Plan2();
   p->e = e; p->h = h; p->wr = wr; p->nb = nb; p->hub = hub;
   p->rows = rows;
@@ -307,25 +311,55 @@ void* gm_plan2_create(const int32_t* senders, const int32_t* receivers,
     }
   }
 
-  // ---- active cells, ordered by (blk, kind, window) -----------------------
-  // count per (raw cell, lane); lanes: hub-top = per-block round robin
-  std::vector<int32_t> lanecnt((size_t)raw_cells * kLane, 0);
+  // ---- receiver-subwindow counts (narrow-scatter decision) ----------------
+  // subwindow = 1024 receivers = kGN groups; a (cell, sw) queue goes narrow
+  // when it holds >= sub_min edges
+  const int nsub = (sub_min > 0 && wr >= 2 * kGN * kLane)
+                   ? wr / (kGN * kLane) : 1;
+  std::vector<int32_t> subcnt;
+  if (nsub > 1) {
+    subcnt.assign((size_t)raw_cells * nsub, 0);
+    for (int64_t i = 0; i < e; ++i)
+      subcnt[rawcell[i] * nsub + ((receivers[i] % wr) >> 10)]++;
+  }
+
+  // ---- lane assignment + dense (rawcell, sub) cell discovery --------------
+  // dense ids assigned on first use; lane balance counters are per dense
+  // cell (per queue), which also balances the split queues
+  std::vector<int32_t> densemap((size_t)raw_cells * (nsub + 1), -1);
+  std::vector<int64_t> dense_raw;
+  std::vector<int32_t> dense_sub;      // -1 = residual/full span
+  std::vector<int32_t> lanecnt;        // [ndense * kLane]
+  std::vector<int32_t> toprr;          // hub top-sender RR, per dense cell
+  std::vector<int32_t> paircnt;        // mid-hub 2-choice, [ndense * 64]
+  std::vector<int32_t> prov(e);
   p->lane.resize(e);
   p->gidx.resize(e);
-  std::vector<int32_t> toprr(nb, 0);
-  // mid-hub 2-choice parity per (block, lane pair): even split between
-  // lane and lane^64 (rotated table granules 18/19)
-  std::vector<int32_t> paircnt((size_t)nb * 64, 0);
   for (int64_t i = 0; i < e; ++i) {
     const int32_t sv = senders[i];
+    const int64_t rc = rawcell[i];
+    int sub = nsub;
+    if (nsub > 1) {
+      const int sw = (receivers[i] % wr) >> 10;
+      if (subcnt[rc * nsub + sw] >= sub_min) sub = sw;
+    }
+    int32_t& d = densemap[rc * (nsub + 1) + sub];
+    if (d < 0) {
+      d = (int32_t)dense_raw.size();
+      dense_raw.push_back(rc);
+      dense_sub.push_back(sub == nsub ? -1 : sub);
+      lanecnt.insert(lanecnt.end(), kLane, 0);
+      toprr.push_back(0);
+      paircnt.insert(paircnt.end(), 64, 0);
+    }
+    prov[i] = d;
     int lane;
     if (kind[i] == 0 && sv < kLane) {
-      lane = toprr[rawcell[i]]++ & (kLane - 1);
+      lane = toprr[d]++ & (kLane - 1);
       p->gidx[i] = sv;
     } else if (kind[i] == 0) {
       lane = sv & (kLane - 1);
-      const int odd =
-          paircnt[rawcell[i] * 64 + (lane & 63)]++ & 1;
+      const int odd = paircnt[(int64_t)d * 64 + (lane & 63)]++ & 1;
       if (odd) {
         lane ^= 64;
         p->gidx[i] = kLane + 16 + (sv >> 7);
@@ -336,26 +370,25 @@ void* gm_plan2_create(const int32_t* senders, const int32_t* receivers,
       lane = sv & (kLane - 1);
       const int k = kind[i] - 1;
       const int32_t W = p->windows[k];
-      const int64_t c = rawcell[i] - hub_cells - class_cells_ofs[k];
+      const int64_t c = rc - hub_cells - class_cells_ofs[k];
       int32_t base = (int32_t)(c % nwin[k]) * W;
       if (base > h - W) base = h - W;
       p->gidx[i] = (sv >> 7) - base;
     }
     p->lane[i] = (int8_t)lane;
-    lanecnt[rawcell[i] * kLane + lane]++;
+    lanecnt[(int64_t)d * kLane + lane]++;
   }
 
-  // active raw cells + their chunk counts
-  struct Cell { int64_t raw; int32_t blk, kind, win; };
+  // dense cells ordered by (blk, kind, win, sub)
+  struct Cell { int32_t prov, blk, kind, win, sub; };
   std::vector<Cell> cells;
-  std::vector<int64_t> raw2cpc((size_t)0);
-  for (int64_t rc = 0; rc < raw_cells; ++rc) {
-    int32_t mx = 0;
-    const int32_t* lc = &lanecnt[rc * kLane];
-    for (int l = 0; l < kLane; ++l) mx = std::max(mx, lc[l]);
-    if (mx == 0) continue;
+  const int64_t ndense = (int64_t)dense_raw.size();
+  cells.reserve(ndense);
+  for (int64_t d = 0; d < ndense; ++d) {
+    const int64_t rc = dense_raw[d];
     Cell cl;
-    cl.raw = rc;
+    cl.prov = (int32_t)d;
+    cl.sub = dense_sub[d];
     if (rc < hub_cells) {
       cl.blk = (int32_t)rc; cl.kind = 0; cl.win = 0;
     } else {
@@ -372,21 +405,23 @@ void* gm_plan2_create(const int32_t* senders, const int32_t* receivers,
                    [](const Cell& a, const Cell& b) {
                      if (a.blk != b.blk) return a.blk < b.blk;
                      if (a.kind != b.kind) return a.kind < b.kind;
-                     return a.win < b.win;
+                     if (a.win != b.win) return a.win < b.win;
+                     return a.sub < b.sub;
                    });
 
   // empty-block coverage: append one empty hub chunk per uncovered block
   std::vector<char> covered(nb, 0);
   for (const Cell& cl : cells) covered[cl.blk] = 1;
 
-  std::vector<int64_t> raw_to_cell(raw_cells, -1);
+  std::vector<int64_t> prov_to_final(ndense, -1);
   p->cell_chunk_base.assign(cells.size() + (size_t)nb + 1, 0);
   int64_t nc = 0;
   size_t ci = 0;
   std::vector<Cell> final_cells;
   for (int32_t b = 0; b < nb; ++b) {
     if (!covered[b]) {
-      Cell cl; cl.raw = -1; cl.blk = b; cl.kind = 0; cl.win = 0;
+      Cell cl; cl.prov = -1; cl.blk = b; cl.kind = 0; cl.win = 0;
+      cl.sub = -1;
       final_cells.push_back(cl);
       p->cell_chunk_base[final_cells.size() - 1] = nc;
       nc += 1;
@@ -395,9 +430,9 @@ void* gm_plan2_create(const int32_t* senders, const int32_t* receivers,
       const Cell& cl = cells[ci];
       final_cells.push_back(cl);
       p->cell_chunk_base[final_cells.size() - 1] = nc;
-      raw_to_cell[cl.raw] = (int64_t)final_cells.size() - 1;
+      prov_to_final[cl.prov] = (int64_t)final_cells.size() - 1;
       int32_t mx = 0;
-      const int32_t* lc = &lanecnt[cl.raw * kLane];
+      const int32_t* lc = &lanecnt[(int64_t)cl.prov * kLane];
       for (int l = 0; l < kLane; ++l) mx = std::max(mx, lc[l]);
       nc += (mx + p->rows - 1) / p->rows;
       ++ci;
@@ -409,30 +444,29 @@ void* gm_plan2_create(const int32_t* senders, const int32_t* receivers,
   // per-cell metadata in final order
   const size_t nfc = final_cells.size();
   p->cell_kind.resize(nfc); p->cell_blk.resize(nfc);
-  p->cell_base.resize(nfc); p->cell_ngran.resize(nfc);
+  p->cell_base.resize(nfc); p->cell_goff.resize(nfc);
   for (size_t q = 0; q < nfc; ++q) {
     const Cell& cl = final_cells[q];
     p->cell_kind[q] = cl.kind;
     p->cell_blk[q] = cl.blk;
+    p->cell_goff[q] = cl.sub < 0 ? -1 : cl.sub * kGN;
     if (cl.kind == 0) {
       p->cell_base[q] = 0;
-      p->cell_ngran[q] = kHubGran;
     } else {
       const int32_t W = p->windows[cl.kind - 1];
       int32_t base = cl.win * W;
       if (base > h - W) base = h - W;
       p->cell_base[q] = base;
-      p->cell_ngran[q] = W / 8;
     }
   }
 
-  // per-edge compact cell index
+  // per-edge final cell index
   p->cellid.resize(e);
 #pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < e; ++i)
-    p->cellid[i] = (int32_t)raw_to_cell[rawcell[i]];
+    p->cellid[i] = (int32_t)prov_to_final[prov[i]];
 
-  // stable counting sort of edge indices by compact cell, so the fill can
+  // stable counting sort of edge indices by final cell, so the fill can
   // run parallel over cells (disjoint chunk ranges)
   p->cell_edge_start.assign(nfc + 2, 0);
   for (int64_t i = 0; i < e; ++i) p->cell_edge_start[p->cellid[i] + 2]++;
@@ -449,8 +483,8 @@ void* gm_plan2_create(const int32_t* senders, const int32_t* receivers,
 }
 
 void gm_plan2_fill(void* handle, int32_t* kindid, int32_t* blkid,
-                   int32_t* baseid, int32_t* ngran, int32_t* idx,
-                   float* val, int32_t* rcf) {
+                   int32_t* baseid, int32_t* goff, int32_t* pk,
+                   float* val) {
   auto* p = static_cast<Plan2*>(handle);
   const int64_t nc = p->nc;
   const int64_t chunk_elems = (int64_t)p->rows * kLane;
@@ -458,10 +492,9 @@ void gm_plan2_fill(void* handle, int32_t* kindid, int32_t* blkid,
 
 #pragma omp parallel for schedule(static)
   for (int64_t c = 0; c < nc; ++c) {
-    std::memset(idx + c * chunk_elems, 0, chunk_elems * sizeof(int32_t));
+    int32_t* pkc = pk + c * chunk_elems;
+    for (int64_t t = 0; t < chunk_elems; ++t) pkc[t] = p->wr;  // pad slots
     std::memset(val + c * chunk_elems, 0, chunk_elems * sizeof(float));
-    int32_t* rc = rcf + c * chunk_elems;
-    for (int64_t t = 0; t < chunk_elems; ++t) rc[t] = p->wr;
   }
 #pragma omp parallel for schedule(static)
   for (int64_t q = 0; q < (int64_t)nfc; ++q) {
@@ -470,7 +503,7 @@ void gm_plan2_fill(void* handle, int32_t* kindid, int32_t* blkid,
       kindid[c] = p->cell_kind[q];
       blkid[c] = p->cell_blk[q];
       baseid[c] = p->cell_base[q];
-      ngran[c] = p->cell_ngran[q];
+      goff[c] = p->cell_goff[q];
     }
   }
   // replay edges per cell (parallel; cells own disjoint chunk ranges);
@@ -488,9 +521,8 @@ void gm_plan2_fill(void* handle, int32_t* kindid, int32_t* blkid,
       const int64_t chunk = p->cell_chunk_base[q] + k / p->rows;
       const int64_t slot = chunk * chunk_elems
                            + (int64_t)(k % p->rows) * kLane + lane;
-      idx[slot] = p->gidx[i];
+      pk[slot] = (p->gidx[i] << kPkBits) | (int32_t)(p->r[i] - wrblk);
       val[slot] = p->v[i];
-      rcf[slot] = p->r[i] - wrblk;
     }
   }
 }

@@ -36,6 +36,19 @@ Plan layout (host-built, once per graph):
   single ``[splits*G, 2048] x [128, 2048]`` MXU matmul.  Padded slots carry
   receiver sentinel ``wr``, which matches no group — no mask stream.
 
+* **Narrow scatter** (``sub_min > 0``; off by default): split dense
+  (cell, receiver-subwindow) queues into chunks spanning only 8 receiver
+  groups, scattered by a ``[splits*8, chunk] x [128, chunk]`` matmul into
+  ``acc[goff:goff+8]``.  Measured on v5e this does NOT pay at wr=4096:
+  the MXU cost of the scatter is ``ceil(M/128)`` output tiles — one tile
+  for M = splits*G = 64 as much as for M = 16 — so narrowing saves no
+  MXU time while the split queues add chunks (5.28 -> 6.06 ms/iter on
+  RMAT-20).  Kept behind ``sub_min`` for layouts where M > 128.
+
+* The gather index and receiver offset ride one packed int32 plane
+  ``pk = idx << PK_BITS | rcf`` (idx < 2048, rcf <= wr <= 16383), cutting
+  the per-slot plan stream from 12 to 8 bytes.
+
 Chunks of one receiver block are consecutive in the grid, so the block's
 ``[G, 128]`` accumulator lives in VMEM scratch across chunks, mirroring the
 reference's 32-row-aligned private partitions (``DCSCTile.h:247-249``).
@@ -66,6 +79,8 @@ VMEM_X2_MAX_ROWS = 16384  # beyond this the operand stays in HBM (8 MB f32)
                           # and windows are DMA'd per chunk
 KIND_HUB = 0
 KIND_WINDOW = 1
+GN = 8                    # narrow-scatter group span (8 groups = 1024 recv)
+PK_BITS = 14              # low bits of the packed plane hold rcf
 
 
 def _round_up(x, m):
@@ -85,13 +100,13 @@ class Spmv2Plan:
     fill: float
     classes: tuple        # window class sizes (static, kernel branches)
     rows: int             # chunk sublanes (16 or 32)
+    has_narrow: bool      # any chunk uses the narrow (goff >= 0) scatter
     kindid: Any           # i32[nc]  0 = hub, 1+k = window class k
     blkid: Any            # i32[nc]  receiver block (nondecreasing)
     base: Any             # i32[nc]  X2 window base row (8-aligned)
-    ngran: Any            # i32[nc]  8-row granules to walk
-    idx: Any              # i32[nc,16,128] gather row index
-    val: Any              # f32[nc,16,128] edge values (pads 0)
-    rcf: Any              # i32[nc,16,128] receiver - blk*wr; pads = wr
+    goff: Any             # i32[nc]  narrow group offset (mult of 8) or -1
+    pk: Any               # i32[nc,rows,128] idx<<PK_BITS | rcf; pads = wr
+    val: Any              # f32[nc,rows,128] edge values (pads 0)
     got_static: Any       # bool[n_pad]
 
 
@@ -116,15 +131,30 @@ def _pack_lanes(cell, lane, n_cells, cap=ROWS):
     return chunk, row, cpc
 
 
+def _subslot(r_off, cell, nsub, sub_min):
+    """Per-edge receiver-subwindow slot in [0, nsub]: slot ``sw < nsub``
+    when that (cell, sw) queue holds >= sub_min edges (narrow scatter),
+    else the residual slot ``nsub`` (full-span scatter)."""
+    if nsub <= 1 or sub_min <= 0 or len(cell) == 0:
+        return np.full(len(cell), nsub, np.int64)
+    sw = r_off >> 10               # 1024 receivers = 8 groups per subwindow
+    key = cell * nsub + sw
+    cnt = np.bincount(key)
+    return np.where(cnt[key] >= sub_min, sw, nsub)
+
+
 def build_spmv2_plan(senders0: np.ndarray, receivers0: np.ndarray,
                      vals: np.ndarray, n: int, n_recv: int | None = None,
                      wr: int = 4096, hub: int = 2048,
                      windows=(160, 256, 1024, 2048),
-                     cell_min: int = 4000, rows: int = 32) -> Spmv2Plan:
+                     cell_min: int = 4000, rows: int = 32,
+                     sub_min: int = 0) -> Spmv2Plan:
     """Pack a 0-based COO edge list into the v2 chunked layout.
 
     ``rows=32`` ([32,128] chunks) amortizes per-chunk fixed cost and
-    improves lane balance: 4.2 vs 6.3 ms/iter on RMAT-20 (vs rows=16)."""
+    improves lane balance: 4.2 vs 6.3 ms/iter on RMAT-20 (vs rows=16).
+    ``sub_min``: minimum (cell, receiver-subwindow) queue size for the
+    narrow 8-group scatter; 0 disables splitting."""
     if n_recv is None:
         n_recv = n
     h = max(_round_up(_round_up(n, LANE) // LANE, LANE), LANE)
@@ -132,6 +162,8 @@ def build_spmv2_plan(senders0: np.ndarray, receivers0: np.ndarray,
     n_pad = max(_round_up(n_recv, wr), wr)
     nb = n_pad // wr
     e = len(senders0)
+    assert wr <= (1 << PK_BITS) - 1 + 1, "wr must fit the packed rcf field"
+    nsub = wr // (GN * LANE) if wr >= 2 * GN * LANE else 1
 
     s = np.asarray(senders0, np.int64)
     r = np.asarray(receivers0, np.int64)
@@ -139,12 +171,13 @@ def build_spmv2_plan(senders0: np.ndarray, receivers0: np.ndarray,
     hub = int(min(hub, 16 * LANE))   # hub table holds <= 16 x2 rows
 
     norm_windows = sorted({int(min(w, h)) for w in windows}) or [min(2048, h)]
+    assert max(norm_windows) <= 2048, "window class must fit packed idx"
     from ..native import load_planner
     lib = load_planner()
     if lib is not None and e > 0:
         return _build_plan2_native(
             lib, s, r, v, e, h, wr, nb, hub, norm_windows, cell_min,
-            n_pad, n_send_pad, receivers0, rows)
+            n_pad, n_send_pad, receivers0, rows, sub_min)
     rblk = r // wr
 
     # chunk groups collected as (kind, blk[], base[], ngran[], chunk, row,
@@ -186,11 +219,16 @@ def build_spmv2_plan(senders0: np.ndarray, receivers0: np.ndarray,
         idx_e = np.where(top, sh,
                          LANE + (sh >> 7) + np.where(rot, 16, 0)
                          ).astype(np.int32)
-        chunk, row, cpc = _pack_lanes(bh, lane, nb, rows)
+        sub = _subslot(rh - bh * wr, bh, nsub, sub_min)
+        ckey = bh * (nsub + 1) + sub
+        uc, ci = np.unique(ckey, return_inverse=True)
+        chunk, row, cpc = _pack_lanes(ci, lane, len(uc), rows)
         nc = int(cpc.sum())
-        blk_c = np.repeat(np.arange(nb), cpc)
+        blk_c = np.repeat(uc // (nsub + 1), cpc)
+        subv = uc % (nsub + 1)
+        goff_c = np.repeat(np.where(subv == nsub, -1, subv * GN), cpc)
         groups.append((KIND_HUB, blk_c, np.zeros(nc, np.int64),
-                       np.full(nc, HUB_GRANULES, np.int64), chunk, row,
+                       goff_c, chunk, row,
                        lane, idx_e, vh, (rh - bh * wr), nc))
 
     # ---------------- window chunks ----------------
@@ -216,18 +254,23 @@ def build_spmv2_plan(senders0: np.ndarray, receivers0: np.ndarray,
                               cell[take])
         o = np.argsort(ct, kind="stable")
         st, rt, vt, bt, ct = st[o], rt[o], vt[o], bt[o], ct[o]
-        uc, ci = np.unique(ct, return_inverse=True)
+        sub = _subslot(rt - bt * wr, ct, nsub, sub_min)
+        ckey = ct * (nsub + 1) + sub
+        uc2, ci = np.unique(ckey, return_inverse=True)
         lane = (st & (LANE - 1)).astype(np.int64)
-        chunk, row, cpc = _pack_lanes(ci, lane, len(uc), rows)
+        chunk, row, cpc = _pack_lanes(ci, lane, len(uc2), rows)
         nc = int(cpc.sum())
+        uc = uc2 // (nsub + 1)
+        subv = uc2 % (nsub + 1)
         cell_blk = uc // nwin
         # clamp the last window of the operand so base + W stays within h
         cell_base = np.minimum((uc % nwin) * W, h - W)
         blk_c = np.repeat(cell_blk, cpc)
         base_c = np.repeat(cell_base, cpc)
+        goff_c = np.repeat(np.where(subv == nsub, -1, subv * GN), cpc)
         idx_e = (st >> 7) - cell_base[ci]
         groups.append((1 + wi, blk_c, base_c,
-                       np.full(nc, W // 8, np.int64), chunk, row, lane,
+                       goff_c, chunk, row, lane,
                        idx_e.astype(np.int32), vt, (rt - bt * wr), nc))
         rem = rem & ~take
 
@@ -242,7 +285,7 @@ def build_spmv2_plan(senders0: np.ndarray, receivers0: np.ndarray,
     kindid = np.zeros(nc_all, np.int32)
     blkid = np.zeros(nc_all, np.int32)
     baseid = np.zeros(nc_all, np.int32)
-    ngran = np.zeros(nc_all, np.int32)
+    goff = np.full(nc_all, -1, np.int32)
     idx = np.zeros((nc_all, rows, LANE), np.int32)
     val = np.zeros((nc_all, rows, LANE), np.float32)
     rcf = np.full((nc_all, rows, LANE), wr, np.int32)
@@ -261,14 +304,14 @@ def build_spmv2_plan(senders0: np.ndarray, receivers0: np.ndarray,
 
     off = 0
     for gi, g in enumerate(groups):
-        (kind, blk_c, base_c, ng_c, chunk, row, lane, idx_e, val_e,
+        (kind, blk_c, base_c, goff_c, chunk, row, lane, idx_e, val_e,
          rc_e, nc) = g
         gc = rank[off + chunk]                      # global chunk ids
         gmeta = rank[off:off + nc]
         kindid[gmeta] = kind
         blkid[gmeta] = blk_c
         baseid[gmeta] = base_c
-        ngran[gmeta] = ng_c
+        goff[gmeta] = goff_c
         idx[gc, row, lane] = idx_e
         val[gc, row, lane] = val_e
         rcf[gc, row, lane] = rc_e
@@ -277,26 +320,27 @@ def build_spmv2_plan(senders0: np.ndarray, receivers0: np.ndarray,
         gmeta = rank[off:off + len(missing)]
         kindid[gmeta] = KIND_HUB
         blkid[gmeta] = missing
-        ngran[gmeta] = HUB_GRANULES
 
     assert (np.diff(blkid) >= 0).all()
     got = np.zeros(n_pad, bool)
     if e:
         got[np.unique(np.asarray(receivers0))] = True
 
+    pk = (idx << PK_BITS) | rcf
     return _maybe_validate(Spmv2Plan(
         n_pad=n_pad, n_send_pad=n_send_pad, h=h, wr=wr, nb=nb, nc=nc_all,
         hub=hub, nnz=e, fill=e / max(nc_all * rows * LANE, 1),
         classes=tuple(windows), rows=rows,
+        has_narrow=bool((goff >= 0).any()),
         kindid=jnp.asarray(kindid), blkid=jnp.asarray(blkid),
-        base=jnp.asarray(baseid), ngran=jnp.asarray(ngran),
-        idx=jnp.asarray(idx), val=jnp.asarray(val), rcf=jnp.asarray(rcf),
+        base=jnp.asarray(baseid), goff=jnp.asarray(goff),
+        pk=jnp.asarray(pk), val=jnp.asarray(val),
         got_static=jnp.asarray(got)))
 
 
 def _build_plan2_native(lib, s, r, v, e, h, wr, nb, hub, windows,
                         cell_min, n_pad, n_send_pad, receivers0,
-                        rows=ROWS):
+                        rows=ROWS, sub_min=2048):
     """C++/OpenMP v2 plan build (graphmat_tpu/native/planner.cpp)."""
     import ctypes
 
@@ -306,20 +350,18 @@ def _build_plan2_native(lib, s, r, v, e, h, wr, nb, hub, windows,
     wins = np.ascontiguousarray(windows, np.int32)
     nc_out = ctypes.c_int64()
     handle = lib.gm_plan2_create(sa, ra, va, e, h, wr, nb, hub, wins,
-                                 len(wins), cell_min, rows,
+                                 len(wins), cell_min, rows, sub_min,
                                  ctypes.byref(nc_out))
     nc = int(nc_out.value)
     try:
         kindid = np.empty(nc, np.int32)
         blkid = np.empty(nc, np.int32)
         base = np.empty(nc, np.int32)
-        ngran = np.empty(nc, np.int32)
-        idx = np.empty((nc, rows, LANE), np.int32)
+        goff = np.empty(nc, np.int32)
+        pk = np.empty((nc, rows, LANE), np.int32)
         val = np.empty((nc, rows, LANE), np.float32)
-        rcf = np.empty((nc, rows, LANE), np.int32)
-        lib.gm_plan2_fill(handle, kindid, blkid, base, ngran,
-                          idx.reshape(-1), val.reshape(-1),
-                          rcf.reshape(-1))
+        lib.gm_plan2_fill(handle, kindid, blkid, base, goff,
+                          pk.reshape(-1), val.reshape(-1))
     finally:
         lib.gm_plan2_destroy(handle)
 
@@ -329,9 +371,10 @@ def _build_plan2_native(lib, s, r, v, e, h, wr, nb, hub, windows,
         n_pad=n_pad, n_send_pad=n_send_pad, h=h, wr=wr, nb=nb, nc=nc,
         hub=hub, nnz=e, fill=e / max(nc * rows * LANE, 1),
         classes=tuple(int(w) for w in windows), rows=rows,
+        has_narrow=bool((goff >= 0).any()),
         kindid=jnp.asarray(kindid), blkid=jnp.asarray(blkid),
-        base=jnp.asarray(base), ngran=jnp.asarray(ngran),
-        idx=jnp.asarray(idx), val=jnp.asarray(val), rcf=jnp.asarray(rcf),
+        base=jnp.asarray(base), goff=jnp.asarray(goff),
+        pk=jnp.asarray(pk), val=jnp.asarray(val),
         got_static=jnp.asarray(got)))
 
 
@@ -353,17 +396,17 @@ def _split_bf16(x, n_splits):
 
 def _make_kernel(process: Callable, wr: int, h: int, n_splits: int,
                  classes, debug=None, x2_hbm=False, rows=ROWS,
-                 sparse=False):
+                 sparse=False, has_narrow=False):
     G = wr // LANE
     wmax = max(classes)
     chunk = rows * LANE
     ntiles = rows // 8
 
-    def kernel(kind_ref, blk_ref, base_ref, *rest):
+    def kernel(kind_ref, blk_ref, base_ref, goff_ref, *rest):
         if sparse:
             act_ref = rest[0]
             rest = rest[2:]   # rest[1] = eff_ref, used by index maps only
-        (idx_ref, val_ref, rcf_ref, x2_ref, xtop_ref, xrot_ref, y_ref,
+        (pk_ref, val_ref, x2_ref, xtop_ref, xrot_ref, y_ref,
          acc_ref, wscr_ref, *dma_sem) = rest
         i = pl.program_id(0)
         first = jnp.logical_or(
@@ -383,10 +426,10 @@ def _make_kernel(process: Callable, wr: int, h: int, n_splits: int,
                 dma0.wait()
 
         def compute():
-            subs = [idx_ref[0, 8 * t: 8 * t + 8, :] & 7
+            idxs = [pk_ref[0, 8 * t: 8 * t + 8, :] >> PK_BITS
                     for t in range(ntiles)]
-            gsels = [idx_ref[0, 8 * t: 8 * t + 8, :] >> 3
-                     for t in range(ntiles)]
+            subs = [ix & 7 for ix in idxs]
+            gsels = [ix >> 3 for ix in idxs]
 
             def gather_from(tbl_for_g, ngran):
                 """Statically unrolled granule walk (the dynamic-trip loop
@@ -459,24 +502,46 @@ def _make_kernel(process: Callable, wr: int, h: int, n_splits: int,
             pf = p.reshape(1, chunk)                      # [1, rows*128]
 
             # ---- factored scatter: one MXU matmul ----
-            rcf = rcf_ref[0].reshape(1, chunk)
+            rcf = pk_ref[0].reshape(1, chunk) & ((1 << PK_BITS) - 1)
             rcg = rcf >> 7
             rcl = rcf & (LANE - 1)
-            iota_g = jax.lax.broadcasted_iota(jnp.int32, (G, chunk), 0)
             iota_l = jax.lax.broadcasted_iota(jnp.int32, (LANE, chunk), 0)
             ohlo = (iota_l == rcl).astype(jnp.bfloat16)   # [128, 2048]
-            gm = iota_g == rcg                            # [G, 2048]
-            planes = [jnp.where(gm,
-                                jnp.broadcast_to(part.astype(jnp.float32),
-                                                 gm.shape), 0.0)
-                      for part in _split_bf16(pf, n_splits)]
-            P = jnp.concatenate(planes, axis=0).astype(jnp.bfloat16)
-            M = jax.lax.dot_general(P, ohlo, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            contrib = M[0:G]
-            for k in range(1, n_splits):
-                contrib = contrib + M[k * G:(k + 1) * G]
-            acc_ref[:] = acc_ref[:] + contrib             # [G, 128]
+            parts = _split_bf16(pf, n_splits)
+
+            def scatter_span(Gp, off):
+                """[splits*Gp, chunk] x [128, chunk] scatter into a Gp-group
+                window starting at group ``off`` (pads' rcg == G lands
+                outside every window since off <= G - Gp)."""
+                iota_g = jax.lax.broadcasted_iota(jnp.int32, (Gp, chunk), 0)
+                gm = iota_g == (rcg - off)
+                planes = [jnp.where(gm,
+                                    jnp.broadcast_to(
+                                        part.astype(jnp.float32), gm.shape),
+                                    0.0)
+                          for part in parts]
+                P = jnp.concatenate(planes, axis=0).astype(jnp.bfloat16)
+                M = jax.lax.dot_general(P, ohlo, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                contrib = M[0:Gp]
+                for k in range(1, n_splits):
+                    contrib = contrib + M[k * Gp:(k + 1) * Gp]
+                return contrib                            # [Gp, 128]
+
+            if has_narrow:
+                goff = goff_ref[i]
+
+                @pl.when(goff >= 0)
+                def _():
+                    off = pl.multiple_of(goff, GN)
+                    acc_ref[pl.ds(off, GN), :] = (
+                        acc_ref[pl.ds(off, GN), :] + scatter_span(GN, goff))
+
+                @pl.when(goff < 0)
+                def _():
+                    acc_ref[:] = acc_ref[:] + scatter_span(G, 0)
+            else:
+                acc_ref[:] = acc_ref[:] + scatter_span(G, 0)
 
         if sparse:
             # frontier-driven chunk skip — the TPU analog of the
@@ -534,8 +599,8 @@ def _spmv2_call(plan_arrays, plan_static, x, process, n_splits, interpret,
                 debug=None, x2_hbm=None, sent=None):
     h, wr, nb, nc, n_pad, classes = plan_static[:6]
     rows = plan_static[6] if len(plan_static) > 6 else ROWS
-    kindid, blkid, base, ngran, idx, val, rcf = plan_arrays
-    del ngran  # granule counts are static per window class
+    has_narrow = plan_static[7] if len(plan_static) > 7 else False
+    kindid, blkid, base, goff, pk, val = plan_arrays
     G = wr // LANE
     x2 = x.reshape(h, LANE)
     xtop = jnp.broadcast_to(x[:LANE, None], (LANE, LANE))
@@ -550,14 +615,14 @@ def _spmv2_call(plan_arrays, plan_static, x, process, n_splits, interpret,
     if x2_hbm is None:
         x2_hbm = h > VMEM_X2_MAX_ROWS and not interpret
     kernel = _make_kernel(process, wr, h, n_splits, classes, debug,
-                          x2_hbm, rows, sparse)
+                          x2_hbm, rows, sparse, has_narrow)
     wmax = max(classes) if classes else 8
     if sparse:
-        nmap = lambda i, kd, bk, bs, a, eff_: (eff_[i], 0, 0)
-        omap = lambda i, kd, bk, bs, a, eff_: (bk[i], 0, 0)
+        nmap = lambda i, kd, bk, bs, go, a, eff_: (eff_[i], 0, 0)
+        omap = lambda i, kd, bk, bs, go, a, eff_: (bk[i], 0, 0)
     else:
         nmap = lambda i, *_: (i, 0, 0)
-        omap = lambda i, kind, blk, bs: (blk[i], 0, 0)
+        omap = lambda i, kind, blk, bs, go: (blk[i], 0, 0)
     chunk_spec = pl.BlockSpec((1, rows, LANE), nmap,
                               memory_space=pltpu.VMEM)
     x2_spec = pl.BlockSpec(memory_space=(pltpu.ANY if x2_hbm
@@ -569,22 +634,22 @@ def _spmv2_call(plan_arrays, plan_static, x, process, n_splits, interpret,
     if x2_hbm:
         scratch.append(pltpu.SemaphoreType.DMA(()))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5 if sparse else 3,
+        num_scalar_prefetch=6 if sparse else 4,
         grid=(nc,),
-        in_specs=[chunk_spec, chunk_spec, chunk_spec, x2_spec,
+        in_specs=[chunk_spec, chunk_spec, x2_spec,
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, G, LANE), omap,
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
     )
-    operands = ((kindid, blkid, base, act, eff) if sparse
-                else (kindid, blkid, base))
+    operands = ((kindid, blkid, base, goff, act, eff) if sparse
+                else (kindid, blkid, base, goff))
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, G, LANE), jnp.float32),
         interpret=interpret,
-    )(*operands, idx, val, rcf, x2, xtop, xrot)
+    )(*operands, pk, val, x2, xtop, xrot)
     return out.reshape(nb * wr)[:n_pad]
 
 
@@ -622,10 +687,10 @@ def spmv2(plan: Spmv2Plan, x, reduce_kind: str = "sum",
     if x.shape[0] < plan.n_send_pad:
         x = jnp.pad(x, (0, plan.n_send_pad - x.shape[0]))
     x = x[: plan.n_send_pad].astype(jnp.float32)
-    plan_arrays = (plan.kindid, plan.blkid, plan.base, plan.ngran,
-                   plan.idx, plan.val, plan.rcf)
+    plan_arrays = (plan.kindid, plan.blkid, plan.base, plan.goff,
+                   plan.pk, plan.val)
     plan_static = (plan.h, plan.wr, plan.nb, plan.nc, plan.n_pad,
-                   plan.classes, plan.rows)
+                   plan.classes, plan.rows, plan.has_narrow)
     return _spmv2_call(plan_arrays, plan_static, x, process, n_splits,
                        interpret, sent=sent)
 

@@ -277,7 +277,7 @@ class DistGraph:
             return self._pallas_plans[key]
         if receiver not in self._host_tiles:
             raise ValueError(f"no host tiles for receiver={receiver}")
-        from ..ops.pallas_spmv2 import HUB_GRANULES, build_spmv2_plan
+        from ..ops.pallas_spmv2 import build_spmv2_plan
         R, C, S = self.R, self.C, self.S
         plans = [build_spmv2_plan(s, r, v, R * S, wr=wr, n_recv=C * S)
                  for (s, r, v) in self._host_tiles[receiver]]
@@ -285,7 +285,7 @@ class DistGraph:
         nb = plans[0].nb
         assert all(p.classes == plans[0].classes for p in plans)
 
-        def pad_stack(name, fill, pad_blk=False, pad_ngran=False):
+        def pad_stack(name, fill, pad_blk=False):
             outs = []
             for p in plans:
                 a = np.asarray(getattr(p, name))
@@ -294,8 +294,6 @@ class DistGraph:
                     padval = np.full((pad,) + a.shape[1:], fill, a.dtype)
                     if pad_blk:
                         padval[:] = nb - 1   # keep blkid nondecreasing
-                    if pad_ngran:
-                        padval[:] = HUB_GRANULES
                     a = np.concatenate([a, padval])
                 outs.append(a)
             return np.stack(outs)
@@ -306,15 +304,15 @@ class DistGraph:
             jax.device_put(pad_stack("kindid", 0), sh),
             jax.device_put(pad_stack("blkid", 0, pad_blk=True), sh),
             jax.device_put(pad_stack("base", 0), sh),
-            jax.device_put(pad_stack("ngran", 0, pad_ngran=True), sh),
-            jax.device_put(pad_stack("idx", 0), sh),
+            jax.device_put(pad_stack("goff", -1), sh),
+            jax.device_put(pad_stack("pk", wr_eff), sh),  # pad slot: idx 0
             jax.device_put(pad_stack("val", 0), sh),
-            jax.device_put(pad_stack("rcf", wr_eff), sh),
         )
         got = np.stack([np.asarray(p.got_static) for p in plans])
         got_d = jax.device_put(got, sh)
         static = (plans[0].h, wr_eff, nb, nc_max, plans[0].n_pad,
-                  plans[0].classes, plans[0].rows)
+                  plans[0].classes, plans[0].rows,
+                  any(p.has_narrow for p in plans))
         self._pallas_plans[key] = (arrays, static, got_d,
                                    plans[0].n_send_pad)
         return self._pallas_plans[key]

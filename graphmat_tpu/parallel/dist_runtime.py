@@ -458,8 +458,8 @@ class DistEngine:
                 jnp.int32(max_iterations))
         g.vp = vp
         g.active = active
-        self.final_state = jax.device_get(state)
-        return int(it)
+        it_val, self.final_state = jax.device_get((it, state))
+        return int(it_val)
 
 
 def run_graph_program_dist(program: GraphProgram, graph: DistGraph,

@@ -23,7 +23,7 @@ def debug_enabled() -> bool:
     return os.environ.get("GRAPHMAT_DEBUG", "0") not in ("", "0", "false")
 
 
-def _basic(plan, idx_hi_limit):
+def _basic(plan, rcf):
     blk = np.asarray(plan.blkid)
     assert (np.diff(blk) >= 0).all(), "blkid must be nondecreasing"
     assert set(range(plan.nb)) <= set(blk.tolist()) or plan.nb == len(
@@ -31,7 +31,6 @@ def _basic(plan, idx_hi_limit):
     base = np.asarray(plan.base)
     assert (base % 8 == 0).all(), "window bases must be 8-aligned"
     assert base.min() >= 0 and base.max() <= plan.h, "base out of range"
-    rcf = np.asarray(plan.rcf)
     assert rcf.min() >= 0 and rcf.max() <= plan.wr, "rcf out of range"
     kind = np.asarray(plan.kindid)
     assert kind.min() >= 0, "negative kind"
@@ -39,18 +38,32 @@ def _basic(plan, idx_hi_limit):
 
 def validate_plan2(plan) -> None:
     """Invariants of the scalar sum plan (``build_spmv2_plan``)."""
-    _basic(plan, plan.h)
-    idx = np.asarray(plan.idx)
+    from ..ops.pallas_spmv2 import GN, PK_BITS
+    pk = np.asarray(plan.pk)
+    rcf = pk & ((1 << PK_BITS) - 1)
+    _basic(plan, rcf)
+    idx = pk >> PK_BITS
     assert idx.min() >= 0, "negative gather index"
     # real-edge count == nnz (pads have rcf == wr)
-    real = (np.asarray(plan.rcf) < plan.wr).sum()
+    real = (rcf < plan.wr).sum()
     assert real == plan.nnz, f"slot conservation {real} != {plan.nnz}"
+    # narrow chunks: every real slot's receiver group inside [goff, goff+GN)
+    goff = np.asarray(plan.goff)
+    assert ((goff == -1) | (goff % GN == 0)).all(), "goff must be -1 or 8k"
+    assert goff.max() <= plan.wr // 128 - GN, "goff window leaves the block"
+    narrow = goff >= 0
+    if narrow.any():
+        rcg = rcf[narrow] >> 7
+        off = goff[narrow][:, None, None]
+        ok = (rcf[narrow] == plan.wr) | ((rcg >= off) & (rcg < off + GN))
+        assert ok.all(), "narrow chunk slot outside its group window"
+    assert plan.has_narrow == bool(narrow.any()), "has_narrow mismatch"
 
 
 def validate_plan2m(plan) -> None:
     """Invariants of the min/max (colored) plan, incl. per-row sender-lane
     injectivity that the routed gather depends on."""
-    _basic(plan, plan.h)
+    _basic(plan, np.asarray(plan.rcf))
     real = (np.asarray(plan.rcf) < plan.wr).sum()
     assert real == plan.nnz, f"slot conservation {real} != {plan.nnz}"
 

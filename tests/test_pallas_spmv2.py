@@ -162,7 +162,37 @@ def test_spmv2_rows32_matches_oracle():
     v = rng.standard_normal(e).astype(np.float32)
     plan = build_spmv2_plan(s, r, v, n, wr=512, windows=(16, 64),
                             cell_min=64, rows=32)
-    assert plan.rows == 32 and plan.idx.shape[1] == 32
+    assert plan.rows == 32 and plan.pk.shape[1] == 32
+    x = rng.standard_normal(n).astype(np.float32)
+    xp = np.zeros(plan.n_send_pad, np.float32)
+    xp[:n] = x
+    y = np.asarray(spmv2(plan, jnp.asarray(xp), "sum",
+                         process=lambda xv, ev: xv * ev, interpret=True))
+    ref = sp.csr_matrix((v, (r, s)), shape=(n, n)) @ x.astype(np.float64)
+    assert np.allclose(y[:n], ref, rtol=2e-6, atol=1e-5)
+
+
+@pytest.mark.parametrize("native", [False, None], ids=["numpy", "native"])
+def test_spmv2_narrow_scatter_matches_oracle(native, monkeypatch):
+    """Receiver-subwindow splitting: dense cells get narrow (goff >= 0)
+    chunks spanning 8 receiver groups; result must match the oracle and
+    the plan invariants (GRAPHMAT_DEBUG validation)."""
+    from graphmat_tpu.native import native_available
+    if native is None and not native_available():
+        pytest.skip("no native planner")
+    monkeypatch.setenv("GRAPHMAT_DEBUG", "1")
+    rng = np.random.default_rng(21)
+    n, e = 6000, 120000
+    s, r, v = _rand_graph(rng, n, e)
+    import graphmat_tpu.native as gmn
+    if native is False:
+        monkeypatch.setattr(gmn, "_lib", None)
+        monkeypatch.setattr(gmn, "_tried", True)
+    # wr=2048 -> G=16, nsub=2; tiny sub_min forces many narrow queues
+    plan = build_spmv2_plan(s, r, v, n, wr=2048, hub=512,
+                            windows=(16, 64), cell_min=64, sub_min=64)
+    goff = np.asarray(plan.goff)
+    assert plan.has_narrow and (goff >= 0).any()
     x = rng.standard_normal(n).astype(np.float32)
     xp = np.zeros(plan.n_send_pad, np.float32)
     xp[:n] = x
