@@ -162,7 +162,7 @@ class Engine:
                 for recv, p in self._plans.items()}
         elif self.pallas_version == 2:
             self._plan_args = {
-                recv: ((p.kindid, p.blkid, p.base, p.goff, p.pk, p.val),
+                recv: ((p.kindid, p.blkid, p.base, p.pk, p.val),
                        p.got_static)
                 for recv, p in self._plans.items()}
         else:
@@ -280,8 +280,7 @@ class Engine:
             plan_arrays, got_static = plans[recv]
             if v2:
                 plan_static = (plan.h, plan.wr, plan.nb, plan.nc,
-                               plan.n_pad, plan.classes, plan.rows,
-                               getattr(plan, "has_narrow", False))
+                               plan.n_pad, plan.classes, plan.rows)
             else:
                 plan_static = (plan.nc, plan.nb, plan.wr, plan.h,
                                plan.n_pad, plan.row_e, plan.win)

@@ -220,38 +220,99 @@ int gm_omp_threads() {
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
-// v2 plan builder — C++ counterpart of pallas_spmv2.py::build_spmv2_plan.
-// Lane-binned [rows,128] chunks, hub stream + aligned sender-window classes,
-// receiver-subwindow splitting for the narrow (8-group) scatter, packed
-// pk = idx << 13 | rcf output plane.
-// No explicit edge sort: per-(cell,lane) counters replicate the python
-// packer's stable order (original edge order within each cell).
+// v2r plan builder — C++ counterpart of pallas_spmv2.py::build_spmv2_plan.
+// Routed [rows,128] chunks: per row each sender registers its gather index
+// at its own lane (<=1 sender per (row, lane)); slots are lane-free and
+// carry the routing lane, so chunks pack to near-perfect fill regardless
+// of sender-lane skew.  Output plane pk = hi2 << 21 | slo << 14 | rcf.
 // ---------------------------------------------------------------------------
 
 namespace {
 
-constexpr int kRows2 = 16;        // chunk sublanes
-constexpr int kHubGran = 20;
-constexpr int kPkBits = 14;       // low bits of pk hold rcf
-constexpr int kGN = 8;            // narrow-scatter group span
+constexpr int kRows2 = 16;        // chunk sublanes (default; caller passes)
+constexpr int kHubGran = 20;      // mm layout's hub granule count
+constexpr int kRcfBits = 14;      // pk bits [0,14) receiver offset
+constexpr int kSloShift = kRcfBits;
 
 struct Plan2 {
   int64_t e = 0;
   int32_t h = 0, wr = 0, nb = 0, hub = 0, rows = kRows2;
   std::vector<int32_t> windows;   // ascending, clamped to h
-  // per edge
-  std::vector<int32_t> cellid;    // FINAL cell index
-  std::vector<int8_t> lane;       // chunk lane (sender lane / hub RR)
-  std::vector<int32_t> gidx;      // gather row index
-  // edges bucketed by final cell (stable) for the parallel fill
-  std::vector<int64_t> edge_order, cell_edge_start;
+  // per edge (in cell-bucketed, sender-sorted order = edge_order)
+  std::vector<int64_t> edge_order;
+  std::vector<int32_t> edge_row;  // row index within the edge's cell
+  std::vector<int32_t> gidx;      // gather row index (registration value)
+  std::vector<int64_t> cell_edge_start;
   // per final cell (in chunk order)
   std::vector<int64_t> cell_chunk_base;  // prefix over cells
-  std::vector<int32_t> cell_kind, cell_blk, cell_base, cell_goff;
+  std::vector<int64_t> cell_nrows;
+  std::vector<int32_t> cell_kind, cell_blk, cell_base;
   int64_t nc = 0;
   const int32_t* s = nullptr;     // borrowed views (numpy keeps them alive
   const int32_t* r = nullptr;     //  across create/fill on the python side)
   const float* v = nullptr;
+};
+
+// Routed row packer for one cell.  Edges arrive sender-sorted (eo points
+// into the global edge arrays).  Emits edge_row (row within cell) and the
+// cell's row count.  Greedy: senders in descending degree; per-lane stacks
+// of candidate rows (row not full + lane unregistered).
+struct RoutedPacker {
+  std::vector<std::array<uint64_t, 2>> reg;   // per-row lane bitmap
+  std::vector<int32_t> nslots;                // per-row slot fill
+  std::vector<int32_t> cand[kLane];           // per-lane candidate rows
+  std::vector<int64_t> gstart;                // sender-group starts
+  std::vector<int64_t> gord;                  // groups by descending size
+
+  int64_t pack(const int64_t* eo, int64_t m, const int32_t* senders,
+               int32_t* edge_row_out) {
+    reg.clear(); nslots.clear();
+    for (int l = 0; l < kLane; ++l) cand[l].clear();
+    gstart.clear();
+    gstart.push_back(0);
+    for (int64_t j = 1; j < m; ++j)
+      if (senders[eo[j]] != senders[eo[j - 1]]) gstart.push_back(j);
+    gstart.push_back(m);
+    const int64_t ng = (int64_t)gstart.size() - 1;
+    gord.resize(ng);
+    for (int64_t g = 0; g < ng; ++g) gord[g] = g;
+    std::stable_sort(gord.begin(), gord.end(),
+                     [&](int64_t a, int64_t b) {
+                       return gstart[a + 1] - gstart[a]
+                              > gstart[b + 1] - gstart[b];
+                     });
+    for (int64_t gi = 0; gi < ng; ++gi) {
+      const int64_t g = gord[gi];
+      int64_t ptr = gstart[g];
+      const int64_t end = gstart[g + 1];
+      const int L = senders[eo[ptr]] & (kLane - 1);
+      while (ptr < end) {
+        int32_t row = -1;
+        auto& st = cand[L];
+        while (!st.empty()) {
+          const int32_t cr = st.back();
+          if (nslots[cr] >= kLane
+              || (reg[cr][L >> 6] >> (L & 63)) & 1) {
+            st.pop_back();
+            continue;
+          }
+          row = cr;
+          break;
+        }
+        if (row < 0) {
+          row = (int32_t)reg.size();
+          reg.push_back({0, 0});
+          nslots.push_back(0);
+          for (int l = 0; l < kLane; ++l) cand[l].push_back(row);
+        }
+        reg[row][L >> 6] |= 1ull << (L & 63);
+        int64_t take = std::min<int64_t>(end - ptr, kLane - nslots[row]);
+        nslots[row] += (int32_t)take;
+        while (take--) edge_row_out[ptr++] = row;
+      }
+    }
+    return (int64_t)reg.size();
+  }
 };
 
 }  // namespace
@@ -262,7 +323,7 @@ void* gm_plan2_create(const int32_t* senders, const int32_t* receivers,
                       const float* vals, int64_t e, int32_t h, int32_t wr,
                       int32_t nb, int32_t hub, const int32_t* windows,
                       int32_t nw, int64_t cell_min, int32_t rows,
-                      int64_t sub_min, int64_t* nc_out) {
+                      int64_t* nc_out) {
   auto* p = new Plan2();
   p->e = e; p->h = h; p->wr = wr; p->nb = nb; p->hub = hub;
   p->rows = rows;
@@ -280,14 +341,16 @@ void* gm_plan2_create(const int32_t* senders, const int32_t* receivers,
   const int64_t hub_cells = nb;
   const int64_t raw_cells = hub_cells + class_cells_ofs[K];
 
-  // ---- classify edges into (kind, raw cell) -------------------------------
+  // ---- classify edges into (kind, raw cell); gidx per edge ---------------
   std::vector<int32_t> kind(e, -1);
   std::vector<int64_t> rawcell(e);
+  p->gidx.resize(e);
 #pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < e; ++i) {
     if (senders[i] < hub) {
       kind[i] = 0;
       rawcell[i] = receivers[i] / wr;
+      p->gidx[i] = senders[i] >> 7;
     }
   }
   std::vector<int64_t> cellcnt;
@@ -307,88 +370,22 @@ void* gm_plan2_create(const int32_t* senders, const int32_t* receivers,
       if (last || cellcnt[c] >= cell_min) {
         kind[i] = 1 + k;
         rawcell[i] = hub_cells + class_cells_ofs[k] + c;
+        int32_t base = (int32_t)((c % nwin[k]) * W);
+        if (base > h - W) base = h - W;
+        p->gidx[i] = (senders[i] >> 7) - base;
       }
     }
   }
 
-  // ---- receiver-subwindow counts (narrow-scatter decision) ----------------
-  // subwindow = 1024 receivers = kGN groups; a (cell, sw) queue goes narrow
-  // when it holds >= sub_min edges
-  const int nsub = (sub_min > 0 && wr >= 2 * kGN * kLane)
-                   ? wr / (kGN * kLane) : 1;
-  std::vector<int32_t> subcnt;
-  if (nsub > 1) {
-    subcnt.assign((size_t)raw_cells * nsub, 0);
-    for (int64_t i = 0; i < e; ++i)
-      subcnt[rawcell[i] * nsub + ((receivers[i] % wr) >> 10)]++;
-  }
-
-  // ---- lane assignment + dense (rawcell, sub) cell discovery --------------
-  // dense ids assigned on first use; lane balance counters are per dense
-  // cell (per queue), which also balances the split queues
-  std::vector<int32_t> densemap((size_t)raw_cells * (nsub + 1), -1);
-  std::vector<int64_t> dense_raw;
-  std::vector<int32_t> dense_sub;      // -1 = residual/full span
-  std::vector<int32_t> lanecnt;        // [ndense * kLane]
-  std::vector<int32_t> toprr;          // hub top-sender RR, per dense cell
-  std::vector<int32_t> paircnt;        // mid-hub 2-choice, [ndense * 64]
-  std::vector<int32_t> prov(e);
-  p->lane.resize(e);
-  p->gidx.resize(e);
-  for (int64_t i = 0; i < e; ++i) {
-    const int32_t sv = senders[i];
-    const int64_t rc = rawcell[i];
-    int sub = nsub;
-    if (nsub > 1) {
-      const int sw = (receivers[i] % wr) >> 10;
-      if (subcnt[rc * nsub + sw] >= sub_min) sub = sw;
-    }
-    int32_t& d = densemap[rc * (nsub + 1) + sub];
-    if (d < 0) {
-      d = (int32_t)dense_raw.size();
-      dense_raw.push_back(rc);
-      dense_sub.push_back(sub == nsub ? -1 : sub);
-      lanecnt.insert(lanecnt.end(), kLane, 0);
-      toprr.push_back(0);
-      paircnt.insert(paircnt.end(), 64, 0);
-    }
-    prov[i] = d;
-    int lane;
-    if (kind[i] == 0 && sv < kLane) {
-      lane = toprr[d]++ & (kLane - 1);
-      p->gidx[i] = sv;
-    } else if (kind[i] == 0) {
-      lane = sv & (kLane - 1);
-      const int odd = paircnt[(int64_t)d * 64 + (lane & 63)]++ & 1;
-      if (odd) {
-        lane ^= 64;
-        p->gidx[i] = kLane + 16 + (sv >> 7);
-      } else {
-        p->gidx[i] = kLane + (sv >> 7);
-      }
-    } else {
-      lane = sv & (kLane - 1);
-      const int k = kind[i] - 1;
-      const int32_t W = p->windows[k];
-      const int64_t c = rc - hub_cells - class_cells_ofs[k];
-      int32_t base = (int32_t)(c % nwin[k]) * W;
-      if (base > h - W) base = h - W;
-      p->gidx[i] = (sv >> 7) - base;
-    }
-    p->lane[i] = (int8_t)lane;
-    lanecnt[(int64_t)d * kLane + lane]++;
-  }
-
-  // dense cells ordered by (blk, kind, win, sub)
-  struct Cell { int32_t prov, blk, kind, win, sub; };
+  // ---- active cells, ordered by (blk, kind, win) --------------------------
+  std::vector<int64_t> rawcnt(raw_cells, 0);
+  for (int64_t i = 0; i < e; ++i) rawcnt[rawcell[i]]++;
+  struct Cell { int64_t raw; int32_t blk, kind, win; };
   std::vector<Cell> cells;
-  const int64_t ndense = (int64_t)dense_raw.size();
-  cells.reserve(ndense);
-  for (int64_t d = 0; d < ndense; ++d) {
-    const int64_t rc = dense_raw[d];
+  for (int64_t rc = 0; rc < raw_cells; ++rc) {
+    if (!rawcnt[rc]) continue;
     Cell cl;
-    cl.prov = (int32_t)d;
-    cl.sub = dense_sub[d];
+    cl.raw = rc;
     if (rc < hub_cells) {
       cl.blk = (int32_t)rc; cl.kind = 0; cl.win = 0;
     } else {
@@ -405,51 +402,77 @@ void* gm_plan2_create(const int32_t* senders, const int32_t* receivers,
                    [](const Cell& a, const Cell& b) {
                      if (a.blk != b.blk) return a.blk < b.blk;
                      if (a.kind != b.kind) return a.kind < b.kind;
-                     if (a.win != b.win) return a.win < b.win;
-                     return a.sub < b.sub;
+                     return a.win < b.win;
                    });
 
-  // empty-block coverage: append one empty hub chunk per uncovered block
+  // empty-block coverage: one empty hub cell per uncovered block
   std::vector<char> covered(nb, 0);
   for (const Cell& cl : cells) covered[cl.blk] = 1;
-
-  std::vector<int64_t> prov_to_final(ndense, -1);
-  p->cell_chunk_base.assign(cells.size() + (size_t)nb + 1, 0);
-  int64_t nc = 0;
-  size_t ci = 0;
   std::vector<Cell> final_cells;
+  std::vector<int64_t> raw_to_cell(raw_cells, -1);
+  size_t ci = 0;
   for (int32_t b = 0; b < nb; ++b) {
     if (!covered[b]) {
-      Cell cl; cl.prov = -1; cl.blk = b; cl.kind = 0; cl.win = 0;
-      cl.sub = -1;
+      Cell cl; cl.raw = -1; cl.blk = b; cl.kind = 0; cl.win = 0;
       final_cells.push_back(cl);
-      p->cell_chunk_base[final_cells.size() - 1] = nc;
-      nc += 1;
     }
     while (ci < cells.size() && cells[ci].blk == b) {
-      const Cell& cl = cells[ci];
-      final_cells.push_back(cl);
-      p->cell_chunk_base[final_cells.size() - 1] = nc;
-      prov_to_final[cl.prov] = (int64_t)final_cells.size() - 1;
-      int32_t mx = 0;
-      const int32_t* lc = &lanecnt[(int64_t)cl.prov * kLane];
-      for (int l = 0; l < kLane; ++l) mx = std::max(mx, lc[l]);
-      nc += (mx + p->rows - 1) / p->rows;
+      raw_to_cell[cells[ci].raw] = (int64_t)final_cells.size();
+      final_cells.push_back(cells[ci]);
       ++ci;
     }
   }
-  p->cell_chunk_base[final_cells.size()] = nc;
-  p->nc = nc;
-
-  // per-cell metadata in final order
   const size_t nfc = final_cells.size();
+
+  // ---- bucket edges by final cell (stable), then sender-sort per cell ----
+  std::vector<int32_t> cellid(e);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < e; ++i)
+    cellid[i] = (int32_t)raw_to_cell[rawcell[i]];
+  p->cell_edge_start.assign(nfc + 2, 0);
+  for (int64_t i = 0; i < e; ++i) p->cell_edge_start[cellid[i] + 2]++;
+  for (size_t q = 2; q < p->cell_edge_start.size(); ++q)
+    p->cell_edge_start[q] += p->cell_edge_start[q - 1];
+  p->edge_order.resize(e);
+  for (int64_t i = 0; i < e; ++i)
+    p->edge_order[p->cell_edge_start[cellid[i] + 1]++] = i;
+  p->cell_edge_start.pop_back();
+
+  // ---- routed packing per cell (parallel; disjoint ranges) ---------------
+  p->edge_row.resize(e);
+  p->cell_nrows.assign(nfc, 0);
+#pragma omp parallel
+  {
+    RoutedPacker packer;
+    std::vector<int64_t> scratch;
+#pragma omp for schedule(dynamic, 8)
+    for (int64_t q = 0; q < (int64_t)nfc; ++q) {
+      const int64_t lo = p->cell_edge_start[q];
+      const int64_t m = p->cell_edge_start[q + 1] - lo;
+      if (!m) continue;
+      int64_t* eo = &p->edge_order[lo];
+      // stable sender sort (senders within a cell; counting over map is
+      // overkill — comparison sort is fine at cell sizes)
+      std::stable_sort(eo, eo + m, [&](int64_t a, int64_t b) {
+        return senders[a] < senders[b];
+      });
+      p->cell_nrows[q] = packer.pack(eo, m, senders, &p->edge_row[lo]);
+    }
+  }
+
+  // ---- chunk bases ---------------------------------------------------------
+  p->cell_chunk_base.assign(nfc + 1, 0);
   p->cell_kind.resize(nfc); p->cell_blk.resize(nfc);
-  p->cell_base.resize(nfc); p->cell_goff.resize(nfc);
+  p->cell_base.resize(nfc);
+  int64_t nc = 0;
   for (size_t q = 0; q < nfc; ++q) {
     const Cell& cl = final_cells[q];
+    p->cell_chunk_base[q] = nc;
+    int64_t nch = (p->cell_nrows[q] + p->rows - 1) / p->rows;
+    if (!nch) nch = 1;               // empty coverage cell: one pad chunk
+    nc += nch;
     p->cell_kind[q] = cl.kind;
     p->cell_blk[q] = cl.blk;
-    p->cell_goff[q] = cl.sub < 0 ? -1 : cl.sub * kGN;
     if (cl.kind == 0) {
       p->cell_base[q] = 0;
     } else {
@@ -459,41 +482,25 @@ void* gm_plan2_create(const int32_t* senders, const int32_t* receivers,
       p->cell_base[q] = base;
     }
   }
-
-  // per-edge final cell index
-  p->cellid.resize(e);
-#pragma omp parallel for schedule(static)
-  for (int64_t i = 0; i < e; ++i)
-    p->cellid[i] = (int32_t)prov_to_final[prov[i]];
-
-  // stable counting sort of edge indices by final cell, so the fill can
-  // run parallel over cells (disjoint chunk ranges)
-  p->cell_edge_start.assign(nfc + 2, 0);
-  for (int64_t i = 0; i < e; ++i) p->cell_edge_start[p->cellid[i] + 2]++;
-  for (size_t q = 2; q < p->cell_edge_start.size(); ++q)
-    p->cell_edge_start[q] += p->cell_edge_start[q - 1];
-  p->edge_order.resize(e);
-  for (int64_t i = 0; i < e; ++i)
-    p->edge_order[p->cell_edge_start[p->cellid[i] + 1]++] = i;
-  p->cell_edge_start.pop_back();
-
-  p->cell_chunk_base.resize(nfc + 1);
+  p->cell_chunk_base[nfc] = nc;
+  p->nc = nc;
   *nc_out = nc;
   return p;
 }
 
 void gm_plan2_fill(void* handle, int32_t* kindid, int32_t* blkid,
-                   int32_t* baseid, int32_t* goff, int32_t* pk,
-                   float* val) {
+                   int32_t* baseid, int32_t* pk, float* val) {
   auto* p = static_cast<Plan2*>(handle);
   const int64_t nc = p->nc;
   const int64_t chunk_elems = (int64_t)p->rows * kLane;
   const size_t nfc = p->cell_kind.size();
+  const uint32_t wru = (uint32_t)p->wr;
 
 #pragma omp parallel for schedule(static)
   for (int64_t c = 0; c < nc; ++c) {
     int32_t* pkc = pk + c * chunk_elems;
-    for (int64_t t = 0; t < chunk_elems; ++t) pkc[t] = p->wr;  // pad slots
+    for (int64_t t = 0; t < chunk_elems; ++t)
+      pkc[t] = (int32_t)wru;           // pad: hi2 0, slo 0, rcf sentinel
     std::memset(val + c * chunk_elems, 0, chunk_elems * sizeof(float));
   }
 #pragma omp parallel for schedule(static)
@@ -503,26 +510,39 @@ void gm_plan2_fill(void* handle, int32_t* kindid, int32_t* blkid,
       kindid[c] = p->cell_kind[q];
       blkid[c] = p->cell_blk[q];
       baseid[c] = p->cell_base[q];
-      goff[c] = p->cell_goff[q];
     }
   }
-  // replay edges per cell (parallel; cells own disjoint chunk ranges);
-  // per-(cell,lane) counters give the same placement as the python
-  // packer's stable sort
-#pragma omp parallel for schedule(dynamic, 16)
-  for (int64_t q = 0; q < (int64_t)nfc; ++q) {
-    int32_t cnt[kLane] = {0};
-    const int64_t wrblk = (int64_t)p->cell_blk[q] * p->wr;
-    for (int64_t j = p->cell_edge_start[q]; j < p->cell_edge_start[q + 1];
-         ++j) {
-      const int64_t i = p->edge_order[j];
-      const int lane = (int)p->lane[i];
-      const int32_t k = cnt[lane]++;
-      const int64_t chunk = p->cell_chunk_base[q] + k / p->rows;
-      const int64_t slot = chunk * chunk_elems
-                           + (int64_t)(k % p->rows) * kLane + lane;
-      pk[slot] = (p->gidx[i] << kPkBits) | (int32_t)(p->r[i] - wrblk);
-      val[slot] = p->v[i];
+  // replay edges per cell: slot fill per row + registration OR (idempotent
+  // — same gidx bits for every edge of the sender in that row)
+#pragma omp parallel
+  {
+    std::vector<int32_t> rowfill;
+#pragma omp for schedule(dynamic, 8)
+    for (int64_t q = 0; q < (int64_t)nfc; ++q) {
+      const int64_t lo = p->cell_edge_start[q];
+      const int64_t m = p->cell_edge_start[q + 1] - lo;
+      if (!m) continue;
+      rowfill.assign(p->cell_nrows[q], 0);
+      const int64_t wrblk = (int64_t)p->cell_blk[q] * p->wr;
+      const int64_t cbase = p->cell_chunk_base[q];
+      for (int64_t j = lo; j < lo + m; ++j) {
+        const int64_t i = p->edge_order[j];
+        const int32_t row = p->edge_row[j];
+        const int32_t slot = rowfill[row]++;
+        const int L = p->s[i] & (kLane - 1);
+        const int64_t chunk = cbase + row / p->rows;
+        const int64_t rbase = chunk * chunk_elems
+                              + (int64_t)(row % p->rows) * kLane;
+        // slot word: keep hi2 bits, set slo + rcf
+        uint32_t w = (uint32_t)pk[rbase + slot];
+        w = (w & 0xFFE00000u) | ((uint32_t)L << kSloShift)
+            | (uint32_t)(p->r[i] - wrblk);
+        pk[rbase + slot] = (int32_t)w;
+        val[rbase + slot] = p->v[i];
+        // registration word at (row, L): OR the gather index
+        pk[rbase + L] = (int32_t)((uint32_t)pk[rbase + L]
+                                  | ((uint32_t)p->gidx[i] << 21));
+      }
     }
   }
 }

@@ -5,56 +5,54 @@ Replaces the v1 one-hot-matmul gather (``pallas_spmv.py``), whose cost was
 scale.  v2 re-expresses the gather as a *cross-sublane dynamic gather*
 (``take_along_axis`` over 8-row granules of the lane-tiled operand
 ``X2[h, l] = x[h*128 + l]``, an exact-f32 VPU op) and moves all remaining
-MXU work into one factored scatter matmul per 2048-edge chunk.
+MXU work into one factored scatter matmul per chunk.
 
-Plan layout (host-built, once per graph):
+Plan layout (host-built, once per graph; the "v2r" routed revision):
 
-* Edges are sorted by (receiver-block of width ``wr``, sender) and placed
-  into 2048-slot chunks shaped ``[16, 128]`` where **each edge sits in the
-  lane of its sender** (``s & 127``) — the reference's COOSIMD32
-  conflict-free 32-bin reordering (``COOSIMD32Tile.h:235-318``) transposed
-  onto vector lanes.  The gather then needs no lane extraction:
-  ``take_along_axis(granule, row_idx, axis=0)`` fetches each edge's sender
-  value exactly, in f32.
+* Edges are grouped by (receiver block of width ``wr``, sender-window
+  cell) and packed into ``[rows, 128]`` chunks of ``rows*128`` slots.
+  Within each chunk row a sender *registers* its gather index at its own
+  lane (``s & 127``) — at most one sender per (row, lane) — and each edge
+  slot carries ``slo``, the lane its sender registered at.  The kernel
+  gathers ``q[i, l] = window[hi2[i, l], l]`` (cross-sublane
+  ``take_along_axis``, the reference's COOSIMD32 conflict-free binning
+  ``COOSIMD32Tile.h:235-318`` transposed onto vector lanes) and routes
+  ``xv[i, l'] = q[i, slo[i, l']]`` with one more ``take_along_axis``.
+  Routing frees the slot lane entirely: chunks pack to near-perfect fill
+  regardless of sender-lane skew (the earlier lane-bound layout lost 24%
+  of its slots to lane imbalance on RMAT-20), at the cost of one extra
+  VPU gather per 8-row tile.
 
-* **Hub chunks**: senders below ``hub`` (default 2048) gather from a static
-  table.  The top 128 senders are replicated across *all* lanes
-  (``xtop[m, j] = x[m]``) so the planner may put a hub edge in any lane —
-  hub degrees would otherwise pile thousands of edges onto one lane and
-  destroy chunk fill.
+* **Hub chunks**: senders below ``hub`` (<= 2048, i.e. 16 X2 rows) gather
+  straight from the head of X2 — 2 granules instead of the lane-bound
+  layout's 20-granule replicated-table walk.
 
 * **Window chunks**: remaining edges get the smallest aligned sender
   window (class sizes ``windows``, in 128-sender X2 rows) whose
   (block, window) cell holds enough edges to fill chunks; sparse cells
-  escalate to coarser classes, the coarsest being the full operand.  The
-  kernel walks ``ngran[i]`` 8-row granules from ``base[i]`` with dynamic
-  slices of X2 — no window copy, no MXU participation.
+  escalate to coarser classes.  The kernel copies the window into VMEM
+  scratch once per cell (``same_win`` revisit skip) and walks its 8-row
+  granules statically.
 
-* **Scatter (⊕ = sum)**: per chunk, products are reshaped to ``[1, 2048]``,
-  split exactly into ``n_splits`` bf16 planes, masked into ``wr/128``
-  receiver groups, and contracted against a 128-wide lane one-hot in a
-  single ``[splits*G, 2048] x [128, 2048]`` MXU matmul.  Padded slots carry
-  receiver sentinel ``wr``, which matches no group — no mask stream.
+* **Scatter (⊕ = sum)**: per chunk, products are reshaped to
+  ``[1, rows*128]``, split exactly into ``n_splits`` bf16 planes, masked
+  into ``wr/128`` receiver groups, and contracted against a 128-wide lane
+  one-hot in a single ``[splits*G, rows*128] x [128, rows*128]`` MXU
+  matmul.  Padded slots carry receiver sentinel ``wr``, which matches no
+  group — no mask stream.  (A "narrow scatter" that shrank G per chunk
+  was measured unprofitable: M <= 128 already fits one MXU output tile —
+  see PERF.md.)
 
-* **Narrow scatter** (``sub_min > 0``; off by default): split dense
-  (cell, receiver-subwindow) queues into chunks spanning only 8 receiver
-  groups, scattered by a ``[splits*8, chunk] x [128, chunk]`` matmul into
-  ``acc[goff:goff+8]``.  Measured on v5e this does NOT pay at wr=4096:
-  the MXU cost of the scatter is ``ceil(M/128)`` output tiles — one tile
-  for M = splits*G = 64 as much as for M = 16 — so narrowing saves no
-  MXU time while the split queues add chunks (5.28 -> 6.06 ms/iter on
-  RMAT-20).  Kept behind ``sub_min`` for layouts where M > 128.
-
-* The gather index and receiver offset ride one packed int32 plane
-  ``pk = idx << PK_BITS | rcf`` (idx < 2048, rcf <= wr <= 16383), cutting
-  the per-slot plan stream from 12 to 8 bytes.
+* Registration, routing and receiver offset ride ONE packed int32 plane:
+  ``pk = hi2 << 21 | slo << 14 | rcf`` (hi2 < 2048, slo < 128,
+  rcf <= wr <= 16383) — 8 bytes of plan stream per slot with ``val``.
 
 Chunks of one receiver block are consecutive in the grid, so the block's
 ``[G, 128]`` accumulator lives in VMEM scratch across chunks, mirroring the
 reference's 32-row-aligned private partitions (``DCSCTile.h:247-249``).
 
-min/max semirings and the K-wide vector path still run on the v1 kernels;
-the engine picks per semiring.
+min/max semirings and the K-wide vector path still run on their own
+layouts below; the engine picks per semiring.
 """
 
 from __future__ import annotations
@@ -74,13 +72,15 @@ __all__ = ["Spmv2Plan", "build_spmv2_plan", "spmv2"]
 LANE = 128
 ROWS = 16                 # chunk sublanes
 CHUNK = ROWS * LANE       # 2048 edge slots per chunk
-HUB_GRANULES = 20         # 16 xtop + 2 lane-bound + 2 rotated x2 granules
+HUB_GRANULES = 20         # mm/v1 layouts: 16 xtop + 2 x2 + 2 rotated
+HUB_GRANULES2 = 2         # v2r sum layout: x2 rows [0, 16) directly
 VMEM_X2_MAX_ROWS = 16384  # beyond this the operand stays in HBM (8 MB f32)
                           # and windows are DMA'd per chunk
 KIND_HUB = 0
 KIND_WINDOW = 1
-GN = 8                    # narrow-scatter group span (8 groups = 1024 recv)
-PK_BITS = 14              # low bits of the packed plane hold rcf
+RCF_BITS = 14             # pk bits [0, 14) = receiver offset in block
+SLO_BITS = 7              # pk bits [14, 21) = routing lane
+                          # pk bits [21, 32) = registered gather row
 
 
 def _round_up(x, m):
@@ -100,61 +100,108 @@ class Spmv2Plan:
     fill: float
     classes: tuple        # window class sizes (static, kernel branches)
     rows: int             # chunk sublanes (16 or 32)
-    has_narrow: bool      # any chunk uses the narrow (goff >= 0) scatter
     kindid: Any           # i32[nc]  0 = hub, 1+k = window class k
     blkid: Any            # i32[nc]  receiver block (nondecreasing)
     base: Any             # i32[nc]  X2 window base row (8-aligned)
-    goff: Any             # i32[nc]  narrow group offset (mult of 8) or -1
-    pk: Any               # i32[nc,rows,128] idx<<PK_BITS | rcf; pads = wr
+    pk: Any               # i32[nc,rows,128] hi2<<21 | slo<<14 | rcf
     val: Any              # f32[nc,rows,128] edge values (pads 0)
     got_static: Any       # bool[n_pad]
 
 
-def _pack_lanes(cell, lane, n_cells, cap=ROWS):
-    """Lane-binned chunk packing.  Within each (cell, lane) queue the k-th
-    edge goes to chunk ``chunk_base[cell] + k // cap``, row ``k % cap``.
-    Returns (chunk, row, chunks_per_cell)."""
-    key = cell.astype(np.int64) * LANE + lane
-    order = np.argsort(key, kind="stable")
-    ks = key[order]
-    grp_start = np.r_[0, np.flatnonzero(ks[1:] != ks[:-1]) + 1]
-    seq = np.arange(len(ks), dtype=np.int64)
-    seq -= np.repeat(grp_start, np.diff(np.r_[grp_start, len(ks)]))
-    k = np.empty(len(ks), np.int64)
-    k[order] = seq
-    maxk = np.zeros(n_cells, np.int64)
-    np.maximum.at(maxk, cell, k + 1)
-    cpc = -(-maxk // cap)
-    base = np.r_[0, np.cumsum(cpc)]
-    chunk = base[cell] + k // cap
-    row = k % cap
-    return chunk, row, cpc
+def _classify(s, r, rblk, h, nb, wr, hub, windows, cell_min):
+    """Shared edge classification: (kind, cell key, window base, gather
+    row) per edge.  Cell keys are globally unique and sort by
+    (kind, block, window)."""
+    e = len(s)
+    kind = np.full(e, -1, np.int64)
+    cellk = np.zeros(e, np.int64)
+    basew = np.zeros(e, np.int64)
+    hm = s < hub
+    kind[hm] = 0
+    cellk[hm] = rblk[hm]
+    rem = ~hm
+    cell_ofs = nb
+    for wi, W in enumerate(windows):
+        if not rem.any():
+            break
+        last = wi == len(windows) - 1
+        nwin = -(-h // W)
+        cl = rblk * nwin + (s >> 7) // W
+        if not last:
+            cnt = np.bincount(cl[rem], minlength=nb * nwin)
+            take = rem & (cnt[cl] >= cell_min)
+        else:
+            take = rem.copy()
+        kind[take] = 1 + wi
+        basew[take] = np.minimum(((s[take] >> 7) // W) * W, h - W)
+        cellk[take] = cell_ofs + cl[take]
+        cell_ofs += nb * nwin
+        rem &= ~take
+    gidx = np.where(kind == 0, s >> 7, (s >> 7) - basew)
+    return kind, cellk, basew, gidx
 
 
-def _subslot(r_off, cell, nsub, sub_min):
-    """Per-edge receiver-subwindow slot in [0, nsub]: slot ``sw < nsub``
-    when that (cell, sw) queue holds >= sub_min edges (narrow scatter),
-    else the residual slot ``nsub`` (full-span scatter)."""
-    if nsub <= 1 or sub_min <= 0 or len(cell) == 0:
-        return np.full(len(cell), nsub, np.int64)
-    sw = r_off >> 10               # 1024 receivers = 8 groups per subwindow
-    key = cell * nsub + sw
-    cnt = np.bincount(key)
-    return np.where(cnt[key] >= sub_min, sw, nsub)
+def _pack_routed_cell(sv, rv, vv, gv, blk, wr, rows_cap):
+    """Routed row packing for one cell's edges (must be sender-sorted).
+
+    Rows hold up to 128 slots; each row registers at most one sender per
+    sender lane.  Greedy: senders in descending degree, per-lane candidate
+    row stacks.  Returns (rows list of (hi2, slo, rcf, val) int32/float32
+    [128] arrays)."""
+    lanes = (sv & (LANE - 1)).astype(np.int64)
+    bnd = np.r_[0, np.flatnonzero(sv[1:] != sv[:-1]) + 1, len(sv)]
+    sizes = np.diff(bnd)
+    sorder = np.argsort(-sizes, kind="stable")
+    reg = []
+    nslots = []
+    cand = [[] for _ in range(LANE)]
+    hi2_rows, slo_rows, rcf_rows, val_rows = [], [], [], []
+    for gI in sorder:
+        lo, hi_ = int(bnd[gI]), int(bnd[gI + 1])
+        L = int(lanes[lo])
+        gx = int(gv[lo])
+        ptr = lo
+        while ptr < hi_:
+            row = -1
+            st = cand[L]
+            while st:
+                cr = st[-1]
+                if nslots[cr] >= LANE or reg[cr][L]:
+                    st.pop()
+                    continue
+                row = cr
+                break
+            if row < 0:
+                row = len(reg)
+                reg.append(np.zeros(LANE, bool))
+                nslots.append(0)
+                hi2_rows.append(np.zeros(LANE, np.int32))
+                slo_rows.append(np.zeros(LANE, np.int32))
+                rcf_rows.append(np.full(LANE, wr, np.int32))
+                val_rows.append(np.zeros(LANE, np.float32))
+                for l2 in range(LANE):
+                    cand[l2].append(row)
+            reg[row][L] = True
+            hi2_rows[row][L] = gx
+            take = min(hi_ - ptr, LANE - nslots[row])
+            sl = nslots[row]
+            slo_rows[row][sl:sl + take] = L
+            rcf_rows[row][sl:sl + take] = rv[ptr:ptr + take] - blk * wr
+            val_rows[row][sl:sl + take] = vv[ptr:ptr + take]
+            nslots[row] += take
+            ptr += take
+    return hi2_rows, slo_rows, rcf_rows, val_rows
 
 
 def build_spmv2_plan(senders0: np.ndarray, receivers0: np.ndarray,
                      vals: np.ndarray, n: int, n_recv: int | None = None,
                      wr: int = 4096, hub: int = 2048,
                      windows=(160, 256, 1024, 2048),
-                     cell_min: int = 4000, rows: int = 32,
-                     sub_min: int = 0) -> Spmv2Plan:
-    """Pack a 0-based COO edge list into the v2 chunked layout.
+                     cell_min: int = 4000, rows: int = 32) -> Spmv2Plan:
+    """Pack a 0-based COO edge list into the v2r routed chunk layout.
 
-    ``rows=32`` ([32,128] chunks) amortizes per-chunk fixed cost and
-    improves lane balance: 4.2 vs 6.3 ms/iter on RMAT-20 (vs rows=16).
-    ``sub_min``: minimum (cell, receiver-subwindow) queue size for the
-    narrow 8-group scatter; 0 disables splitting."""
+    ``rows=32`` ([32,128] chunks) amortizes per-chunk fixed cost:
+    4.2 vs 6.3 ms/iter on RMAT-20 (vs rows=16)."""
     if n_recv is None:
         n_recv = n
     h = max(_round_up(_round_up(n, LANE) // LANE, LANE), LANE)
@@ -162,186 +209,108 @@ def build_spmv2_plan(senders0: np.ndarray, receivers0: np.ndarray,
     n_pad = max(_round_up(n_recv, wr), wr)
     nb = n_pad // wr
     e = len(senders0)
-    assert wr <= (1 << PK_BITS) - 1 + 1, "wr must fit the packed rcf field"
-    nsub = wr // (GN * LANE) if wr >= 2 * GN * LANE else 1
+    assert wr <= (1 << RCF_BITS) - 1, "wr must fit the packed rcf field"
 
     s = np.asarray(senders0, np.int64)
     r = np.asarray(receivers0, np.int64)
     v = np.asarray(vals, np.float32)
-    hub = int(min(hub, 16 * LANE))   # hub table holds <= 16 x2 rows
+    hub = int(min(hub, 16 * LANE))   # hub gather covers x2 rows [0, 16)
 
     norm_windows = sorted({int(min(w, h)) for w in windows}) or [min(2048, h)]
-    assert max(norm_windows) <= 2048, "window class must fit packed idx"
+    assert max(norm_windows) <= 2048, "window class must fit packed hi2"
     from ..native import load_planner
     lib = load_planner()
     if lib is not None and e > 0:
         return _build_plan2_native(
             lib, s, r, v, e, h, wr, nb, hub, norm_windows, cell_min,
-            n_pad, n_send_pad, receivers0, rows, sub_min)
+            n_pad, n_send_pad, receivers0, rows)
+
     rblk = r // wr
+    kind, cellk, basew, gidx = _classify(s, r, rblk, h, nb, wr, hub,
+                                         norm_windows, cell_min)
+    # cells in (block, kind, window) order; edges sender-sorted per cell
+    order = np.lexsort((s, cellk, kind, rblk))
+    so, ro, vo, go = s[order], r[order], v[order], gidx[order]
+    ko, co, bo, blko = kind[order], cellk[order], basew[order], rblk[order]
 
-    # chunk groups collected as (kind, blk[], base[], ngran[], chunk, row,
-    # lane, idx_e, val_e, rc_e) then merged sorted by blk
-    groups = []
+    kind_c, blk_c, base_c = [], [], []
+    pk_rows, val_rows_all = [], []
+    chunk_of_rows = []   # chunk id per emitted row
+    nc = 0
+    cb = np.r_[0, np.flatnonzero(co[1:] != co[:-1]) + 1, e] if e \
+        else np.zeros(1, np.int64)
+    for gi in range(len(cb) - 1):
+        lo, hi_ = int(cb[gi]), int(cb[gi + 1])
+        blk = int(blko[lo])
+        hi2_r, slo_r, rcf_r, val_r = _pack_routed_cell(
+            so[lo:hi_], ro[lo:hi_], vo[lo:hi_], go[lo:hi_], blk, wr, rows)
+        ncell_chunks = -(-len(hi2_r) // rows)
+        for c in range(ncell_chunks):
+            kind_c.append(int(ko[lo]))
+            blk_c.append(blk)
+            base_c.append(int(bo[lo]))
+        for ri, (h2, sl, rc, vl) in enumerate(zip(hi2_r, slo_r, rcf_r,
+                                                  val_r)):
+            pk_rows.append(((h2.astype(np.uint32) << 21)
+                            | (sl.astype(np.uint32) << RCF_BITS)
+                            | rc.astype(np.uint32)).view(np.int32))
+            val_rows_all.append(vl)
+            chunk_of_rows.append(nc + ri // rows)
+        # pad the cell's last chunk to full rows
+        pad_rows = ncell_chunks * rows - len(hi2_r)
+        for _ in range(pad_rows):
+            pk_rows.append(np.full(LANE, wr, np.int32))
+            val_rows_all.append(np.zeros(LANE, np.float32))
+            chunk_of_rows.append(nc + ncell_chunks - 1)
+        nc += ncell_chunks
 
-    # ---------------- hub chunks (s < hub): static table ----------------
-    hm = s < hub
-    if hm.any():
-        sh, rh, vh, bh = s[hm], r[hm], v[hm], rblk[hm]
-        o = np.argsort(bh, kind="stable")
-        sh, rh, vh, bh = sh[o], rh[o], vh[o], bh[o]
-        top = sh < LANE
-        lane = (sh & (LANE - 1)).astype(np.int64)
-        ti = np.flatnonzero(top)
-        if len(ti):
-            # free lane choice for replicated top senders: round-robin
-            tb = bh[ti]
-            start = np.r_[0, np.flatnonzero(tb[1:] != tb[:-1]) + 1]
-            seq = np.arange(len(ti), dtype=np.int64)
-            seq -= np.repeat(start, np.diff(np.r_[start, len(ti)]))
-            lane[ti] = seq % LANE
-        # mid-hub 2-choice: each sender may also sit at lane^64 (gathering
-        # from the rotated table granules); even split per (block, pair)
-        # halves the worst lane load (chunks = ceil(max_lane / ROWS))
-        rot = np.zeros(len(sh), bool)
-        mi = np.flatnonzero(~top)
-        if len(mi):
-            pairkey = bh[mi] * 64 + (lane[mi] & 63)
-            o2 = np.argsort(pairkey, kind="stable")
-            pk = pairkey[o2]
-            start = np.r_[0, np.flatnonzero(pk[1:] != pk[:-1]) + 1]
-            seq = np.arange(len(mi), dtype=np.int64)
-            seq -= np.repeat(start, np.diff(np.r_[start, len(mi)]))
-            odd = np.zeros(len(mi), bool)
-            odd[o2] = (seq & 1) == 1
-            rot[mi] = odd
-            lane[mi[odd]] ^= 64
-        idx_e = np.where(top, sh,
-                         LANE + (sh >> 7) + np.where(rot, 16, 0)
-                         ).astype(np.int32)
-        sub = _subslot(rh - bh * wr, bh, nsub, sub_min)
-        ckey = bh * (nsub + 1) + sub
-        uc, ci = np.unique(ckey, return_inverse=True)
-        chunk, row, cpc = _pack_lanes(ci, lane, len(uc), rows)
-        nc = int(cpc.sum())
-        blk_c = np.repeat(uc // (nsub + 1), cpc)
-        subv = uc % (nsub + 1)
-        goff_c = np.repeat(np.where(subv == nsub, -1, subv * GN), cpc)
-        groups.append((KIND_HUB, blk_c, np.zeros(nc, np.int64),
-                       goff_c, chunk, row,
-                       lane, idx_e, vh, (rh - bh * wr), nc))
-
-    # ---------------- window chunks ----------------
-    rem = ~hm
-    windows = norm_windows
-    for wi, W in enumerate(windows):
-        if not rem.any():
-            break
-        assert W % 8 == 0
-        last = wi == len(windows) - 1
-        hi = s >> 7
-        nwin = -(-h // W)
-        win_id = hi // W
-        cell = rblk * nwin + win_id
-        if not last:
-            cnt = np.bincount(cell[rem], minlength=nb * nwin)
-            take = rem & (cnt[cell] >= cell_min)
-        else:
-            take = rem.copy()
-        if not take.any():
-            continue
-        st, rt, vt, bt, ct = (s[take], r[take], v[take], rblk[take],
-                              cell[take])
-        o = np.argsort(ct, kind="stable")
-        st, rt, vt, bt, ct = st[o], rt[o], vt[o], bt[o], ct[o]
-        sub = _subslot(rt - bt * wr, ct, nsub, sub_min)
-        ckey = ct * (nsub + 1) + sub
-        uc2, ci = np.unique(ckey, return_inverse=True)
-        lane = (st & (LANE - 1)).astype(np.int64)
-        chunk, row, cpc = _pack_lanes(ci, lane, len(uc2), rows)
-        nc = int(cpc.sum())
-        uc = uc2 // (nsub + 1)
-        subv = uc2 % (nsub + 1)
-        cell_blk = uc // nwin
-        # clamp the last window of the operand so base + W stays within h
-        cell_base = np.minimum((uc % nwin) * W, h - W)
-        blk_c = np.repeat(cell_blk, cpc)
-        base_c = np.repeat(cell_base, cpc)
-        goff_c = np.repeat(np.where(subv == nsub, -1, subv * GN), cpc)
-        idx_e = (st >> 7) - cell_base[ci]
-        groups.append((1 + wi, blk_c, base_c,
-                       goff_c, chunk, row, lane,
-                       idx_e.astype(np.int32), vt, (rt - bt * wr), nc))
-        rem = rem & ~take
-
-    # ---------------- merge groups, sorted by block ----------------
-    total_nc = sum(g[10] for g in groups)
+    # empty-block coverage
     covered = np.zeros(nb, bool)
-    for g in groups:
-        covered[g[1]] = True
-    missing = np.flatnonzero(~covered)
-    nc_all = total_nc + len(missing)
+    covered[np.asarray(blk_c, np.int64)] = True if blk_c else False
+    for b in np.flatnonzero(~covered):
+        kind_c.append(KIND_HUB)
+        blk_c.append(int(b))
+        base_c.append(0)
+        for _ in range(rows):
+            pk_rows.append(np.full(LANE, wr, np.int32))
+            val_rows_all.append(np.zeros(LANE, np.float32))
+            chunk_of_rows.append(nc)
+        nc += 1
 
-    kindid = np.zeros(nc_all, np.int32)
-    blkid = np.zeros(nc_all, np.int32)
-    baseid = np.zeros(nc_all, np.int32)
-    goff = np.full(nc_all, -1, np.int32)
-    idx = np.zeros((nc_all, rows, LANE), np.int32)
-    val = np.zeros((nc_all, rows, LANE), np.float32)
-    rcf = np.full((nc_all, rows, LANE), wr, np.int32)
+    # assemble in block order (stable over cells)
+    kind_c = np.asarray(kind_c, np.int32)
+    blk_c = np.asarray(blk_c, np.int32)
+    base_c = np.asarray(base_c, np.int32)
+    corder = np.argsort(blk_c, kind="stable")
+    crank = np.empty(nc, np.int64)
+    crank[corder] = np.arange(nc)
+    pk = np.zeros((nc, rows, LANE), np.int32)
+    val = np.zeros((nc, rows, LANE), np.float32)
+    rowptr = np.zeros(nc, np.int64)
+    for rid, ch in enumerate(chunk_of_rows):
+        gc = crank[ch]
+        pk[gc, rowptr[gc]] = pk_rows[rid]
+        val[gc, rowptr[gc]] = val_rows_all[rid]
+        rowptr[gc] += 1
 
-    # global chunk order: by (block, group, local chunk)
-    all_blk = np.concatenate(
-        [g[1] for g in groups] + [missing]) if nc_all else np.zeros(0)
-    all_grp = np.concatenate(
-        [np.full(g[10], gi) for gi, g in enumerate(groups)]
-        + [np.full(len(missing), len(groups))])
-    all_loc = np.concatenate(
-        [np.arange(g[10]) for g in groups] + [np.arange(len(missing))])
-    order = np.lexsort((all_loc, all_grp, all_blk))
-    rank = np.empty(nc_all, np.int64)
-    rank[order] = np.arange(nc_all)
-
-    off = 0
-    for gi, g in enumerate(groups):
-        (kind, blk_c, base_c, goff_c, chunk, row, lane, idx_e, val_e,
-         rc_e, nc) = g
-        gc = rank[off + chunk]                      # global chunk ids
-        gmeta = rank[off:off + nc]
-        kindid[gmeta] = kind
-        blkid[gmeta] = blk_c
-        baseid[gmeta] = base_c
-        goff[gmeta] = goff_c
-        idx[gc, row, lane] = idx_e
-        val[gc, row, lane] = val_e
-        rcf[gc, row, lane] = rc_e
-        off += nc
-    if len(missing):
-        gmeta = rank[off:off + len(missing)]
-        kindid[gmeta] = KIND_HUB
-        blkid[gmeta] = missing
-
-    assert (np.diff(blkid) >= 0).all()
     got = np.zeros(n_pad, bool)
     if e:
         got[np.unique(np.asarray(receivers0))] = True
-
-    pk = (idx << PK_BITS) | rcf
     return _maybe_validate(Spmv2Plan(
-        n_pad=n_pad, n_send_pad=n_send_pad, h=h, wr=wr, nb=nb, nc=nc_all,
-        hub=hub, nnz=e, fill=e / max(nc_all * rows * LANE, 1),
-        classes=tuple(windows), rows=rows,
-        has_narrow=bool((goff >= 0).any()),
-        kindid=jnp.asarray(kindid), blkid=jnp.asarray(blkid),
-        base=jnp.asarray(baseid), goff=jnp.asarray(goff),
+        n_pad=n_pad, n_send_pad=n_send_pad, h=h, wr=wr, nb=nb, nc=nc,
+        hub=hub, nnz=e, fill=e / max(nc * rows * LANE, 1),
+        classes=tuple(norm_windows), rows=rows,
+        kindid=jnp.asarray(kind_c[corder]),
+        blkid=jnp.asarray(blk_c[corder]),
+        base=jnp.asarray(base_c[corder]),
         pk=jnp.asarray(pk), val=jnp.asarray(val),
         got_static=jnp.asarray(got)))
 
 
 def _build_plan2_native(lib, s, r, v, e, h, wr, nb, hub, windows,
                         cell_min, n_pad, n_send_pad, receivers0,
-                        rows=ROWS, sub_min=2048):
-    """C++/OpenMP v2 plan build (graphmat_tpu/native/planner.cpp)."""
+                        rows=ROWS):
+    """C++/OpenMP v2r plan build (graphmat_tpu/native/planner.cpp)."""
     import ctypes
 
     sa = np.ascontiguousarray(s, np.int32)
@@ -350,17 +319,16 @@ def _build_plan2_native(lib, s, r, v, e, h, wr, nb, hub, windows,
     wins = np.ascontiguousarray(windows, np.int32)
     nc_out = ctypes.c_int64()
     handle = lib.gm_plan2_create(sa, ra, va, e, h, wr, nb, hub, wins,
-                                 len(wins), cell_min, rows, sub_min,
+                                 len(wins), cell_min, rows,
                                  ctypes.byref(nc_out))
     nc = int(nc_out.value)
     try:
         kindid = np.empty(nc, np.int32)
         blkid = np.empty(nc, np.int32)
         base = np.empty(nc, np.int32)
-        goff = np.empty(nc, np.int32)
         pk = np.empty((nc, rows, LANE), np.int32)
         val = np.empty((nc, rows, LANE), np.float32)
-        lib.gm_plan2_fill(handle, kindid, blkid, base, goff,
+        lib.gm_plan2_fill(handle, kindid, blkid, base,
                           pk.reshape(-1), val.reshape(-1))
     finally:
         lib.gm_plan2_destroy(handle)
@@ -371,9 +339,8 @@ def _build_plan2_native(lib, s, r, v, e, h, wr, nb, hub, windows,
         n_pad=n_pad, n_send_pad=n_send_pad, h=h, wr=wr, nb=nb, nc=nc,
         hub=hub, nnz=e, fill=e / max(nc * rows * LANE, 1),
         classes=tuple(int(w) for w in windows), rows=rows,
-        has_narrow=bool((goff >= 0).any()),
         kindid=jnp.asarray(kindid), blkid=jnp.asarray(blkid),
-        base=jnp.asarray(base), goff=jnp.asarray(goff),
+        base=jnp.asarray(base),
         pk=jnp.asarray(pk), val=jnp.asarray(val),
         got_static=jnp.asarray(got)))
 
@@ -396,17 +363,17 @@ def _split_bf16(x, n_splits):
 
 def _make_kernel(process: Callable, wr: int, h: int, n_splits: int,
                  classes, debug=None, x2_hbm=False, rows=ROWS,
-                 sparse=False, has_narrow=False):
+                 sparse=False):
     G = wr // LANE
     wmax = max(classes)
     chunk = rows * LANE
     ntiles = rows // 8
 
-    def kernel(kind_ref, blk_ref, base_ref, goff_ref, *rest):
+    def kernel(kind_ref, blk_ref, base_ref, *rest):
         if sparse:
             act_ref = rest[0]
             rest = rest[2:]   # rest[1] = eff_ref, used by index maps only
-        (pk_ref, val_ref, x2_ref, xtop_ref, xrot_ref, y_ref,
+        (pk_ref, val_ref, x2_ref, y_ref,
          acc_ref, wscr_ref, *dma_sem) = rest
         i = pl.program_id(0)
         first = jnp.logical_or(
@@ -426,10 +393,14 @@ def _make_kernel(process: Callable, wr: int, h: int, n_splits: int,
                 dma0.wait()
 
         def compute():
-            idxs = [pk_ref[0, 8 * t: 8 * t + 8, :] >> PK_BITS
-                    for t in range(ntiles)]
-            subs = [ix & 7 for ix in idxs]
-            gsels = [ix >> 3 for ix in idxs]
+            us = [jax.lax.bitcast_convert_type(
+                      pk_ref[0, 8 * t: 8 * t + 8, :], jnp.uint32)
+                  for t in range(ntiles)]
+            hi2s = [(u >> 21).astype(jnp.int32) for u in us]
+            slos = [((u >> RCF_BITS) & (LANE - 1)).astype(jnp.int32)
+                    for u in us]
+            subs = [ix & 7 for ix in hi2s]
+            gsels = [ix >> 3 for ix in hi2s]
 
             def gather_from(tbl_for_g, ngran):
                 """Statically unrolled granule walk (the dynamic-trip loop
@@ -446,16 +417,12 @@ def _make_kernel(process: Callable, wr: int, h: int, n_splits: int,
 
             def hub_branch():
                 def tbl(g):
-                    if g < 16:
-                        return xtop_ref[8 * g: 8 * g + 8, :]
-                    if g < 18:
-                        # x2[0:16] mirror is at the tail of wscr (HBM mode)
-                        if x2_hbm:
-                            return wscr_ref[wmax + 8 * (g - 16):
-                                            wmax + 8 * (g - 16) + 8, :]
-                        return x2_ref[8 * (g - 16): 8 * (g - 16) + 8, :]
-                    return xrot_ref[8 * (g - 18): 8 * (g - 18) + 8, :]
-                return gather_from(tbl, HUB_GRANULES)
+                    # hub senders live in x2 rows [0, 16) (HBM mode: the
+                    # VMEM mirror at the tail of wscr)
+                    if x2_hbm:
+                        return wscr_ref[wmax + 8 * g: wmax + 8 * g + 8, :]
+                    return x2_ref[8 * g: 8 * g + 8, :]
+                return gather_from(tbl, HUB_GRANULES2)
 
             prev = jnp.maximum(i - 1, 0)
             same_win = jnp.logical_and(
@@ -489,7 +456,10 @@ def _make_kernel(process: Callable, wr: int, h: int, n_splits: int,
             else:
                 branches = [hub_branch] + [window_branch(W)
                                            for W in classes]
-                xvs = list(jax.lax.switch(kind_ref[i], branches))
+                qs = list(jax.lax.switch(kind_ref[i], branches))
+                # route each slot to its sender's registration lane
+                xvs = [jnp.take_along_axis(qs[t], slos[t], axis=1)
+                       for t in range(ntiles)]
 
             ps = [process(xvs[t], val_ref[0, 8 * t: 8 * t + 8, :]).astype(
                 jnp.float32) for t in range(ntiles)]
@@ -502,46 +472,26 @@ def _make_kernel(process: Callable, wr: int, h: int, n_splits: int,
             pf = p.reshape(1, chunk)                      # [1, rows*128]
 
             # ---- factored scatter: one MXU matmul ----
-            rcf = pk_ref[0].reshape(1, chunk) & ((1 << PK_BITS) - 1)
+            rcf = (jax.lax.bitcast_convert_type(pk_ref[0], jnp.uint32)
+                   & ((1 << RCF_BITS) - 1)).astype(jnp.int32).reshape(
+                       1, chunk)
             rcg = rcf >> 7
             rcl = rcf & (LANE - 1)
+            iota_g = jax.lax.broadcasted_iota(jnp.int32, (G, chunk), 0)
             iota_l = jax.lax.broadcasted_iota(jnp.int32, (LANE, chunk), 0)
-            ohlo = (iota_l == rcl).astype(jnp.bfloat16)   # [128, 2048]
-            parts = _split_bf16(pf, n_splits)
-
-            def scatter_span(Gp, off):
-                """[splits*Gp, chunk] x [128, chunk] scatter into a Gp-group
-                window starting at group ``off`` (pads' rcg == G lands
-                outside every window since off <= G - Gp)."""
-                iota_g = jax.lax.broadcasted_iota(jnp.int32, (Gp, chunk), 0)
-                gm = iota_g == (rcg - off)
-                planes = [jnp.where(gm,
-                                    jnp.broadcast_to(
-                                        part.astype(jnp.float32), gm.shape),
-                                    0.0)
-                          for part in parts]
-                P = jnp.concatenate(planes, axis=0).astype(jnp.bfloat16)
-                M = jax.lax.dot_general(P, ohlo, (((1,), (1,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-                contrib = M[0:Gp]
-                for k in range(1, n_splits):
-                    contrib = contrib + M[k * Gp:(k + 1) * Gp]
-                return contrib                            # [Gp, 128]
-
-            if has_narrow:
-                goff = goff_ref[i]
-
-                @pl.when(goff >= 0)
-                def _():
-                    off = pl.multiple_of(goff, GN)
-                    acc_ref[pl.ds(off, GN), :] = (
-                        acc_ref[pl.ds(off, GN), :] + scatter_span(GN, goff))
-
-                @pl.when(goff < 0)
-                def _():
-                    acc_ref[:] = acc_ref[:] + scatter_span(G, 0)
-            else:
-                acc_ref[:] = acc_ref[:] + scatter_span(G, 0)
+            ohlo = (iota_l == rcl).astype(jnp.bfloat16)   # [128, chunk]
+            gm = iota_g == rcg                            # [G, chunk]
+            planes = [jnp.where(gm,
+                                jnp.broadcast_to(part.astype(jnp.float32),
+                                                 gm.shape), 0.0)
+                      for part in _split_bf16(pf, n_splits)]
+            P = jnp.concatenate(planes, axis=0).astype(jnp.bfloat16)
+            M = jax.lax.dot_general(P, ohlo, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            contrib = M[0:G]
+            for k in range(1, n_splits):
+                contrib = contrib + M[k * G:(k + 1) * G]
+            acc_ref[:] = acc_ref[:] + contrib             # [G, 128]
 
         if sparse:
             # frontier-driven chunk skip — the TPU analog of the
@@ -599,12 +549,9 @@ def _spmv2_call(plan_arrays, plan_static, x, process, n_splits, interpret,
                 debug=None, x2_hbm=None, sent=None):
     h, wr, nb, nc, n_pad, classes = plan_static[:6]
     rows = plan_static[6] if len(plan_static) > 6 else ROWS
-    has_narrow = plan_static[7] if len(plan_static) > 7 else False
-    kindid, blkid, base, goff, pk, val = plan_arrays
+    kindid, blkid, base, pk, val = plan_arrays
     G = wr // LANE
     x2 = x.reshape(h, LANE)
-    xtop = jnp.broadcast_to(x[:LANE, None], (LANE, LANE))
-    xrot = jnp.roll(x2[:16], 64, axis=1)
     sparse = sent is not None
     if sparse:
         if sent.shape[0] < h * LANE:
@@ -615,14 +562,14 @@ def _spmv2_call(plan_arrays, plan_static, x, process, n_splits, interpret,
     if x2_hbm is None:
         x2_hbm = h > VMEM_X2_MAX_ROWS and not interpret
     kernel = _make_kernel(process, wr, h, n_splits, classes, debug,
-                          x2_hbm, rows, sparse, has_narrow)
+                          x2_hbm, rows, sparse)
     wmax = max(classes) if classes else 8
     if sparse:
-        nmap = lambda i, kd, bk, bs, go, a, eff_: (eff_[i], 0, 0)
-        omap = lambda i, kd, bk, bs, go, a, eff_: (bk[i], 0, 0)
+        nmap = lambda i, kd, bk, bs, a, eff_: (eff_[i], 0, 0)
+        omap = lambda i, kd, bk, bs, a, eff_: (bk[i], 0, 0)
     else:
         nmap = lambda i, *_: (i, 0, 0)
-        omap = lambda i, kind, blk, bs, go: (blk[i], 0, 0)
+        omap = lambda i, kind, blk, bs: (blk[i], 0, 0)
     chunk_spec = pl.BlockSpec((1, rows, LANE), nmap,
                               memory_space=pltpu.VMEM)
     x2_spec = pl.BlockSpec(memory_space=(pltpu.ANY if x2_hbm
@@ -634,22 +581,20 @@ def _spmv2_call(plan_arrays, plan_static, x, process, n_splits, interpret,
     if x2_hbm:
         scratch.append(pltpu.SemaphoreType.DMA(()))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6 if sparse else 4,
+        num_scalar_prefetch=5 if sparse else 3,
         grid=(nc,),
-        in_specs=[chunk_spec, chunk_spec, x2_spec,
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        in_specs=[chunk_spec, chunk_spec, x2_spec],
         out_specs=pl.BlockSpec((1, G, LANE), omap,
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
     )
-    operands = ((kindid, blkid, base, goff, act, eff) if sparse
-                else (kindid, blkid, base, goff))
+    operands = ((kindid, blkid, base, act, eff) if sparse
+                else (kindid, blkid, base))
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, G, LANE), jnp.float32),
         interpret=interpret,
-    )(*operands, pk, val, x2, xtop, xrot)
+    )(*operands, pk, val, x2)
     return out.reshape(nb * wr)[:n_pad]
 
 
@@ -672,7 +617,7 @@ def spmv2(plan: Spmv2Plan, x, reduce_kind: str = "sum",
 
     ``x``: f32[plan.n_send_pad] (shorter inputs are padded).  Returns
     f32[plan.n_pad].  v2 supports ⊕ = sum; the engine routes min/max to
-    the v1 kernel.
+    the mm kernel.
 
     ``sent``: optional bool[n_send_pad] sender-activity mask enabling the
     sparse-frontier fast path — chunks whose gather range holds no active
@@ -687,10 +632,9 @@ def spmv2(plan: Spmv2Plan, x, reduce_kind: str = "sum",
     if x.shape[0] < plan.n_send_pad:
         x = jnp.pad(x, (0, plan.n_send_pad - x.shape[0]))
     x = x[: plan.n_send_pad].astype(jnp.float32)
-    plan_arrays = (plan.kindid, plan.blkid, plan.base, plan.goff,
-                   plan.pk, plan.val)
+    plan_arrays = (plan.kindid, plan.blkid, plan.base, plan.pk, plan.val)
     plan_static = (plan.h, plan.wr, plan.nb, plan.nc, plan.n_pad,
-                   plan.classes, plan.rows, plan.has_narrow)
+                   plan.classes, plan.rows)
     return _spmv2_call(plan_arrays, plan_static, x, process, n_splits,
                        interpret, sent=sent)
 

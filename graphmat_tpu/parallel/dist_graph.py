@@ -304,15 +304,13 @@ class DistGraph:
             jax.device_put(pad_stack("kindid", 0), sh),
             jax.device_put(pad_stack("blkid", 0, pad_blk=True), sh),
             jax.device_put(pad_stack("base", 0), sh),
-            jax.device_put(pad_stack("goff", -1), sh),
-            jax.device_put(pad_stack("pk", wr_eff), sh),  # pad slot: idx 0
+            jax.device_put(pad_stack("pk", wr_eff), sh),  # pad slot
             jax.device_put(pad_stack("val", 0), sh),
         )
         got = np.stack([np.asarray(p.got_static) for p in plans])
         got_d = jax.device_put(got, sh)
         static = (plans[0].h, wr_eff, nb, nc_max, plans[0].n_pad,
-                  plans[0].classes, plans[0].rows,
-                  any(p.has_narrow for p in plans))
+                  plans[0].classes, plans[0].rows)
         self._pallas_plans[key] = (arrays, static, got_d,
                                    plans[0].n_send_pad)
         return self._pallas_plans[key]

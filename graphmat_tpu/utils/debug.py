@@ -37,27 +37,31 @@ def _basic(plan, rcf):
 
 
 def validate_plan2(plan) -> None:
-    """Invariants of the scalar sum plan (``build_spmv2_plan``)."""
-    from ..ops.pallas_spmv2 import GN, PK_BITS
-    pk = np.asarray(plan.pk)
-    rcf = pk & ((1 << PK_BITS) - 1)
+    """Invariants of the routed (v2r) scalar sum plan
+    (``build_spmv2_plan``): packed-field ranges, slot conservation,
+    per-(row, lane) registration uniqueness by construction, and that
+    every real slot routes to a lane whose registration stays inside the
+    chunk's gather range."""
+    from ..ops.pallas_spmv2 import RCF_BITS
+    u = np.asarray(plan.pk).view(np.uint32)
+    rcf = (u & ((1 << RCF_BITS) - 1)).astype(np.int64)
+    slo = ((u >> RCF_BITS) & 127).astype(np.int64)
+    hi2 = (u >> 21).astype(np.int64)
     _basic(plan, rcf)
-    idx = pk >> PK_BITS
-    assert idx.min() >= 0, "negative gather index"
     # real-edge count == nnz (pads have rcf == wr)
-    real = (rcf < plan.wr).sum()
-    assert real == plan.nnz, f"slot conservation {real} != {plan.nnz}"
-    # narrow chunks: every real slot's receiver group inside [goff, goff+GN)
-    goff = np.asarray(plan.goff)
-    assert ((goff == -1) | (goff % GN == 0)).all(), "goff must be -1 or 8k"
-    assert goff.max() <= plan.wr // 128 - GN, "goff window leaves the block"
-    narrow = goff >= 0
-    if narrow.any():
-        rcg = rcf[narrow] >> 7
-        off = goff[narrow][:, None, None]
-        ok = (rcf[narrow] == plan.wr) | ((rcg >= off) & (rcg < off + GN))
-        assert ok.all(), "narrow chunk slot outside its group window"
-    assert plan.has_narrow == bool(narrow.any()), "has_narrow mismatch"
+    real = rcf < plan.wr
+    assert real.sum() == plan.nnz, \
+        f"slot conservation {real.sum()} != {plan.nnz}"
+    # registration rows within each chunk's gather range
+    kind = np.asarray(plan.kindid)
+    wlen = np.array([16] + list(plan.classes))[kind]   # rows gathered
+    assert (hi2 < wlen[:, None, None]).all(), "hi2 outside gather range"
+    # every real slot's routing lane must carry a registration usable by
+    # the gather (hi2 at (row, slo) in range — value equality is checked
+    # end-to-end by the oracle tests)
+    reg_at = np.take_along_axis(hi2, slo, axis=2)
+    ok = reg_at < np.broadcast_to(wlen[:, None, None], u.shape)
+    assert ok[real].all(), "routing lane registration out of range"
 
 
 def validate_plan2m(plan) -> None:

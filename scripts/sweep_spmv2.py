@@ -50,17 +50,14 @@ def main():
                       plan.rowmask, plan.hi2, plan.slo, plan.val,
                       plan.rcf)
         else:
-            sub_min = int(os.environ.get("SWEEP_SUBMIN", "2048"))
             plan = build_spmv2_plan(senders0, receivers0, vals, g.n_pad,
                                     n_recv=g.n_pad, windows=windows,
-                                    cell_min=cell_min, wr=wr,
-                                    sub_min=sub_min)
-            arrays = (plan.kindid, plan.blkid, plan.base, plan.goff,
-                      plan.pk, plan.val)
+                                    cell_min=cell_min, wr=wr)
+            arrays = (plan.kindid, plan.blkid, plan.base, plan.pk,
+                      plan.val)
         tb = time.time() - t0
         static = (plan.h, plan.wr, plan.nb, plan.nc, plan.n_pad,
-                  plan.classes, plan.rows, getattr(plan, "has_narrow",
-                                                   False))
+                  plan.classes, plan.rows)
 
         @jax.jit
         def chain(arrays, x):

@@ -173,26 +173,27 @@ def test_spmv2_rows32_matches_oracle():
 
 
 @pytest.mark.parametrize("native", [False, None], ids=["numpy", "native"])
-def test_spmv2_narrow_scatter_matches_oracle(native, monkeypatch):
-    """Receiver-subwindow splitting: dense cells get narrow (goff >= 0)
-    chunks spanning 8 receiver groups; result must match the oracle and
-    the plan invariants (GRAPHMAT_DEBUG validation)."""
+def test_spmv2_routed_lane_skew(native, monkeypatch):
+    """Adversarial sender-lane skew: all senders share one lane (s % 128
+    equal).  The routed layout must keep fill high (the lane-bound layout
+    collapsed to ~1/128) and match the oracle; GRAPHMAT_DEBUG validates
+    the packed-plane invariants for both planners."""
     from graphmat_tpu.native import native_available
     if native is None and not native_available():
         pytest.skip("no native planner")
     monkeypatch.setenv("GRAPHMAT_DEBUG", "1")
-    rng = np.random.default_rng(21)
-    n, e = 6000, 120000
-    s, r, v = _rand_graph(rng, n, e)
     import graphmat_tpu.native as gmn
     if native is False:
         monkeypatch.setattr(gmn, "_lib", None)
         monkeypatch.setattr(gmn, "_tried", True)
-    # wr=2048 -> G=16, nsub=2; tiny sub_min forces many narrow queues
+    rng = np.random.default_rng(21)
+    n, e = 6000, 60000
+    s = (rng.integers(0, n // 128, e).astype(np.int64)) * 128 + 5
+    r = rng.integers(0, n, e).astype(np.int64)
+    v = rng.standard_normal(e).astype(np.float32)
     plan = build_spmv2_plan(s, r, v, n, wr=2048, hub=512,
-                            windows=(16, 64), cell_min=64, sub_min=64)
-    goff = np.asarray(plan.goff)
-    assert plan.has_narrow and (goff >= 0).any()
+                            windows=(16, 64), cell_min=64)
+    assert plan.fill > 0.4, plan.fill
     x = rng.standard_normal(n).astype(np.float32)
     xp = np.zeros(plan.n_send_pad, np.float32)
     xp[:n] = x
