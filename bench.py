@@ -65,6 +65,11 @@ def run_bench():
         gvp["degree"] = jnp.asarray(full)
         g.vp = gvp
         g.set_all_active()
+        # complete the one-time state upload BEFORE the timed run: the
+        # device_puts above are async, and through the axon tunnel their
+        # ~65 ms of H2D otherwise lands inside the first timed dispatch
+        jax.block_until_ready(list(g.vp.values()) + [g.active])
+        float(jnp.sum(g.vp["pagerank"][:1]))
 
     setup()
     eng = Engine(PageRankProgram(), g)
