@@ -162,8 +162,8 @@ class Engine:
                 for recv, p in self._plans.items()}
         elif self.pallas_version == 2:
             self._plan_args = {
-                recv: ((p.kindid, p.blkid, p.base, p.pk, p.val),
-                       p.got_static)
+                recv: ((p.kindid, p.blkid, p.base, p.kind2, p.base2,
+                        p.pk, p.val), p.got_static)
                 for recv, p in self._plans.items()}
         else:
             self._plan_args = {

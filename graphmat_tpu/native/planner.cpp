@@ -244,9 +244,12 @@ struct Plan2 {
   std::vector<int32_t> gidx;      // gather row index (registration value)
   std::vector<int64_t> cell_edge_start;
   // per final cell (in chunk order)
-  std::vector<int64_t> cell_chunk_base;  // prefix over cells
+  std::vector<int64_t> cell_half_start;  // global half id per cell
   std::vector<int64_t> cell_nrows;
-  std::vector<int32_t> cell_kind, cell_blk, cell_base;
+  std::vector<int32_t> cell_blk;
+  // per chunk: half A/B window metadata (chunks pair halves, possibly
+  // from different cells of the same block — tail pairing)
+  std::vector<int32_t> ck_kind, ck_blk, ck_base, ck_kind2, ck_base2;
   int64_t nc = 0;
   const int32_t* s = nullptr;     // borrowed views (numpy keeps them alive
   const int32_t* r = nullptr;     //  across create/fill on the python side)
@@ -460,40 +463,70 @@ void* gm_plan2_create(const int32_t* senders, const int32_t* receivers,
     }
   }
 
-  // ---- chunk bases ---------------------------------------------------------
-  p->cell_chunk_base.assign(nfc + 1, 0);
-  p->cell_kind.resize(nfc); p->cell_blk.resize(nfc);
-  p->cell_base.resize(nfc);
-  int64_t nc = 0;
+  // ---- half-chunk assembly --------------------------------------------
+  // each chunk = two rows/2-row halves with independent gather windows;
+  // cell tails pair across cells of the same block.  Blocks start on
+  // even half ids (pad halves mirror the previous half's window so the
+  // kernel's same_win skip makes them free).
+  const int64_t halfr = p->rows / 2;
+  p->cell_half_start.resize(nfc);
+  p->cell_blk.resize(nfc);
+  std::vector<int32_t> hkind, hbase, hblk;   // per half
+  int32_t cur_blk = -1;
   for (size_t q = 0; q < nfc; ++q) {
     const Cell& cl = final_cells[q];
-    p->cell_chunk_base[q] = nc;
-    int64_t nch = (p->cell_nrows[q] + p->rows - 1) / p->rows;
-    if (!nch) nch = 1;               // empty coverage cell: one pad chunk
-    nc += nch;
-    p->cell_kind[q] = cl.kind;
-    p->cell_blk[q] = cl.blk;
-    if (cl.kind == 0) {
-      p->cell_base[q] = 0;
-    } else {
+    if (cl.blk != cur_blk) {
+      if (hkind.size() & 1) {       // close the previous block
+        hkind.push_back(hkind.back());
+        hbase.push_back(hbase.back());
+        hblk.push_back(hblk.back());
+      }
+      cur_blk = cl.blk;
+    }
+    int32_t kv = cl.kind, bv = 0;
+    if (cl.kind != 0) {
       const int32_t W = p->windows[cl.kind - 1];
-      int32_t base = cl.win * W;
-      if (base > h - W) base = h - W;
-      p->cell_base[q] = base;
+      bv = cl.win * W;
+      if (bv > h - W) bv = h - W;
+    }
+    p->cell_half_start[q] = (int64_t)hkind.size();
+    p->cell_blk[q] = cl.blk;
+    int64_t nh = (p->cell_nrows[q] + halfr - 1) / halfr;
+    if (!nh) nh = 1;                 // empty coverage cell: one pad half
+    for (int64_t k = 0; k < nh; ++k) {
+      hkind.push_back(kv);
+      hbase.push_back(bv);
+      hblk.push_back(cl.blk);
     }
   }
-  p->cell_chunk_base[nfc] = nc;
+  if (hkind.size() & 1) {
+    hkind.push_back(hkind.back());
+    hbase.push_back(hbase.back());
+    hblk.push_back(hblk.back());
+  }
+  const int64_t nc = (int64_t)hkind.size() / 2;
+  p->ck_kind.resize(nc); p->ck_blk.resize(nc); p->ck_base.resize(nc);
+  p->ck_kind2.resize(nc); p->ck_base2.resize(nc);
+  for (int64_t c = 0; c < nc; ++c) {
+    p->ck_kind[c] = hkind[2 * c];
+    p->ck_base[c] = hbase[2 * c];
+    p->ck_kind2[c] = hkind[2 * c + 1];
+    p->ck_base2[c] = hbase[2 * c + 1];
+    p->ck_blk[c] = hblk[2 * c];
+  }
   p->nc = nc;
   *nc_out = nc;
   return p;
 }
 
 void gm_plan2_fill(void* handle, int32_t* kindid, int32_t* blkid,
-                   int32_t* baseid, int32_t* pk, float* val) {
+                   int32_t* baseid, int32_t* kind2, int32_t* base2,
+                   int32_t* pk, float* val) {
   auto* p = static_cast<Plan2*>(handle);
   const int64_t nc = p->nc;
   const int64_t chunk_elems = (int64_t)p->rows * kLane;
-  const size_t nfc = p->cell_kind.size();
+  const int64_t halfr = p->rows / 2;
+  const size_t nfc = p->cell_nrows.size();
   const uint32_t wru = (uint32_t)p->wr;
 
 #pragma omp parallel for schedule(static)
@@ -502,18 +535,16 @@ void gm_plan2_fill(void* handle, int32_t* kindid, int32_t* blkid,
     for (int64_t t = 0; t < chunk_elems; ++t)
       pkc[t] = (int32_t)wru;           // pad: hi2 0, slo 0, rcf sentinel
     std::memset(val + c * chunk_elems, 0, chunk_elems * sizeof(float));
-  }
-#pragma omp parallel for schedule(static)
-  for (int64_t q = 0; q < (int64_t)nfc; ++q) {
-    for (int64_t c = p->cell_chunk_base[q]; c < p->cell_chunk_base[q + 1];
-         ++c) {
-      kindid[c] = p->cell_kind[q];
-      blkid[c] = p->cell_blk[q];
-      baseid[c] = p->cell_base[q];
-    }
+    kindid[c] = p->ck_kind[c];
+    blkid[c] = p->ck_blk[c];
+    baseid[c] = p->ck_base[c];
+    kind2[c] = p->ck_kind2[c];
+    base2[c] = p->ck_base2[c];
   }
   // replay edges per cell: slot fill per row + registration OR (idempotent
-  // — same gidx bits for every edge of the sender in that row)
+  // — same gidx bits for every edge of the sender in that row).  Two
+  // cells may share a tail chunk, but their halves own disjoint rows, so
+  // the parallel-over-cells writes never collide.
 #pragma omp parallel
   {
     std::vector<int32_t> rowfill;
@@ -524,15 +555,16 @@ void gm_plan2_fill(void* handle, int32_t* kindid, int32_t* blkid,
       if (!m) continue;
       rowfill.assign(p->cell_nrows[q], 0);
       const int64_t wrblk = (int64_t)p->cell_blk[q] * p->wr;
-      const int64_t cbase = p->cell_chunk_base[q];
+      const int64_t h0 = p->cell_half_start[q];
       for (int64_t j = lo; j < lo + m; ++j) {
         const int64_t i = p->edge_order[j];
         const int32_t row = p->edge_row[j];
         const int32_t slot = rowfill[row]++;
         const int L = p->s[i] & (kLane - 1);
-        const int64_t chunk = cbase + row / p->rows;
+        const int64_t half = h0 + row / halfr;
+        const int64_t chunk = half >> 1;
         const int64_t rbase = chunk * chunk_elems
-                              + (int64_t)(row % p->rows) * kLane;
+                              + ((half & 1) * halfr + row % halfr) * kLane;
         // slot word: keep hi2 bits, set slo + rcf
         uint32_t w = (uint32_t)pk[rbase + slot];
         w = (w & 0xFFE00000u) | ((uint32_t)L << kSloShift)

@@ -103,6 +103,8 @@ class Spmv2Plan:
     kindid: Any           # i32[nc]  0 = hub, 1+k = window class k
     blkid: Any            # i32[nc]  receiver block (nondecreasing)
     base: Any             # i32[nc]  X2 window base row (8-aligned)
+    kind2: Any            # i32[nc]  second-half window class
+    base2: Any            # i32[nc]  second-half window base
     pk: Any               # i32[nc,rows,128] hi2<<21 | slo<<14 | rcf
     val: Any              # f32[nc,rows,128] edge values (pads 0)
     got_static: Any       # bool[n_pad]
@@ -197,11 +199,12 @@ def build_spmv2_plan(senders0: np.ndarray, receivers0: np.ndarray,
                      vals: np.ndarray, n: int, n_recv: int | None = None,
                      wr: int = 4096, hub: int = 2048,
                      windows=(160, 256, 1024, 2048),
-                     cell_min: int = 4000, rows: int = 32) -> Spmv2Plan:
+                     cell_min: int = 4000, rows: int = 64) -> Spmv2Plan:
     """Pack a 0-based COO edge list into the v2r routed chunk layout.
 
-    ``rows=32`` ([32,128] chunks) amortizes per-chunk fixed cost:
-    4.2 vs 6.3 ms/iter on RMAT-20 (vs rows=16)."""
+    ``rows=64`` ([64,128] chunks, two 32-row window halves) amortizes
+    per-chunk fixed cost: 4.15 vs 4.42 ms/iter on RMAT-20 (vs rows=32;
+    rows=128 regresses on fill)."""
     if n_recv is None:
         n_recv = n
     h = max(_round_up(_round_up(n, LANE) // LANE, LANE), LANE)
@@ -210,6 +213,7 @@ def build_spmv2_plan(senders0: np.ndarray, receivers0: np.ndarray,
     nb = n_pad // wr
     e = len(senders0)
     assert wr <= (1 << RCF_BITS) - 1, "wr must fit the packed rcf field"
+    assert rows % 16 == 0, "rows must split into two 8-aligned halves"
 
     s = np.asarray(senders0, np.int64)
     r = np.asarray(receivers0, np.int64)
@@ -232,11 +236,10 @@ def build_spmv2_plan(senders0: np.ndarray, receivers0: np.ndarray,
     order = np.lexsort((s, cellk, kind, rblk))
     so, ro, vo, go = s[order], r[order], v[order], gidx[order]
     ko, co, bo, blko = kind[order], cellk[order], basew[order], rblk[order]
+    half = rows // 2
 
-    kind_c, blk_c, base_c = [], [], []
-    pk_rows, val_rows_all = [], []
-    chunk_of_rows = []   # chunk id per emitted row
-    nc = 0
+    # routed packing per cell -> (blk, kind, base, [row (pk, val) pairs])
+    cells_rows = []
     cb = np.r_[0, np.flatnonzero(co[1:] != co[:-1]) + 1, e] if e \
         else np.zeros(1, np.int64)
     for gi in range(len(cb) - 1):
@@ -244,54 +247,48 @@ def build_spmv2_plan(senders0: np.ndarray, receivers0: np.ndarray,
         blk = int(blko[lo])
         hi2_r, slo_r, rcf_r, val_r = _pack_routed_cell(
             so[lo:hi_], ro[lo:hi_], vo[lo:hi_], go[lo:hi_], blk, wr, rows)
-        ncell_chunks = -(-len(hi2_r) // rows)
-        for c in range(ncell_chunks):
-            kind_c.append(int(ko[lo]))
-            blk_c.append(blk)
-            base_c.append(int(bo[lo]))
-        for ri, (h2, sl, rc, vl) in enumerate(zip(hi2_r, slo_r, rcf_r,
-                                                  val_r)):
-            pk_rows.append(((h2.astype(np.uint32) << 21)
-                            | (sl.astype(np.uint32) << RCF_BITS)
-                            | rc.astype(np.uint32)).view(np.int32))
-            val_rows_all.append(vl)
-            chunk_of_rows.append(nc + ri // rows)
-        # pad the cell's last chunk to full rows
-        pad_rows = ncell_chunks * rows - len(hi2_r)
-        for _ in range(pad_rows):
-            pk_rows.append(np.full(LANE, wr, np.int32))
-            val_rows_all.append(np.zeros(LANE, np.float32))
-            chunk_of_rows.append(nc + ncell_chunks - 1)
-        nc += ncell_chunks
+        rws = [(((h2.astype(np.uint32) << 21)
+                 | (sl.astype(np.uint32) << RCF_BITS)
+                 | rc.astype(np.uint32)).view(np.int32), vl)
+               for h2, sl, rc, vl in zip(hi2_r, slo_r, rcf_r, val_r)]
+        cells_rows.append((blk, int(ko[lo]), int(bo[lo]), rws))
 
-    # empty-block coverage
-    covered = np.zeros(nb, bool)
-    covered[np.asarray(blk_c, np.int64)] = True if blk_c else False
-    for b in np.flatnonzero(~covered):
-        kind_c.append(KIND_HUB)
-        blk_c.append(int(b))
-        base_c.append(0)
-        for _ in range(rows):
-            pk_rows.append(np.full(LANE, wr, np.int32))
-            val_rows_all.append(np.zeros(LANE, np.float32))
-            chunk_of_rows.append(nc)
-        nc += 1
-
-    # assemble in block order (stable over cells)
-    kind_c = np.asarray(kind_c, np.int32)
-    blk_c = np.asarray(blk_c, np.int32)
-    base_c = np.asarray(base_c, np.int32)
-    corder = np.argsort(blk_c, kind="stable")
-    crank = np.empty(nc, np.int64)
-    crank[corder] = np.arange(nc)
-    pk = np.zeros((nc, rows, LANE), np.int32)
-    val = np.zeros((nc, rows, LANE), np.float32)
-    rowptr = np.zeros(nc, np.int64)
-    for rid, ch in enumerate(chunk_of_rows):
-        gc = crank[ch]
-        pk[gc, rowptr[gc]] = pk_rows[rid]
-        val[gc, rowptr[gc]] = val_rows_all[rid]
-        rowptr[gc] += 1
+    # half-chunk assembly: each chunk is two rows//2-row halves with
+    # independent gather windows, so cell tails pair across cells of the
+    # same block instead of wasting a whole chunk each
+    kind_c, blk_c, base_c, kind2_c, base2_c = [], [], [], [], []
+    chunks_pk, chunks_val = [], []
+    ci = 0
+    for b in range(nb):
+        halves = []          # (kind, base, row list of <= half rows)
+        while ci < len(cells_rows) and cells_rows[ci][0] == b:
+            _, kd, bs, rws = cells_rows[ci]
+            for off in range(0, max(len(rws), 1), half):
+                halves.append((kd, bs, rws[off:off + half]))
+            ci += 1
+        if not halves:
+            halves.append((KIND_HUB, 0, []))   # empty-block coverage
+        if len(halves) & 1:                    # pad half: mirror previous
+            halves.append((halves[-1][0], halves[-1][1], []))
+        for c in range(len(halves) // 2):
+            kA, bA, rA = halves[2 * c]
+            kB, bB, rB = halves[2 * c + 1]
+            pkc = np.full((rows, LANE), wr, np.int32)
+            vlc = np.zeros((rows, LANE), np.float32)
+            for ri, (prow, vrow) in enumerate(rA):
+                pkc[ri], vlc[ri] = prow, vrow
+            for ri, (prow, vrow) in enumerate(rB):
+                pkc[half + ri], vlc[half + ri] = prow, vrow
+            kind_c.append(kA)
+            base_c.append(bA)
+            kind2_c.append(kB)
+            base2_c.append(bB)
+            blk_c.append(b)
+            chunks_pk.append(pkc)
+            chunks_val.append(vlc)
+    nc = len(chunks_pk)
+    pk = np.stack(chunks_pk)
+    val = np.stack(chunks_val)
 
     got = np.zeros(n_pad, bool)
     if e:
@@ -300,9 +297,11 @@ def build_spmv2_plan(senders0: np.ndarray, receivers0: np.ndarray,
         n_pad=n_pad, n_send_pad=n_send_pad, h=h, wr=wr, nb=nb, nc=nc,
         hub=hub, nnz=e, fill=e / max(nc * rows * LANE, 1),
         classes=tuple(norm_windows), rows=rows,
-        kindid=jnp.asarray(kind_c[corder]),
-        blkid=jnp.asarray(blk_c[corder]),
-        base=jnp.asarray(base_c[corder]),
+        kindid=jnp.asarray(np.asarray(kind_c, np.int32)),
+        blkid=jnp.asarray(np.asarray(blk_c, np.int32)),
+        base=jnp.asarray(np.asarray(base_c, np.int32)),
+        kind2=jnp.asarray(np.asarray(kind2_c, np.int32)),
+        base2=jnp.asarray(np.asarray(base2_c, np.int32)),
         pk=jnp.asarray(pk), val=jnp.asarray(val),
         got_static=jnp.asarray(got)))
 
@@ -326,9 +325,11 @@ def _build_plan2_native(lib, s, r, v, e, h, wr, nb, hub, windows,
         kindid = np.empty(nc, np.int32)
         blkid = np.empty(nc, np.int32)
         base = np.empty(nc, np.int32)
+        kind2 = np.empty(nc, np.int32)
+        base2 = np.empty(nc, np.int32)
         pk = np.empty((nc, rows, LANE), np.int32)
         val = np.empty((nc, rows, LANE), np.float32)
-        lib.gm_plan2_fill(handle, kindid, blkid, base,
+        lib.gm_plan2_fill(handle, kindid, blkid, base, kind2, base2,
                           pk.reshape(-1), val.reshape(-1))
     finally:
         lib.gm_plan2_destroy(handle)
@@ -340,7 +341,8 @@ def _build_plan2_native(lib, s, r, v, e, h, wr, nb, hub, windows,
         hub=hub, nnz=e, fill=e / max(nc * rows * LANE, 1),
         classes=tuple(int(w) for w in windows), rows=rows,
         kindid=jnp.asarray(kindid), blkid=jnp.asarray(blkid),
-        base=jnp.asarray(base),
+        base=jnp.asarray(base), kind2=jnp.asarray(kind2),
+        base2=jnp.asarray(base2),
         pk=jnp.asarray(pk), val=jnp.asarray(val),
         got_static=jnp.asarray(got)))
 
@@ -368,8 +370,9 @@ def _make_kernel(process: Callable, wr: int, h: int, n_splits: int,
     wmax = max(classes)
     chunk = rows * LANE
     ntiles = rows // 8
+    htiles = ntiles // 2          # tiles per half-chunk
 
-    def kernel(kind_ref, blk_ref, base_ref, *rest):
+    def kernel(kind_ref, blk_ref, base_ref, kind2_ref, base2_ref, *rest):
         if sparse:
             act_ref = rest[0]
             rest = rest[2:]   # rest[1] = eff_ref, used by index maps only
@@ -402,63 +405,84 @@ def _make_kernel(process: Callable, wr: int, h: int, n_splits: int,
             subs = [ix & 7 for ix in hi2s]
             gsels = [ix >> 3 for ix in hi2s]
 
-            def gather_from(tbl_for_g, ngran):
-                """Statically unrolled granule walk (the dynamic-trip loop
-                variant measured ~86 ns/granule in loop+slice overhead
-                alone)."""
-                xvs = [jnp.zeros((8, LANE), jnp.float32)
-                       for _ in range(ntiles)]
-                for g in range(ngran):
-                    tbl = tbl_for_g(g)
-                    for t in range(ntiles):
-                        got = jnp.take_along_axis(tbl, subs[t], axis=0)
-                        xvs[t] = jnp.where(gsels[t] == g, got, xvs[t])
-                return tuple(xvs)
+            def gather_half(tsel, kind_v, base_v, skip_load):
+                """One half-chunk's gather: window select + statically
+                unrolled granule walk over the half's tiles (a dynamic
+                trip count costs ~86 ns/granule in loop+slice overhead)."""
 
-            def hub_branch():
-                def tbl(g):
-                    # hub senders live in x2 rows [0, 16) (HBM mode: the
-                    # VMEM mirror at the tail of wscr)
-                    if x2_hbm:
-                        return wscr_ref[wmax + 8 * g: wmax + 8 * g + 8, :]
-                    return x2_ref[8 * g: 8 * g + 8, :]
-                return gather_from(tbl, HUB_GRANULES2)
+                def gather_from(tbl_for_g, ngran):
+                    xvs = [jnp.zeros((8, LANE), jnp.float32)
+                           for _ in tsel]
+                    for g in range(ngran):
+                        tbl = tbl_for_g(g)
+                        for k, t in enumerate(tsel):
+                            got = jnp.take_along_axis(tbl, subs[t], axis=0)
+                            xvs[k] = jnp.where(gsels[t] == g, got, xvs[k])
+                    return tuple(xvs)
 
-            prev = jnp.maximum(i - 1, 0)
-            same_win = jnp.logical_and(
-                i > 0, jnp.logical_and(kind_ref[i] == kind_ref[prev],
-                                       base_ref[i] == base_ref[prev]))
-            # sparse mode: chunk activity is a function of (kind, base)
-            # only, so same_win implies the previous chunk was active too
-            # and did load the window — reuse stays safe under skipping.
-
-            def window_branch(W):
-                def inner():
-                    base = pl.multiple_of(base_ref[i], 8)
-
-                    @pl.when(jnp.logical_not(same_win))
-                    def _():
+                def hub_branch():
+                    def tbl(g):
+                        # hub senders live in x2 rows [0, 16) (HBM mode:
+                        # the VMEM mirror at the tail of wscr)
                         if x2_hbm:
-                            dma = pltpu.make_async_copy(
-                                x2_ref.at[pl.ds(base, W), :],
-                                wscr_ref.at[0:W, :], dma_sem[0])
-                            dma.start()
-                            dma.wait()
-                        else:
-                            wscr_ref[0:W, :] = x2_ref[pl.ds(base, W), :]
-                    return gather_from(
-                        lambda g: wscr_ref[8 * g: 8 * g + 8, :], W // 8)
-                return inner
+                            return wscr_ref[wmax + 8 * g:
+                                            wmax + 8 * g + 8, :]
+                        return x2_ref[8 * g: 8 * g + 8, :]
+                    return gather_from(tbl, HUB_GRANULES2)
+
+                def window_branch(W):
+                    def inner():
+                        base = pl.multiple_of(base_v, 8)
+
+                        @pl.when(jnp.logical_not(skip_load))
+                        def _():
+                            if x2_hbm:
+                                dma = pltpu.make_async_copy(
+                                    x2_ref.at[pl.ds(base, W), :],
+                                    wscr_ref.at[0:W, :], dma_sem[0])
+                                dma.start()
+                                dma.wait()
+                            else:
+                                wscr_ref[0:W, :] = x2_ref[pl.ds(base, W), :]
+                        return gather_from(
+                            lambda g: wscr_ref[8 * g: 8 * g + 8, :], W // 8)
+                    return inner
+
+                branches = [hub_branch] + [window_branch(W)
+                                           for W in classes]
+                return list(jax.lax.switch(kind_v, branches))
 
             if debug == "nogather":
                 xvs = [jnp.full((8, LANE), 1.0, jnp.float32)
                        for _ in range(ntiles)]
             else:
-                branches = [hub_branch] + [window_branch(W)
-                                           for W in classes]
-                qs = list(jax.lax.switch(kind_ref[i], branches))
+                # window-reuse (same_win) chain across halves:
+                # [A_{i-1}, B_{i-1}, A_i, B_i, ...] — skip the load when
+                # the window equals the one wscr already holds.  Hub
+                # halves don't touch wscr[0:W], so a window can also
+                # survive across an interposed hub half.  In sparse mode
+                # a skipped chunk loads nothing, so reuse from chunk i-1
+                # additionally requires act[i-1].
+                prev = jnp.maximum(i - 1, 0)
+                prev_ok = i > 0
+                if sparse:
+                    prev_ok = jnp.logical_and(prev_ok, act_ref[prev] != 0)
+                kA, bA = kind_ref[i], base_ref[i]
+                kB, bB = kind2_ref[i], base2_ref[i]
+                kP, bP = kind2_ref[prev], base2_ref[prev]
+                sameA = jnp.logical_and(
+                    prev_ok, jnp.logical_and(kA == kP, bA == bP))
+                sameB = jnp.logical_or(
+                    jnp.logical_and(kB == kA, bB == bA),
+                    jnp.logical_and(
+                        kA == 0, jnp.logical_and(
+                            prev_ok,
+                            jnp.logical_and(kB == kP, bB == bP))))
+                xvs = (gather_half(list(range(htiles)), kA, bA, sameA)
+                       + gather_half(list(range(htiles, ntiles)), kB, bB,
+                                     sameB))
                 # route each slot to its sender's registration lane
-                xvs = [jnp.take_along_axis(qs[t], slos[t], axis=1)
+                xvs = [jnp.take_along_axis(xvs[t], slos[t], axis=1)
                        for t in range(ntiles)]
 
             ps = [process(xvs[t], val_ref[0, 8 * t: 8 * t + 8, :]).astype(
@@ -518,25 +542,32 @@ def _make_kernel(process: Callable, wr: int, h: int, n_splits: int,
     return kernel
 
 
-def _chunk_activity(sent, kindid, base, classes, h, nc):
+def _chunk_activity(sent, kindid, base, classes, h, nc,
+                    kind2=None, base2=None):
     """Per-chunk frontier activity + effective-block routing.
 
     ``sent``: bool[h*128] sender activity in X2 layout.  A chunk is active
-    iff any sender in its gather range is — hub chunks read X2 rows
-    [0, 16), window chunks [base, base + W).  Activity is thus a function
-    of (kind, base) alone, which the kernel's window-reuse skip relies on.
-    ``eff[i]`` = most recent active chunk id <= i (leading inactive chunks
-    route to block 0): inactive chunks' plan blocks become pipeline
-    revisits and are never fetched.
+    iff any sender in either half's gather range is — hub halves read X2
+    rows [0, 16), window halves [base, base + W).  Activity is thus a
+    function of the halves' (kind, base) alone, which the kernel's
+    window-reuse skip relies on.  ``eff[i]`` = most recent active chunk
+    id <= i (leading inactive chunks route to block 0): inactive chunks'
+    plan blocks become pipeline revisits and are never fetched.
     """
     rowact = jnp.any(sent.reshape(h, LANE), axis=1).astype(jnp.int32)
     pref = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(rowact)])
     # rows gathered per kind: hub = 16 (hub <= 16*128 senders), else W
     wlen = jnp.asarray(np.array([16] + list(classes), np.int64),
                        dtype=jnp.int32)
-    L = jnp.take(wlen, kindid)
-    b = jnp.where(kindid == 0, 0, base)
-    cact = (pref[jnp.minimum(b + L, h)] - pref[b]) > 0
+
+    def half_act(kd, bs):
+        L = jnp.take(wlen, kd)
+        b = jnp.where(kd == 0, 0, bs)
+        return (pref[jnp.minimum(b + L, h)] - pref[b]) > 0
+
+    cact = half_act(kindid, base)
+    if kind2 is not None:
+        cact = cact | half_act(kind2, base2)
     idxs = jnp.arange(nc, dtype=jnp.int32)
     eff = jax.lax.cummax(jnp.where(cact, idxs, -1))
     return cact.astype(jnp.int32), jnp.maximum(eff, 0)
@@ -549,7 +580,7 @@ def _spmv2_call(plan_arrays, plan_static, x, process, n_splits, interpret,
                 debug=None, x2_hbm=None, sent=None):
     h, wr, nb, nc, n_pad, classes = plan_static[:6]
     rows = plan_static[6] if len(plan_static) > 6 else ROWS
-    kindid, blkid, base, pk, val = plan_arrays
+    kindid, blkid, base, kind2, base2, pk, val = plan_arrays
     G = wr // LANE
     x2 = x.reshape(h, LANE)
     sparse = sent is not None
@@ -557,7 +588,7 @@ def _spmv2_call(plan_arrays, plan_static, x, process, n_splits, interpret,
         if sent.shape[0] < h * LANE:
             sent = jnp.pad(sent, (0, h * LANE - sent.shape[0]))
         act, eff = _chunk_activity(sent[: h * LANE], kindid, base,
-                                   classes, h, nc)
+                                   classes, h, nc, kind2, base2)
 
     if x2_hbm is None:
         x2_hbm = h > VMEM_X2_MAX_ROWS and not interpret
@@ -565,11 +596,11 @@ def _spmv2_call(plan_arrays, plan_static, x, process, n_splits, interpret,
                           x2_hbm, rows, sparse)
     wmax = max(classes) if classes else 8
     if sparse:
-        nmap = lambda i, kd, bk, bs, a, eff_: (eff_[i], 0, 0)
-        omap = lambda i, kd, bk, bs, a, eff_: (bk[i], 0, 0)
+        nmap = lambda i, kd, bk, bs, k2, b2, a, eff_: (eff_[i], 0, 0)
+        omap = lambda i, kd, bk, bs, k2, b2, a, eff_: (bk[i], 0, 0)
     else:
         nmap = lambda i, *_: (i, 0, 0)
-        omap = lambda i, kind, blk, bs: (blk[i], 0, 0)
+        omap = lambda i, kind, blk, bs, k2, b2: (blk[i], 0, 0)
     chunk_spec = pl.BlockSpec((1, rows, LANE), nmap,
                               memory_space=pltpu.VMEM)
     x2_spec = pl.BlockSpec(memory_space=(pltpu.ANY if x2_hbm
@@ -581,15 +612,15 @@ def _spmv2_call(plan_arrays, plan_static, x, process, n_splits, interpret,
     if x2_hbm:
         scratch.append(pltpu.SemaphoreType.DMA(()))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5 if sparse else 3,
+        num_scalar_prefetch=7 if sparse else 5,
         grid=(nc,),
         in_specs=[chunk_spec, chunk_spec, x2_spec],
         out_specs=pl.BlockSpec((1, G, LANE), omap,
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
     )
-    operands = ((kindid, blkid, base, act, eff) if sparse
-                else (kindid, blkid, base))
+    operands = ((kindid, blkid, base, kind2, base2, act, eff) if sparse
+                else (kindid, blkid, base, kind2, base2))
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, G, LANE), jnp.float32),
@@ -632,7 +663,8 @@ def spmv2(plan: Spmv2Plan, x, reduce_kind: str = "sum",
     if x.shape[0] < plan.n_send_pad:
         x = jnp.pad(x, (0, plan.n_send_pad - x.shape[0]))
     x = x[: plan.n_send_pad].astype(jnp.float32)
-    plan_arrays = (plan.kindid, plan.blkid, plan.base, plan.pk, plan.val)
+    plan_arrays = (plan.kindid, plan.blkid, plan.base, plan.kind2,
+                   plan.base2, plan.pk, plan.val)
     plan_static = (plan.h, plan.wr, plan.nb, plan.nc, plan.n_pad,
                    plan.classes, plan.rows)
     return _spmv2_call(plan_arrays, plan_static, x, process, n_splits,

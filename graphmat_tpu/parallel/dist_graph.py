@@ -304,6 +304,8 @@ class DistGraph:
             jax.device_put(pad_stack("kindid", 0), sh),
             jax.device_put(pad_stack("blkid", 0, pad_blk=True), sh),
             jax.device_put(pad_stack("base", 0), sh),
+            jax.device_put(pad_stack("kind2", 0), sh),
+            jax.device_put(pad_stack("base2", 0), sh),
             jax.device_put(pad_stack("pk", wr_eff), sh),  # pad slot
             jax.device_put(pad_stack("val", 0), sh),
         )

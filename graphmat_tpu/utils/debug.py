@@ -52,15 +52,20 @@ def validate_plan2(plan) -> None:
     real = rcf < plan.wr
     assert real.sum() == plan.nnz, \
         f"slot conservation {real.sum()} != {plan.nnz}"
-    # registration rows within each chunk's gather range
-    kind = np.asarray(plan.kindid)
-    wlen = np.array([16] + list(plan.classes))[kind]   # rows gathered
-    assert (hi2 < wlen[:, None, None]).all(), "hi2 outside gather range"
+    # registration rows within each HALF's gather range (per-half windows)
+    base2 = np.asarray(plan.base2)
+    assert (base2 % 8 == 0).all() and base2.min() >= 0, "base2 misaligned"
+    wtab = np.array([16] + list(plan.classes))
+    half = plan.rows // 2
+    wlen = np.empty_like(hi2)
+    wlen[:, :half, :] = wtab[np.asarray(plan.kindid)][:, None, None]
+    wlen[:, half:, :] = wtab[np.asarray(plan.kind2)][:, None, None]
+    assert (hi2 < wlen).all(), "hi2 outside gather range"
     # every real slot's routing lane must carry a registration usable by
     # the gather (hi2 at (row, slo) in range — value equality is checked
     # end-to-end by the oracle tests)
     reg_at = np.take_along_axis(hi2, slo, axis=2)
-    ok = reg_at < np.broadcast_to(wlen[:, None, None], u.shape)
+    ok = reg_at < wlen
     assert ok[real].all(), "routing lane registration out of range"
 
 

@@ -53,8 +53,8 @@ def main():
             plan = build_spmv2_plan(senders0, receivers0, vals, g.n_pad,
                                     n_recv=g.n_pad, windows=windows,
                                     cell_min=cell_min, wr=wr)
-            arrays = (plan.kindid, plan.blkid, plan.base, plan.pk,
-                      plan.val)
+            arrays = (plan.kindid, plan.blkid, plan.base, plan.kind2,
+                      plan.base2, plan.pk, plan.val)
         tb = time.time() - t0
         static = (plan.h, plan.wr, plan.nb, plan.nc, plan.n_pad,
                   plan.classes, plan.rows)
