@@ -612,7 +612,7 @@ struct Plan2m {
   const float* v = nullptr;
 };
 
-constexpr int kRowmodeMin = 33;
+constexpr int kRowmodeMin = 129;
 
 }  // namespace
 
@@ -811,86 +811,159 @@ void* gm_plan2m_create(const int32_t* senders, const int32_t* receivers,
     p->cell_nrmrows[q] = nrm;
     const int64_t rm_chunks = (nrm + p->rows - 1) / p->rows;
 
-    // cold edges, two stages: (1) chunk assignment under two-sided
-    // per-(chunk, lane) capacity 16, (2) per-chunk greedy row coloring
-    // with overflow chunks (greedy rarely fails under two-sided caps)
-    std::vector<std::array<int8_t, kLane>> cnt_r, cnt_s;
-    std::vector<int64_t> cold;
+    // cold edges: proper bipartite edge coloring (Euler splitting +
+    // first-fit class merging).  Per row both the receiver lanes and the
+    // sender lanes must be distinct — a bipartite multigraph between the
+    // 128 sender-lane and 128 receiver-lane nodes whose chromatic index
+    // is its max degree (Koenig).  Greedy first-fit coloring measured
+    // fill 0.35; Euler halving to matchings then merging compatible
+    // classes reaches ~0.75 (ideal ~0.85).  Free-lane edges (hub top
+    // senders, wildcard sender lane) fill leftover slots afterwards.
+    std::vector<int64_t> cold, freel;
     for (int64_t j = j0; j < j1; ++j) {
       const int64_t i = p->edge_order[j];
       if (p->erm[i]) continue;
-      cold.push_back(i);
       const int32_t sv = p->s[i];
-      const int rl = p->r[i] & (kLane - 1);
-      const bool freelane = (cl.kind == 0 && sv < kLane);
-      const int slv = sv & (kLane - 1);
-      size_t c = 0;
-      for (;; ++c) {
-        if (c == cnt_r.size()) {
-          cnt_r.push_back({}); cnt_s.push_back({});
-        }
-        if (cnt_r[c][rl] < p->rows &&
-            (freelane || cnt_s[c][slv] < p->rows)) break;
-      }
-      p->echunk[i] = (int32_t)c;
-      cnt_r[c][rl]++;
-      if (!freelane) cnt_s[c][slv]++;
       p->gidx[i] = (cl.kind == 0)
                        ? (sv < kLane ? sv : kLane + (sv >> 7))
                        : (sv >> 7) - base;
+      if (cl.kind == 0 && sv < kLane) freel.push_back(i);
+      else cold.push_back(i);
     }
-    int32_t cold_chunks = (int32_t)cnt_r.size();
-    // stage 2: greedy rows per chunk; overflow edges get fresh chunks
-    std::vector<std::array<uint64_t, 2>> slotm, sendm;
-    auto ensure = [&](size_t c) {
-      while (slotm.size() < (c + 1) * (size_t)p->rows) {
-        slotm.push_back({0, 0});
-        sendm.push_back({0, 0});
+    // --- Euler split to matchings -------------------------------------
+    std::vector<std::vector<int64_t>> groups, matchings;
+    if (!cold.empty()) groups.push_back(cold);
+    std::vector<int32_t> adj_head(256), node_ptr(256);
+    while (!groups.empty()) {
+      std::vector<int64_t> g = std::move(groups.back());
+      groups.pop_back();
+      int degS[kLane] = {0}, degR[kLane] = {0};
+      for (int64_t i : g) {
+        degS[p->s[i] & (kLane - 1)]++;
+        degR[p->r[i] & (kLane - 1)]++;
       }
-    };
-    std::vector<int64_t> pend = cold;
-    while (!pend.empty()) {
-      std::vector<int64_t> overflow;
-      for (int64_t i : pend) {
-        const size_t c = p->echunk[i];
-        ensure(c);
-        const int32_t sv = p->s[i];
-        const int rl = p->r[i] & (kLane - 1);
-        const bool freelane = (cl.kind == 0 && sv < kLane);
-        const int slv = sv & (kLane - 1);
-        int row = -1, sx = -1;
-        for (int ri = 0; ri < p->rows; ++ri) {
-          auto& su = slotm[c * (size_t)p->rows + ri];
-          auto& se = sendm[c * (size_t)p->rows + ri];
-          if (su[rl >> 6] >> (rl & 63) & 1) continue;
-          if (freelane) {
-            if (~se[0]) sx = __builtin_ctzll(~se[0]);
-            else if (~se[1]) sx = 64 + __builtin_ctzll(~se[1]);
-            else continue;
-          } else if (se[slv >> 6] >> (slv & 63) & 1) {
-            continue;
-          } else {
-            sx = slv;
-          }
-          row = ri;
-          su[rl >> 6] |= 1ull << (rl & 63);
-          se[sx >> 6] |= 1ull << (sx & 63);
+      int mx = 0;
+      for (int l = 0; l < kLane; ++l)
+        mx = std::max(mx, std::max(degS[l], degR[l]));
+      if (mx <= 1) {
+        matchings.push_back(std::move(g));
+        continue;
+      }
+      // adjacency: node = sender lane (0..127) / 128 + receiver lane;
+      // each edge appears in both endpoint lists
+      const int64_t m = (int64_t)g.size();
+      std::vector<int32_t> lists(2 * m), nxt(2 * m);
+      std::fill(adj_head.begin(), adj_head.end(), -1);
+      for (int64_t k = 0; k < m; ++k) {
+        const int sn = p->s[g[k]] & (kLane - 1);
+        const int rn = 128 + (p->r[g[k]] & (kLane - 1));
+        lists[2 * k] = (int32_t)k; nxt[2 * k] = adj_head[sn];
+        adj_head[sn] = (int32_t)(2 * k);
+        lists[2 * k + 1] = (int32_t)k; nxt[2 * k + 1] = adj_head[rn];
+        adj_head[rn] = (int32_t)(2 * k + 1);
+      }
+      std::vector<char> used(m, 0), color(m, 0);
+      auto walk = [&](int v, int c) {
+        for (;;) {
+          int32_t h = adj_head[v];
+          while (h >= 0 && used[lists[h]]) h = nxt[h];
+          adj_head[v] = h;
+          if (h < 0) return;
+          const int32_t k = lists[h];
+          used[k] = 1;
+          color[k] = (char)c;
+          const int64_t i = g[k];
+          v = (v < 128) ? 128 + (p->r[i] & (kLane - 1))
+                        : (p->s[i] & (kLane - 1));
+          c ^= 1;
+        }
+      };
+      // trails from odd-degree nodes first, then circuits
+      for (int l = 0; l < kLane; ++l) {
+        if (degS[l] & 1) walk(l, 0);
+        if (degR[l] & 1) walk(128 + l, 0);
+      }
+      for (int v = 0; v < 256; ++v) walk(v, 0);
+      std::vector<int64_t> h0, h1;
+      for (int64_t k = 0; k < m; ++k)
+        (color[k] ? h1 : h0).push_back(g[k]);
+      if (!h0.empty()) groups.push_back(std::move(h0));
+      if (!h1.empty()) groups.push_back(std::move(h1));
+    }
+    // --- merge compatible matchings (first-fit, descending size) ------
+    std::stable_sort(matchings.begin(), matchings.end(),
+                     [](const std::vector<int64_t>& a,
+                        const std::vector<int64_t>& b) {
+                       return a.size() > b.size();
+                     });
+    struct RowBits { uint64_t s[2] = {0, 0}, r[2] = {0, 0}; int n = 0; };
+    std::vector<RowBits> rowb;
+    std::vector<int32_t> rowof;   // final colored-row id per matching
+    rowof.reserve(matchings.size());
+    for (const auto& mt : matchings) {
+      uint64_t ms[2] = {0, 0}, mr[2] = {0, 0};
+      for (int64_t i : mt) {
+        const int sn = p->s[i] & (kLane - 1);
+        const int rn = p->r[i] & (kLane - 1);
+        ms[sn >> 6] |= 1ull << (sn & 63);
+        mr[rn >> 6] |= 1ull << (rn & 63);
+      }
+      int dst = -1;
+      for (size_t ri = 0; ri < rowb.size(); ++ri) {
+        RowBits& rb = rowb[ri];
+        if (rb.n + (int)mt.size() <= kLane
+            && !(rb.s[0] & ms[0]) && !(rb.s[1] & ms[1])
+            && !(rb.r[0] & mr[0]) && !(rb.r[1] & mr[1])) {
+          dst = (int)ri;
           break;
         }
-        if (row < 0) {
-          overflow.push_back(i);
-        } else {
-          p->erow[i] = (int8_t)row;
-          p->eslane[i] = (int8_t)sx;
-        }
       }
-      if (!overflow.empty()) {
-        for (int64_t i : overflow) p->echunk[i] = cold_chunks;
-        ++cold_chunks;
+      if (dst < 0) {
+        rowb.push_back(RowBits());
+        dst = (int)rowb.size() - 1;
       }
-      pend = std::move(overflow);
+      RowBits& rb = rowb[dst];
+      rb.s[0] |= ms[0]; rb.s[1] |= ms[1];
+      rb.r[0] |= mr[0]; rb.r[1] |= mr[1];
+      rb.n += (int)mt.size();
+      rowof.push_back((int32_t)dst);
     }
-    if (cold.empty()) cold_chunks = 0;
+    for (size_t mi_ = 0; mi_ < matchings.size(); ++mi_) {
+      for (int64_t i : matchings[mi_]) {
+        const int32_t rr = rowof[mi_];
+        p->echunk[i] = rr / p->rows;
+        p->erow[i] = (int8_t)(rr % p->rows);
+        p->eslane[i] = (int8_t)(p->s[i] & (kLane - 1));
+      }
+    }
+    // --- free-lane edges fill leftover slots --------------------------
+    for (int64_t i : freel) {
+      const int rn = p->r[i] & (kLane - 1);
+      int dst = -1, sx = -1;
+      for (size_t ri = 0; ri < rowb.size(); ++ri) {
+        RowBits& rb = rowb[ri];
+        if (rb.n >= kLane || (rb.r[rn >> 6] >> (rn & 63)) & 1) continue;
+        if (~rb.s[0]) sx = __builtin_ctzll(~rb.s[0]);
+        else if (~rb.s[1]) sx = 64 + __builtin_ctzll(~rb.s[1]);
+        else continue;
+        dst = (int)ri;
+        break;
+      }
+      if (dst < 0) {
+        rowb.push_back(RowBits());
+        dst = (int)rowb.size() - 1;
+        sx = 0;
+      }
+      RowBits& rb = rowb[dst];
+      rb.s[sx >> 6] |= 1ull << (sx & 63);
+      rb.r[rn >> 6] |= 1ull << (rn & 63);
+      rb.n++;
+      p->echunk[i] = dst / p->rows;
+      p->erow[i] = (int8_t)(dst % p->rows);
+      p->eslane[i] = (int8_t)sx;
+    }
+    int32_t cold_chunks =
+        (int32_t)(((int64_t)rowb.size() + p->rows - 1) / p->rows);
     cell_nchunks[q] = rm_chunks + cold_chunks;
     if (cell_nchunks[q] == 0) cell_nchunks[q] = 1;
   }
