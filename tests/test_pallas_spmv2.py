@@ -257,3 +257,38 @@ def test_spmv2m_sparse_frontier_matches_dense():
         aedge = act[s]
         np.minimum.at(om, r[aedge], x[s[aedge]] + v[aedge])
         assert np.allclose(y_sparse[got_s], om[got_s], rtol=1e-6)
+
+
+@pytest.mark.parametrize("native", [False, None], ids=["numpy", "native"])
+def test_spmv2m_lane_skew(native, monkeypatch):
+    """Adversarial two-sided skew for the min layout: senders share one
+    lane AND one receiver is hot.  The Koenig-colored native planner and
+    the greedy python fallback must both stay correct (fill differs);
+    GRAPHMAT_DEBUG validates plan invariants."""
+    from graphmat_tpu.native import native_available
+    if native is None and not native_available():
+        pytest.skip("no native planner")
+    monkeypatch.setenv("GRAPHMAT_DEBUG", "1")
+    import graphmat_tpu.native as gmn
+    if native is False:
+        monkeypatch.setattr(gmn, "_lib", None)
+        monkeypatch.setattr(gmn, "_tried", True)
+    from graphmat_tpu.ops.pallas_spmv2 import build_spmv2m_plan, spmv2m
+    rng = np.random.default_rng(31)
+    n, e = 4000, 40000
+    s = (rng.integers(0, n // 128, e).astype(np.int64)) * 128 + 9
+    r = rng.integers(0, n, e).astype(np.int64)
+    r[: e // 4] = 513          # hot receiver (row-mode territory)
+    v = np.abs(rng.standard_normal(e)).astype(np.float32) + 0.1
+    plan = build_spmv2m_plan(s, r, v, n, wr=2048, hub=512,
+                             windows=(16, 64), cell_min=64)
+    x = np.abs(rng.standard_normal(n)).astype(np.float32)
+    xp = np.zeros(plan.n_send_pad, np.float32)
+    xp[:n] = x
+    y = np.asarray(spmv2m(plan, jnp.asarray(xp), "min",
+                          process=lambda xv, ev: xv + ev, interpret=True))
+    ref = np.full(n, np.inf)
+    np.minimum.at(ref, r, x[s] + v)
+    got = np.isfinite(ref)
+    assert np.allclose(y[:n][got], ref[got], rtol=1e-6)
+    assert np.isinf(y[:n][~got]).all()
