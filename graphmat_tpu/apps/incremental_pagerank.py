@@ -64,7 +64,8 @@ class DeltaPageRankProgram(GraphProgram):
         return PallasSemiring(
             "sum",
             encode=lambda msg: msg.astype(jnp.float32),
-            decode=lambda y: y.astype(self.dtype))
+            decode=lambda y: y.astype(self.dtype),
+            uses_edge_value=False)
 
 
 def run_incremental_pagerank(graph: Graph, alpha: float = 0.3,

@@ -53,7 +53,8 @@ class DegreeProgram(GraphProgram):
         return PallasSemiring(
             "sum",
             encode=lambda msg: msg.astype(jnp.float32),
-            decode=lambda y: jnp.rint(y).astype(jnp.int32))
+            decode=lambda y: jnp.rint(y).astype(jnp.int32),
+            uses_edge_value=False)
 
 
 class PageRankProgram(GraphProgram):
@@ -91,7 +92,7 @@ class PageRankProgram(GraphProgram):
             "sum",
             encode=lambda msg: msg.astype(jnp.float32),
             decode=lambda y: y.astype(self.dtype),
-            n_splits=2)
+            n_splits=2, uses_edge_value=False)
 
 
 def init_pagerank_graph(graph: Graph, dtype=jnp.float32) -> None:

@@ -51,7 +51,8 @@ class InDegreeProgram(GraphProgram):
         return PallasSemiring(
             "sum",
             encode=lambda msg: msg.astype(jnp.float32),
-            decode=lambda y: jnp.rint(y).astype(jnp.int32))
+            decode=lambda y: jnp.rint(y).astype(jnp.int32),
+            uses_edge_value=False)
 
 
 class TopSortProgram(GraphProgram):
@@ -88,7 +89,8 @@ class TopSortProgram(GraphProgram):
         return PallasSemiring(
             "sum",
             encode=lambda msg: msg.astype(jnp.float32),
-            decode=lambda y: jnp.rint(y).astype(jnp.int32))
+            decode=lambda y: jnp.rint(y).astype(jnp.int32),
+            uses_edge_value=False)
 
 
 def run_topological_sort(graph: Graph,

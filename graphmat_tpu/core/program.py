@@ -77,6 +77,12 @@ class PallasSemiring:
     # bf16 planes for the v2 scatter matmul: 3 = f32-exact; 2 = 2^-17
     # relative (exact for integer payloads < 2^17) and ~13% faster
     n_splits: int = 3
+    # False when ``process`` ignores the edge value (PageRank, Degree,
+    # BFS...): the kernel then skips the per-chunk edge-value stream
+    # entirely.  This makes the reference's declared-but-never-read
+    # ``process_message_requires_edge_value`` flag (GraphProgram.h:46)
+    # actually do something.
+    uses_edge_value: bool = True
 
 
 @dataclass(frozen=True)

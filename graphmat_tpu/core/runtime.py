@@ -161,9 +161,10 @@ class Engine:
                         p.hi2, p.slo, p.val, p.rcf), p.got_static)
                 for recv, p in self._plans.items()}
         elif self.pallas_version == 2:
+            use_ev = semiring is None or semiring.uses_edge_value
             self._plan_args = {
                 recv: ((p.kindid, p.blkid, p.base, p.kind2, p.base2,
-                        p.pk, p.val), p.got_static)
+                        p.pk, p.val if use_ev else None), p.got_static)
                 for recv, p in self._plans.items()}
         else:
             self._plan_args = {

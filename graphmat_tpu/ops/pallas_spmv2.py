@@ -365,7 +365,7 @@ def _split_bf16(x, n_splits):
 
 def _make_kernel(process: Callable, wr: int, h: int, n_splits: int,
                  classes, debug=None, x2_hbm=False, rows=ROWS,
-                 sparse=False):
+                 sparse=False, use_val=True):
     G = wr // LANE
     wmax = max(classes)
     chunk = rows * LANE
@@ -376,8 +376,12 @@ def _make_kernel(process: Callable, wr: int, h: int, n_splits: int,
         if sparse:
             act_ref = rest[0]
             rest = rest[2:]   # rest[1] = eff_ref, used by index maps only
-        (pk_ref, val_ref, x2_ref, y_ref,
-         acc_ref, wscr_ref, *dma_sem) = rest
+        if use_val:
+            (pk_ref, val_ref, x2_ref, y_ref,
+             acc_ref, wscr_ref, *dma_sem) = rest
+        else:
+            (pk_ref, x2_ref, y_ref, acc_ref, wscr_ref, *dma_sem) = rest
+            val_ref = None
         i = pl.program_id(0)
         first = jnp.logical_or(
             i == 0, blk_ref[i] != blk_ref[jnp.maximum(i - 1, 0)])
@@ -485,7 +489,9 @@ def _make_kernel(process: Callable, wr: int, h: int, n_splits: int,
                 xvs = [jnp.take_along_axis(xvs[t], slos[t], axis=1)
                        for t in range(ntiles)]
 
-            ps = [process(xvs[t], val_ref[0, 8 * t: 8 * t + 8, :]).astype(
+            ps = [process(xvs[t],
+                          val_ref[0, 8 * t: 8 * t + 8, :] if use_val
+                          else jnp.float32(0.0)).astype(
                 jnp.float32) for t in range(ntiles)]
             p = jnp.concatenate(ps, axis=0)               # [rows, 128]
             if debug == "noscatter":
@@ -581,6 +587,7 @@ def _spmv2_call(plan_arrays, plan_static, x, process, n_splits, interpret,
     h, wr, nb, nc, n_pad, classes = plan_static[:6]
     rows = plan_static[6] if len(plan_static) > 6 else ROWS
     kindid, blkid, base, kind2, base2, pk, val = plan_arrays
+    use_val = val is not None
     G = wr // LANE
     x2 = x.reshape(h, LANE)
     sparse = sent is not None
@@ -593,7 +600,7 @@ def _spmv2_call(plan_arrays, plan_static, x, process, n_splits, interpret,
     if x2_hbm is None:
         x2_hbm = h > VMEM_X2_MAX_ROWS and not interpret
     kernel = _make_kernel(process, wr, h, n_splits, classes, debug,
-                          x2_hbm, rows, sparse)
+                          x2_hbm, rows, sparse, use_val)
     wmax = max(classes) if classes else 8
     if sparse:
         nmap = lambda i, kd, bk, bs, k2, b2, a, eff_: (eff_[i], 0, 0)
@@ -614,18 +621,20 @@ def _spmv2_call(plan_arrays, plan_static, x, process, n_splits, interpret,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7 if sparse else 5,
         grid=(nc,),
-        in_specs=[chunk_spec, chunk_spec, x2_spec],
+        in_specs=([chunk_spec, chunk_spec, x2_spec] if use_val
+                  else [chunk_spec, x2_spec]),
         out_specs=pl.BlockSpec((1, G, LANE), omap,
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
     )
     operands = ((kindid, blkid, base, kind2, base2, act, eff) if sparse
                 else (kindid, blkid, base, kind2, base2))
+    planes = (pk, val, x2) if use_val else (pk, x2)
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, G, LANE), jnp.float32),
         interpret=interpret,
-    )(*operands, pk, val, x2)
+    )(*operands, *planes)
     return out.reshape(nb * wr)[:n_pad]
 
 
