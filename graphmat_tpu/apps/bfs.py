@@ -63,7 +63,8 @@ class BFSProgram(GraphProgram):
             "min",
             encode=lambda msg: msg.astype(jnp.float32),
             decode=lambda y: jnp.where(jnp.isfinite(y), y,
-                                       0.0).astype(jnp.int32))
+                                       0.0).astype(jnp.int32),
+            uses_edge_value=False)
 
 
 def init_bfs_graph(graph: Graph, source1: int) -> None:

@@ -48,7 +48,8 @@ class ConnectedComponentsProgram(GraphProgram):
             "min",
             encode=lambda msg: msg.astype(jnp.float32),
             decode=lambda y: jnp.where(jnp.isfinite(y), y,
-                                       0.0).astype(jnp.int32))
+                                       0.0).astype(jnp.int32),
+            uses_edge_value=False)
 
 
 def run_connected_components(graph: Graph,

@@ -156,9 +156,11 @@ class Engine:
                 for recv, p in self._plans.items()}
         elif self.pallas_version == 2 and semiring is not None \
                 and semiring.reduce_kind != "sum":
+            use_ev = semiring.uses_edge_value
             self._plan_args = {
                 recv: ((p.kindid, p.blkid, p.base, p.ngran, p.rowmask,
-                        p.hi2, p.slo, p.val, p.rcf), p.got_static)
+                        p.hi2, p.slo, p.val if use_ev else None, p.rcf),
+                       p.got_static)
                 for recv, p in self._plans.items()}
         elif self.pallas_version == 2:
             use_ev = semiring is None or semiring.uses_edge_value

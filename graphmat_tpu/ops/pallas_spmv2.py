@@ -1030,7 +1030,8 @@ def _build_plan2m_native(lib, s, r, v, e, h, wr, nb, hub, windows,
 
 
 def _make_kernel_mm(reduce_kind: str, process: Callable, wr: int, h: int,
-                    classes, x2_hbm=False, rows=ROWS, sparse=False):
+                    classes, x2_hbm=False, rows=ROWS, sparse=False,
+                    use_val=True):
     G = wr // LANE
     wmax = max(classes)
     ntiles = rows // 8
@@ -1041,8 +1042,13 @@ def _make_kernel_mm(reduce_kind: str, process: Callable, wr: int, h: int,
         if sparse:
             act_ref = rest[0]
             rest = rest[2:]   # rest[1] = eff_ref, used by index maps only
-        (hi2_ref, slo_ref, val_ref, rcf_ref, x2_ref, xtop_ref, xrot_ref,
-         y_ref, acc_ref, wscr_ref, *dma_sem) = rest
+        if use_val:
+            (hi2_ref, slo_ref, val_ref, rcf_ref, x2_ref, xtop_ref,
+             xrot_ref, y_ref, acc_ref, wscr_ref, *dma_sem) = rest
+        else:
+            (hi2_ref, slo_ref, rcf_ref, x2_ref, xtop_ref, xrot_ref,
+             y_ref, acc_ref, wscr_ref, *dma_sem) = rest
+            val_ref = None
         i = pl.program_id(0)
         first = jnp.logical_or(
             i == 0, blk_ref[i] != blk_ref[jnp.maximum(i - 1, 0)])
@@ -1122,8 +1128,8 @@ def _make_kernel_mm(reduce_kind: str, process: Callable, wr: int, h: int,
                 xv = jnp.take_along_axis(
                     qs[t], slo_ref[0, 8 * t: 8 * t + 8, :], axis=1)
                 ps.append(process(
-                    xv, val_ref[0, 8 * t: 8 * t + 8, :]).astype(
-                        jnp.float32))
+                    xv, val_ref[0, 8 * t: 8 * t + 8, :] if use_val
+                    else jnp.float32(0.0)).astype(jnp.float32))
             p = jnp.concatenate(ps, axis=0)                # [rows,128]
             rcf = rcf_ref[0]                               # pads = wr
 
@@ -1182,6 +1188,7 @@ def _spmv2m_call(plan_arrays, plan_static, x, reduce_kind, process,
     rows = plan_static[6] if len(plan_static) > 6 else ROWS
     kindid, blkid, base, ngran, rowmask, hi2, slo, val, rcf = plan_arrays
     del ngran
+    use_val = val is not None
     G = wr // LANE
     x2 = x.reshape(h, LANE)
     xtop = jnp.broadcast_to(x[:LANE, None], (LANE, LANE))
@@ -1196,7 +1203,7 @@ def _spmv2m_call(plan_arrays, plan_static, x, reduce_kind, process,
     if x2_hbm is None:
         x2_hbm = h > VMEM_X2_MAX_ROWS and not interpret
     kernel = _make_kernel_mm(reduce_kind, process, wr, h, classes, x2_hbm,
-                             rows, sparse)
+                             rows, sparse, use_val)
     wmax = max(classes) if classes else 8
     if sparse:
         nmap = lambda i, kd, bk, bs, rmk, a, eff_: (eff_[i], 0, 0)
@@ -1216,7 +1223,7 @@ def _spmv2m_call(plan_arrays, plan_static, x, reduce_kind, process,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6 if sparse else 4,
         grid=(nc,),
-        in_specs=[chunk_spec] * 4
+        in_specs=[chunk_spec] * (4 if use_val else 3)
         + [x2_spec,
            pl.BlockSpec(memory_space=pltpu.VMEM),
            pl.BlockSpec(memory_space=pltpu.VMEM)],
@@ -1226,11 +1233,12 @@ def _spmv2m_call(plan_arrays, plan_static, x, reduce_kind, process,
     )
     operands = ((kindid, blkid, base, rowmask, act, eff) if sparse
                 else (kindid, blkid, base, rowmask))
+    planes = (hi2, slo, val, rcf) if use_val else (hi2, slo, rcf)
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, G, LANE), jnp.float32),
         interpret=interpret,
-    )(*operands, hi2, slo, val, rcf, x2, xtop, xrot)
+    )(*operands, *planes, x2, xtop, xrot)
     return out.reshape(nb * wr)[:n_pad]
 
 

@@ -226,8 +226,11 @@ class DistEngine:
                 (arrays, got_static) = structure["pplans"][recv]
                 static, n_send_pad = self._pplan_static_for(recv)
                 local = tuple(a[0] for a in arrays)
-                if v2 and kind == "sum" and not sem.uses_edge_value:
-                    local = local[:-1] + (None,)   # skip the val stream
+                if v2 and not sem.uses_edge_value:
+                    if kind == "sum":
+                        local = local[:-1] + (None,)   # skip val stream
+                    else:
+                        local = local[:-2] + (None, local[-1])
                 sent_arg = None
                 if v2 and sent_bool_col is not None:
                     sent_arg = sent_bool_col
