@@ -159,7 +159,7 @@ class Engine:
             use_ev = semiring.uses_edge_value
             self._plan_args = {
                 recv: ((p.kindid, p.blkid, p.base, p.ngran, p.rowmask,
-                        p.hi2, p.slo, p.val if use_ev else None, p.rcf),
+                        p.pk, p.val if use_ev else None),
                        p.got_static)
                 for recv, p in self._plans.items()}
         elif self.pallas_version == 2:

@@ -83,7 +83,7 @@ def load_planner():
             ctypes.POINTER(ctypes.c_int64)]
         lib.gm_plan2m_fill.restype = None
         lib.gm_plan2m_fill.argtypes = [ctypes.c_void_p, i32p, i32p, i32p,
-                                       i32p, i32p, i32p, i32p, f32p, i32p]
+                                       i32p, i32p, i32p, f32p]
         lib.gm_plan2m_destroy.restype = None
         lib.gm_plan2m_destroy.argtypes = [ctypes.c_void_p]
         lib.gm_planv_create.restype = ctypes.c_void_p

@@ -977,19 +977,19 @@ void* gm_plan2m_create(const int32_t* senders, const int32_t* receivers,
 
 void gm_plan2m_fill(void* handle, int32_t* kindid, int32_t* blkid,
                     int32_t* baseid, int32_t* ngran, int32_t* rowmask,
-                    int32_t* hi2, int32_t* slo, float* val, int32_t* rcf) {
+                    int32_t* pk, float* val) {
   auto* p = static_cast<Plan2m*>(handle);
   const int64_t nc = p->nc;
   const int64_t chunk_elems = (int64_t)p->rows * kLane;
   const size_t nfc = p->cell_kind.size();
+  const uint32_t wru = (uint32_t)p->wr;
 
 #pragma omp parallel for schedule(static)
   for (int64_t c = 0; c < nc; ++c) {
-    std::memset(hi2 + c * chunk_elems, 0, chunk_elems * sizeof(int32_t));
-    std::memset(slo + c * chunk_elems, 0, chunk_elems * sizeof(int32_t));
+    int32_t* pkc = pk + c * chunk_elems;
+    for (int64_t t = 0; t < chunk_elems; ++t)
+      pkc[t] = (int32_t)wru;           // pad: hi2 0, slo 0, rcf sentinel
     std::memset(val + c * chunk_elems, 0, chunk_elems * sizeof(float));
-    int32_t* rc = rcf + c * chunk_elems;
-    for (int64_t t = 0; t < chunk_elems; ++t) rc[t] = p->wr;
   }
 #pragma omp parallel for schedule(static)
   for (int64_t q = 0; q < (int64_t)nfc; ++q) {
@@ -1024,18 +1024,22 @@ void gm_plan2m_fill(void* handle, int32_t* kindid, int32_t* blkid,
       const int64_t rowbase = chunk * chunk_elems
                               + (int64_t)p->erow[i] * kLane;
       const int sx = (int)(uint8_t)p->eslane[i];
+      const uint32_t rc = (uint32_t)(p->r[i] - wrblk);
       if (p->erm[i]) {
         // row-mode: slot lane = sender lane; slo identity
-        hi2[rowbase + sx] = p->gidx[i];
-        slo[rowbase + sx] = sx;
+        pk[rowbase + sx] = (int32_t)(((uint32_t)p->gidx[i] << 21)
+                                     | ((uint32_t)sx << kSloShift) | rc);
         val[rowbase + sx] = p->v[i];
-        rcf[rowbase + sx] = (int32_t)(p->r[i] - wrblk);
       } else {
         const int rl = p->r[i] & (kLane - 1);
-        hi2[rowbase + sx] = p->gidx[i];
-        slo[rowbase + rl] = sx;
+        // slot word at rl: keep any registration bits, set slo + rcf
+        uint32_t w = (uint32_t)pk[rowbase + rl];
+        w = (w & 0xFFE00000u) | ((uint32_t)sx << kSloShift) | rc;
+        pk[rowbase + rl] = (int32_t)w;
         val[rowbase + rl] = p->v[i];
-        rcf[rowbase + rl] = (int32_t)(p->r[i] - wrblk);
+        // registration word at the sender lane: OR the gather index
+        pk[rowbase + sx] = (int32_t)((uint32_t)pk[rowbase + sx]
+                                     | ((uint32_t)p->gidx[i] << 21));
       }
     }
   }

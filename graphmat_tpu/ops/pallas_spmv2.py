@@ -709,10 +709,9 @@ class Spmv2mPlan:
     base: Any             # i32[nc]
     ngran: Any            # i32[nc]
     rowmask: Any          # i32[nc]  bit i: row i is single-receiver mode
-    hi2: Any              # i32[nc,16,128] window row, registered by s-lane
-    slo: Any              # i32[nc,16,128] per-slot sender lane
-    val: Any              # f32[nc,16,128] per-slot edge value
-    rcf: Any              # i32[nc,16,128] per-slot receiver offset; pad=wr
+    pk: Any               # i32[nc,rows,128] hi2<<21 | slo<<14 | rcf (the
+                          # same packed plane as the sum layout; pads = wr)
+    val: Any              # f32[nc,rows,128] per-slot edge value
     got_static: Any
 
 
@@ -979,10 +978,13 @@ def build_spmv2m_plan(senders0: np.ndarray, receivers0: np.ndarray,
         base=jnp.asarray(np.array([c[2] for c in chunks], np.int32)),
         ngran=jnp.asarray(np.array([c[3] for c in chunks], np.int32)),
         rowmask=jnp.asarray(np.array([c[8] for c in chunks], np.int32)),
-        hi2=jnp.asarray(np.stack([c[4] for c in chunks])),
-        slo=jnp.asarray(np.stack([c[5] for c in chunks])),
+        pk=jnp.asarray(
+            ((np.stack([c[4] for c in chunks]).astype(np.uint32) << 21)
+             | (np.stack([c[5] for c in chunks]).astype(np.uint32)
+                << RCF_BITS)
+             | np.stack([c[7] for c in chunks]).astype(np.uint32)
+             ).view(np.int32)),
         val=jnp.asarray(np.stack([c[6] for c in chunks])),
-        rcf=jnp.asarray(np.stack([c[7] for c in chunks])),
         got_static=jnp.asarray(got)), mm=True)
 
 
@@ -1007,13 +1009,10 @@ def _build_plan2m_native(lib, s, r, v, e, h, wr, nb, hub, windows,
         base = np.empty(nc, np.int32)
         ngran = np.empty(nc, np.int32)
         rowmask = np.empty(nc, np.int32)
-        hi2 = np.empty((nc, rows, LANE), np.int32)
-        slo = np.empty((nc, rows, LANE), np.int32)
+        pk = np.empty((nc, rows, LANE), np.int32)
         val = np.empty((nc, rows, LANE), np.float32)
-        rcf = np.empty((nc, rows, LANE), np.int32)
         lib.gm_plan2m_fill(handle, kindid, blkid, base, ngran, rowmask,
-                           hi2.reshape(-1), slo.reshape(-1),
-                           val.reshape(-1), rcf.reshape(-1))
+                           pk.reshape(-1), val.reshape(-1))
     finally:
         lib.gm_plan2m_destroy(handle)
     got = np.zeros(n_pad, bool)
@@ -1025,8 +1024,8 @@ def _build_plan2m_native(lib, s, r, v, e, h, wr, nb, hub, windows,
         kindid=jnp.asarray(kindid), blkid=jnp.asarray(blkid),
         base=jnp.asarray(base), ngran=jnp.asarray(ngran),
         rowmask=jnp.asarray(rowmask),
-        hi2=jnp.asarray(hi2), slo=jnp.asarray(slo), val=jnp.asarray(val),
-        rcf=jnp.asarray(rcf), got_static=jnp.asarray(got)), mm=True)
+        pk=jnp.asarray(pk), val=jnp.asarray(val),
+        got_static=jnp.asarray(got)), mm=True)
 
 
 def _make_kernel_mm(reduce_kind: str, process: Callable, wr: int, h: int,
@@ -1043,10 +1042,10 @@ def _make_kernel_mm(reduce_kind: str, process: Callable, wr: int, h: int,
             act_ref = rest[0]
             rest = rest[2:]   # rest[1] = eff_ref, used by index maps only
         if use_val:
-            (hi2_ref, slo_ref, val_ref, rcf_ref, x2_ref, xtop_ref,
+            (pk_ref, val_ref, x2_ref, xtop_ref,
              xrot_ref, y_ref, acc_ref, wscr_ref, *dma_sem) = rest
         else:
-            (hi2_ref, slo_ref, rcf_ref, x2_ref, xtop_ref, xrot_ref,
+            (pk_ref, x2_ref, xtop_ref, xrot_ref,
              y_ref, acc_ref, wscr_ref, *dma_sem) = rest
             val_ref = None
         i = pl.program_id(0)
@@ -1067,10 +1066,14 @@ def _make_kernel_mm(reduce_kind: str, process: Callable, wr: int, h: int,
                 dma0.wait()
 
         def compute():
-            subs = [hi2_ref[0, 8 * t: 8 * t + 8, :] & 7
-                    for t in range(ntiles)]
-            gsels = [hi2_ref[0, 8 * t: 8 * t + 8, :] >> 3
-                     for t in range(ntiles)]
+            us = [jax.lax.bitcast_convert_type(
+                      pk_ref[0, 8 * t: 8 * t + 8, :], jnp.uint32)
+                  for t in range(ntiles)]
+            hi2s = [(u >> 21).astype(jnp.int32) for u in us]
+            slos = [((u >> RCF_BITS) & (LANE - 1)).astype(jnp.int32)
+                    for u in us]
+            subs = [ix & 7 for ix in hi2s]
+            gsels = [ix >> 3 for ix in hi2s]
 
             def gather_from(tbl_for_g, ngran):
                 qs = [jnp.zeros((8, LANE), jnp.float32)
@@ -1125,13 +1128,13 @@ def _make_kernel_mm(reduce_kind: str, process: Callable, wr: int, h: int,
             # route to receiver-lane slots, then process
             ps = []
             for t in range(ntiles):
-                xv = jnp.take_along_axis(
-                    qs[t], slo_ref[0, 8 * t: 8 * t + 8, :], axis=1)
+                xv = jnp.take_along_axis(qs[t], slos[t], axis=1)
                 ps.append(process(
                     xv, val_ref[0, 8 * t: 8 * t + 8, :] if use_val
                     else jnp.float32(0.0)).astype(jnp.float32))
             p = jnp.concatenate(ps, axis=0)                # [rows,128]
-            rcf = rcf_ref[0]                               # pads = wr
+            rcf = (jax.lax.bitcast_convert_type(pk_ref[0], jnp.uint32)
+                   & ((1 << RCF_BITS) - 1)).astype(jnp.int32)  # pads = wr
 
             # single-receiver rows (in-degree hubs): reduce the whole row
             # and route the one result to the receiver's lane before the
@@ -1186,7 +1189,7 @@ def _spmv2m_call(plan_arrays, plan_static, x, reduce_kind, process,
                  interpret, x2_hbm=None, sent=None):
     h, wr, nb, nc, n_pad, classes = plan_static[:6]
     rows = plan_static[6] if len(plan_static) > 6 else ROWS
-    kindid, blkid, base, ngran, rowmask, hi2, slo, val, rcf = plan_arrays
+    kindid, blkid, base, ngran, rowmask, pk, val = plan_arrays
     del ngran
     use_val = val is not None
     G = wr // LANE
@@ -1223,7 +1226,7 @@ def _spmv2m_call(plan_arrays, plan_static, x, reduce_kind, process,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6 if sparse else 4,
         grid=(nc,),
-        in_specs=[chunk_spec] * (4 if use_val else 3)
+        in_specs=[chunk_spec] * (2 if use_val else 1)
         + [x2_spec,
            pl.BlockSpec(memory_space=pltpu.VMEM),
            pl.BlockSpec(memory_space=pltpu.VMEM)],
@@ -1233,7 +1236,7 @@ def _spmv2m_call(plan_arrays, plan_static, x, reduce_kind, process,
     )
     operands = ((kindid, blkid, base, rowmask, act, eff) if sparse
                 else (kindid, blkid, base, rowmask))
-    planes = (hi2, slo, val, rcf) if use_val else (hi2, slo, rcf)
+    planes = (pk, val) if use_val else (pk,)
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, G, LANE), jnp.float32),
@@ -1260,7 +1263,7 @@ def spmv2m(plan: Spmv2mPlan, x, reduce_kind: str,
         x = jnp.pad(x, (0, plan.n_send_pad - x.shape[0]))
     x = x[: plan.n_send_pad].astype(jnp.float32)
     plan_arrays = (plan.kindid, plan.blkid, plan.base, plan.ngran,
-                   plan.rowmask, plan.hi2, plan.slo, plan.val, plan.rcf)
+                   plan.rowmask, plan.pk, plan.val)
     plan_static = (plan.h, plan.wr, plan.nb, plan.nc, plan.n_pad,
                    plan.classes, plan.rows)
     return _spmv2m_call(plan_arrays, plan_static, x, reduce_kind, process,

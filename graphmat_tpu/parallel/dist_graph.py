@@ -355,10 +355,8 @@ class DistGraph:
             jax.device_put(pad_stack("base", 0), sh),
             jax.device_put(pad_stack("ngran", 0, pad_ngran=True), sh),
             jax.device_put(pad_stack("rowmask", 0), sh),
-            jax.device_put(pad_stack("hi2", 0), sh),
-            jax.device_put(pad_stack("slo", 0), sh),
+            jax.device_put(pad_stack("pk", wr_eff), sh),  # pad slot
             jax.device_put(pad_stack("val", 0), sh),
-            jax.device_put(pad_stack("rcf", wr_eff), sh),
         )
         got = np.stack([np.asarray(p.got_static) for p in plans])
         got_d = jax.device_put(got, sh)

@@ -227,10 +227,7 @@ class DistEngine:
                 static, n_send_pad = self._pplan_static_for(recv)
                 local = tuple(a[0] for a in arrays)
                 if v2 and not sem.uses_edge_value:
-                    if kind == "sum":
-                        local = local[:-1] + (None,)   # skip val stream
-                    else:
-                        local = local[:-2] + (None, local[-1])
+                    local = local[:-1] + (None,)   # skip the val stream
                 sent_arg = None
                 if v2 and sent_bool_col is not None:
                     sent_arg = sent_bool_col

@@ -70,10 +70,12 @@ def validate_plan2(plan) -> None:
 
 
 def validate_plan2m(plan) -> None:
-    """Invariants of the min/max (colored) plan, incl. per-row sender-lane
-    injectivity that the routed gather depends on."""
-    _basic(plan, np.asarray(plan.rcf))
-    real = (np.asarray(plan.rcf) < plan.wr).sum()
+    """Invariants of the min/max (colored) plan (packed plane)."""
+    from ..ops.pallas_spmv2 import RCF_BITS
+    u = np.asarray(plan.pk).view(np.uint32)
+    rcf = (u & ((1 << RCF_BITS) - 1)).astype(np.int64)
+    _basic(plan, rcf)
+    real = (rcf < plan.wr).sum()
     assert real == plan.nnz, f"slot conservation {real} != {plan.nnz}"
 
 

@@ -47,8 +47,7 @@ def main():
                                      n_recv=g.n_pad, windows=windows,
                                      cell_min=cell_min, wr=wr)
             arrays = (plan.kindid, plan.blkid, plan.base, plan.ngran,
-                      plan.rowmask, plan.hi2, plan.slo, plan.val,
-                      plan.rcf)
+                      plan.rowmask, plan.pk, plan.val)
         else:
             plan = build_spmv2_plan(senders0, receivers0, vals, g.n_pad,
                                     n_recv=g.n_pad, windows=windows,
