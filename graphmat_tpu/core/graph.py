@@ -240,6 +240,21 @@ class Graph:
     def set_active(self, vid1: int) -> None:
         self.active = self.active.at[self._idx(vid1)].set(True)
 
+    def set_active_mask(self, mask) -> None:
+        """Bulk-set the frontier from a bool[n] mask in ORIGINAL vertex
+        order — one device_put, not O(frontier) dispatches (the reference
+        restore is likewise a bulk read, ``Graph.h:152-208``)."""
+        mask = np.asarray(mask, bool)
+        if mask.shape[0] != self.n:
+            raise ValueError(f"mask has {mask.shape[0]} entries, "
+                             f"graph has {self.n} vertices")
+        full = np.zeros(self.n_pad, bool)
+        if self.perm is None:
+            full[: self.n] = mask
+        else:
+            full[self.perm] = mask
+        self.active = jnp.asarray(full)
+
     def set_inactive(self, vid1: int) -> None:
         self.active = self.active.at[self._idx(vid1)].set(False)
 

@@ -41,30 +41,68 @@ def apply_to_all_vertices(graph: Graph, fn: Callable) -> None:
     graph.vp = tree_util.tree_map(keep, new_vp, graph.vp)
 
 
-def apply_reduce_all_vertices(graph: Graph, map_fn: Callable,
-                              reduce: str = "sum"):
-    """Global scalar/array reduce of ``map_fn(vp)`` over valid vertices.
+def _reduce_leaf(leaf, mask, red, fetch=None):
+    """Reduce one [n_pad, ...] leaf over valid vertices with ``red`` — a
+    kind string, a :class:`Monoid`, or an arbitrary associative callable
+    ``combine(a, b)`` (the reference MapReduce takes any user reduce fn,
+    ``multinode/reduce.h:39-74``).  ``fetch`` pulls a (possibly sharded)
+    array to host for the generic path."""
+    from .types import Monoid
+    if isinstance(red, str):
+        red = Monoid(red)
+    if isinstance(red, Monoid) and red.kind != "generic":
+        op = {"sum": jnp.sum, "min": jnp.min, "any": jnp.min,
+              "max": jnp.max,
+              "or": lambda a, axis: jnp.any(a, axis=axis)}[red.kind]
+        m = mask.reshape(mask.shape + (1,) * (leaf.ndim - 1))
+        filled = jnp.where(m, leaf, red.identity(leaf.dtype))
+        return op(filled, axis=0)
+    # arbitrary combine: log-depth pairwise fold over exactly the valid
+    # entries (no identity needed) on host — this is a host-level utility
+    # (the reference folds sequentially on rank 0 then broadcasts)
+    combine = red.combine if isinstance(red, Monoid) else red
+    if fetch is None:
+        fetch = jax.device_get
+    a = np.asarray(fetch(leaf))[np.asarray(fetch(mask))]
+    if a.shape[0] == 0:
+        if isinstance(red, Monoid):
+            return np.asarray(red.identity(leaf.dtype))
+        raise ValueError("empty reduce with no identity — pass a Monoid")
+    while a.shape[0] > 1:
+        half = a.shape[0] // 2
+        folded = np.asarray(combine(a[:half], a[half: 2 * half]))
+        a = (np.concatenate([folded, a[2 * half:]], axis=0)
+             if a.shape[0] & 1 else folded)
+    return a[0]
 
-    ``map_fn(vp) -> [n_pad, ...]`` pytree; reduce in {'sum','min','max'}.
-    Returns host values (the reference broadcasts the result to all ranks).
+
+def reduce_tree(mapped, mask, reduce, fetch=None):
+    """Apply :func:`_reduce_leaf` across a mapped pytree; ``reduce`` may be
+    a single spec or a pytree of specs matching the mapped structure."""
+    from .types import Monoid
+    is_spec = lambda x: isinstance(x, (str, Monoid)) or callable(x)
+    if is_spec(reduce):
+        return tree_util.tree_map(
+            lambda lf: _reduce_leaf(lf, mask, reduce, fetch), mapped)
+    return tree_util.tree_map(
+        lambda r, lf: _reduce_leaf(lf, mask, r, fetch), reduce, mapped,
+        is_leaf=is_spec)
+
+
+def apply_reduce_all_vertices(graph: Graph, map_fn: Callable,
+                              reduce="sum"):
+    """Global scalar/array reduce of ``map_fn(vp)`` over valid vertices
+    (``applyReduceAllVertices``, ``Graph.h:377-381``).
+
+    ``map_fn(vp) -> [n_pad, ...]`` pytree.  ``reduce`` is a kind string
+    ('sum'/'min'/'max'/'or'), a :class:`Monoid` (including generic), an
+    arbitrary associative ``combine(a, b)`` callable, or a pytree of any
+    of these matching the mapped structure.  Returns host values (the
+    reference broadcasts the result to all ranks).
     """
     mapped = map_fn(graph.vp)
     mask = graph.valid_vertex
-    op = {"sum": jnp.sum, "min": jnp.min, "max": jnp.max}[reduce]
-
-    def neutral_for(dtype):
-        if reduce == "sum":
-            return jnp.array(0, dtype)
-        if jnp.issubdtype(dtype, jnp.floating):
-            return jnp.array(np.inf if reduce == "min" else -np.inf, dtype)
-        info = jnp.iinfo(dtype)
-        return jnp.array(info.max if reduce == "min" else info.min, dtype)
-
-    def one(leaf):
-        m = mask.reshape(mask.shape + (1,) * (leaf.ndim - 1))
-        filled = jnp.where(m, leaf, neutral_for(leaf.dtype))
-        return op(filled, axis=0)
-    return jax.device_get(tree_util.tree_map(one, mapped))
+    return jax.device_get(reduce_tree(mapped, mask, reduce))
 
 
 def apply_to_all_edges(graph: Graph, fn: Callable) -> None:
@@ -93,15 +131,28 @@ def apply_to_all_edges(graph: Graph, fn: Callable) -> None:
     if "src" in graph._host_edges:
         graph._edge_arrays["src"] = run(graph.edges_for("src"),
                                         sender_is_src=False)
-    # host copies / kernel plans are stale now
-    for recv, (s0, r0, _v) in list(graph._host_edges.items()):
+    # refresh host copies IN THE ORIGINAL EDGE ORDER (the kernel plans'
+    # eidx maps index it): scatter the receiver-sorted device values back
+    # through the deterministic build sort
+    for recv, (s0, r0, v0) in list(graph._host_edges.items()):
         ea = graph._edge_arrays.get(recv)
         if ea is None:
             continue
         valid = np.asarray(ea.valid)
-        order_vals = np.asarray(ea.vals)[valid]
-        # host edges are stored unsorted; re-derive sorted copies
-        senders = np.asarray(ea.senders)[valid]
-        receivers = np.asarray(ea.receivers)[valid]
-        graph._host_edges[recv] = (senders, receivers, order_vals)
-    graph._pallas_plans.clear()
+        sorted_vals = np.asarray(ea.vals)[valid]
+        order = np.lexsort((s0, r0))   # same sort _build_edge_arrays used
+        v_new = np.empty_like(v0)
+        v_new[order] = sorted_vals
+        graph._host_edges[recv] = (s0, r0, v_new)
+    # patch cached v2/v2m kernel plans' val planes in place (structure is
+    # unchanged — only edge values moved); plans without an eidx map (v1,
+    # vec2) drop and rebuild lazily.  Reference: in-place tile mutation,
+    # singlenode/applyedges.h:38-95.
+    from ..ops.pallas_spmv2 import refresh_plan_vals
+    for key in list(graph._pallas_plans):
+        if key[0] in ("v2", "v2m"):
+            recv = key[1]
+            new_vals = graph._host_edges[recv][2]
+            if refresh_plan_vals(graph._pallas_plans[key], new_vals):
+                continue
+        del graph._pallas_plans[key]

@@ -75,6 +75,12 @@ def load_planner():
                                       i32p, i32p, i32p, f32p]
         lib.gm_plan2_destroy.restype = None
         lib.gm_plan2_destroy.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "gm_plan2_eidx"):
+            lib.gm_plan2_eidx.restype = None
+            lib.gm_plan2_eidx.argtypes = [ctypes.c_void_p, i32p]
+        if hasattr(lib, "gm_plan2m_eidx"):
+            lib.gm_plan2m_eidx.restype = None
+            lib.gm_plan2m_eidx.argtypes = [ctypes.c_void_p, i32p]
         lib.gm_plan2m_create.restype = ctypes.c_void_p
         lib.gm_plan2m_create.argtypes = [
             i32p, i32p, f32p, ctypes.c_int64, ctypes.c_int32,

@@ -579,6 +579,46 @@ void gm_plan2_fill(void* handle, int32_t* kindid, int32_t* blkid,
   }
 }
 
+// Writes the edge->slot map: eidx[chunk, row, lane] = original edge index
+// (-1 for pads / registration-only positions).  Replays gm_plan2_fill's
+// deterministic slot assignment, so eidx aligns with the val plane —
+// enables in-place edge-value refresh (applyToAllEdges) without replanning
+// routing (the reference mutates tile vals in place,
+// singlenode/applyedges.h:38-95).
+void gm_plan2_eidx(void* handle, int32_t* eidx) {
+  auto* p = static_cast<Plan2*>(handle);
+  const int64_t nc = p->nc;
+  const int64_t chunk_elems = (int64_t)p->rows * kLane;
+  const int64_t halfr = p->rows / 2;
+  const size_t nfc = p->cell_nrows.size();
+#pragma omp parallel for schedule(static)
+  for (int64_t c = 0; c < nc; ++c)
+    for (int64_t t = 0; t < chunk_elems; ++t)
+      eidx[c * chunk_elems + t] = -1;
+#pragma omp parallel
+  {
+    std::vector<int32_t> rowfill;
+#pragma omp for schedule(dynamic, 8)
+    for (int64_t q = 0; q < (int64_t)nfc; ++q) {
+      const int64_t lo = p->cell_edge_start[q];
+      const int64_t m = p->cell_edge_start[q + 1] - lo;
+      if (!m) continue;
+      rowfill.assign(p->cell_nrows[q], 0);
+      const int64_t h0 = p->cell_half_start[q];
+      for (int64_t j = lo; j < lo + m; ++j) {
+        const int64_t i = p->edge_order[j];
+        const int32_t row = p->edge_row[j];
+        const int32_t slot = rowfill[row]++;
+        const int64_t half = h0 + row / halfr;
+        const int64_t chunk = half >> 1;
+        const int64_t rbase = chunk * chunk_elems
+                              + ((half & 1) * halfr + row % halfr) * kLane;
+        eidx[rbase + slot] = (int32_t)i;
+      }
+    }
+  }
+}
+
 void gm_plan2_destroy(void* handle) { delete static_cast<Plan2*>(handle); }
 
 }  // extern "C"
@@ -1041,6 +1081,35 @@ void gm_plan2m_fill(void* handle, int32_t* kindid, int32_t* blkid,
         pk[rowbase + sx] = (int32_t)((uint32_t)pk[rowbase + sx]
                                      | ((uint32_t)p->gidx[i] << 21));
       }
+    }
+  }
+}
+
+// Edge->slot map for the mm layout (see gm_plan2_eidx).
+void gm_plan2m_eidx(void* handle, int32_t* eidx) {
+  auto* p = static_cast<Plan2m*>(handle);
+  const int64_t nc = p->nc;
+  const int64_t chunk_elems = (int64_t)p->rows * kLane;
+  const size_t nfc = p->cell_kind.size();
+#pragma omp parallel for schedule(static)
+  for (int64_t c = 0; c < nc; ++c)
+    for (int64_t t = 0; t < chunk_elems; ++t)
+      eidx[c * chunk_elems + t] = -1;
+#pragma omp parallel for schedule(dynamic, 8)
+  for (int64_t q = 0; q < (int64_t)nfc; ++q) {
+    const int64_t rm_chunks =
+        (p->cell_nrmrows[q] + p->rows - 1) / p->rows;
+    for (int64_t j = p->cell_edge_start[q]; j < p->cell_edge_start[q + 1];
+         ++j) {
+      const int64_t i = p->edge_order[j];
+      const int64_t chunk = p->cell_chunk_base[q]
+                            + (p->erm[i] ? 0 : rm_chunks) + p->echunk[i];
+      const int64_t rowbase = chunk * chunk_elems
+                              + (int64_t)p->erow[i] * kLane;
+      if (p->erm[i])
+        eidx[rowbase + (int)(uint8_t)p->eslane[i]] = (int32_t)i;
+      else
+        eidx[rowbase + (p->r[i] & (kLane - 1))] = (int32_t)i;
     }
   }
 }

@@ -108,6 +108,8 @@ class Spmv2Plan:
     pk: Any               # i32[nc,rows,128] hi2<<21 | slo<<14 | rcf
     val: Any              # f32[nc,rows,128] edge values (pads 0)
     got_static: Any       # bool[n_pad]
+    eidx: Any = None      # host i32[nc,rows,128]: slot -> original edge
+                          # index (-1 pads) — enables val-only refresh
 
 
 def _classify(s, r, rblk, h, nb, wr, hub, windows, cell_min):
@@ -143,13 +145,14 @@ def _classify(s, r, rblk, h, nb, wr, hub, windows, cell_min):
     return kind, cellk, basew, gidx
 
 
-def _pack_routed_cell(sv, rv, vv, gv, blk, wr, rows_cap):
+def _pack_routed_cell(sv, rv, vv, gv, blk, wr, rows_cap, iv=None):
     """Routed row packing for one cell's edges (must be sender-sorted).
 
     Rows hold up to 128 slots; each row registers at most one sender per
     sender lane.  Greedy: senders in descending degree, per-lane candidate
-    row stacks.  Returns (rows list of (hi2, slo, rcf, val) int32/float32
-    [128] arrays)."""
+    row stacks.  Returns (rows list of (hi2, slo, rcf, val, idx)
+    int32/float32 [128] arrays); ``iv`` carries original edge indices for
+    the val-refresh map (idx rows are -1 where no slot)."""
     lanes = (sv & (LANE - 1)).astype(np.int64)
     bnd = np.r_[0, np.flatnonzero(sv[1:] != sv[:-1]) + 1, len(sv)]
     sizes = np.diff(bnd)
@@ -157,7 +160,7 @@ def _pack_routed_cell(sv, rv, vv, gv, blk, wr, rows_cap):
     reg = []
     nslots = []
     cand = [[] for _ in range(LANE)]
-    hi2_rows, slo_rows, rcf_rows, val_rows = [], [], [], []
+    hi2_rows, slo_rows, rcf_rows, val_rows, idx_rows = [], [], [], [], []
     for gI in sorder:
         lo, hi_ = int(bnd[gI]), int(bnd[gI + 1])
         L = int(lanes[lo])
@@ -181,6 +184,7 @@ def _pack_routed_cell(sv, rv, vv, gv, blk, wr, rows_cap):
                 slo_rows.append(np.zeros(LANE, np.int32))
                 rcf_rows.append(np.full(LANE, wr, np.int32))
                 val_rows.append(np.zeros(LANE, np.float32))
+                idx_rows.append(np.full(LANE, -1, np.int32))
                 for l2 in range(LANE):
                     cand[l2].append(row)
             reg[row][L] = True
@@ -190,9 +194,11 @@ def _pack_routed_cell(sv, rv, vv, gv, blk, wr, rows_cap):
             slo_rows[row][sl:sl + take] = L
             rcf_rows[row][sl:sl + take] = rv[ptr:ptr + take] - blk * wr
             val_rows[row][sl:sl + take] = vv[ptr:ptr + take]
+            if iv is not None:
+                idx_rows[row][sl:sl + take] = iv[ptr:ptr + take]
             nslots[row] += take
             ptr += take
-    return hi2_rows, slo_rows, rcf_rows, val_rows
+    return hi2_rows, slo_rows, rcf_rows, val_rows, idx_rows
 
 
 def build_spmv2_plan(senders0: np.ndarray, receivers0: np.ndarray,
@@ -236,28 +242,31 @@ def build_spmv2_plan(senders0: np.ndarray, receivers0: np.ndarray,
     order = np.lexsort((s, cellk, kind, rblk))
     so, ro, vo, go = s[order], r[order], v[order], gidx[order]
     ko, co, bo, blko = kind[order], cellk[order], basew[order], rblk[order]
+    io = order.astype(np.int32)
     half = rows // 2
 
-    # routed packing per cell -> (blk, kind, base, [row (pk, val) pairs])
+    # routed packing per cell -> (blk, kind, base, [row (pk, val, idx)])
     cells_rows = []
     cb = np.r_[0, np.flatnonzero(co[1:] != co[:-1]) + 1, e] if e \
         else np.zeros(1, np.int64)
     for gi in range(len(cb) - 1):
         lo, hi_ = int(cb[gi]), int(cb[gi + 1])
         blk = int(blko[lo])
-        hi2_r, slo_r, rcf_r, val_r = _pack_routed_cell(
-            so[lo:hi_], ro[lo:hi_], vo[lo:hi_], go[lo:hi_], blk, wr, rows)
+        hi2_r, slo_r, rcf_r, val_r, idx_r = _pack_routed_cell(
+            so[lo:hi_], ro[lo:hi_], vo[lo:hi_], go[lo:hi_], blk, wr, rows,
+            iv=io[lo:hi_])
         rws = [(((h2.astype(np.uint32) << 21)
                  | (sl.astype(np.uint32) << RCF_BITS)
-                 | rc.astype(np.uint32)).view(np.int32), vl)
-               for h2, sl, rc, vl in zip(hi2_r, slo_r, rcf_r, val_r)]
+                 | rc.astype(np.uint32)).view(np.int32), vl, ix)
+               for h2, sl, rc, vl, ix in zip(hi2_r, slo_r, rcf_r, val_r,
+                                             idx_r)]
         cells_rows.append((blk, int(ko[lo]), int(bo[lo]), rws))
 
     # half-chunk assembly: each chunk is two rows//2-row halves with
     # independent gather windows, so cell tails pair across cells of the
     # same block instead of wasting a whole chunk each
     kind_c, blk_c, base_c, kind2_c, base2_c = [], [], [], [], []
-    chunks_pk, chunks_val = [], []
+    chunks_pk, chunks_val, chunks_idx = [], [], []
     ci = 0
     for b in range(nb):
         halves = []          # (kind, base, row list of <= half rows)
@@ -275,10 +284,12 @@ def build_spmv2_plan(senders0: np.ndarray, receivers0: np.ndarray,
             kB, bB, rB = halves[2 * c + 1]
             pkc = np.full((rows, LANE), wr, np.int32)
             vlc = np.zeros((rows, LANE), np.float32)
-            for ri, (prow, vrow) in enumerate(rA):
-                pkc[ri], vlc[ri] = prow, vrow
-            for ri, (prow, vrow) in enumerate(rB):
+            ixc = np.full((rows, LANE), -1, np.int32)
+            for ri, (prow, vrow, irow) in enumerate(rA):
+                pkc[ri], vlc[ri], ixc[ri] = prow, vrow, irow
+            for ri, (prow, vrow, irow) in enumerate(rB):
                 pkc[half + ri], vlc[half + ri] = prow, vrow
+                ixc[half + ri] = irow
             kind_c.append(kA)
             base_c.append(bA)
             kind2_c.append(kB)
@@ -286,9 +297,11 @@ def build_spmv2_plan(senders0: np.ndarray, receivers0: np.ndarray,
             blk_c.append(b)
             chunks_pk.append(pkc)
             chunks_val.append(vlc)
+            chunks_idx.append(ixc)
     nc = len(chunks_pk)
     pk = np.stack(chunks_pk)
     val = np.stack(chunks_val)
+    eidx = np.stack(chunks_idx)
 
     got = np.zeros(n_pad, bool)
     if e:
@@ -303,7 +316,7 @@ def build_spmv2_plan(senders0: np.ndarray, receivers0: np.ndarray,
         kind2=jnp.asarray(np.asarray(kind2_c, np.int32)),
         base2=jnp.asarray(np.asarray(base2_c, np.int32)),
         pk=jnp.asarray(pk), val=jnp.asarray(val),
-        got_static=jnp.asarray(got)))
+        got_static=jnp.asarray(got), eidx=eidx))
 
 
 def _build_plan2_native(lib, s, r, v, e, h, wr, nb, hub, windows,
@@ -331,6 +344,10 @@ def _build_plan2_native(lib, s, r, v, e, h, wr, nb, hub, windows,
         val = np.empty((nc, rows, LANE), np.float32)
         lib.gm_plan2_fill(handle, kindid, blkid, base, kind2, base2,
                           pk.reshape(-1), val.reshape(-1))
+        eidx = None
+        if hasattr(lib, "gm_plan2_eidx"):
+            eidx = np.empty((nc, rows, LANE), np.int32)
+            lib.gm_plan2_eidx(handle, eidx.reshape(-1))
     finally:
         lib.gm_plan2_destroy(handle)
 
@@ -344,7 +361,7 @@ def _build_plan2_native(lib, s, r, v, e, h, wr, nb, hub, windows,
         base=jnp.asarray(base), kind2=jnp.asarray(kind2),
         base2=jnp.asarray(base2),
         pk=jnp.asarray(pk), val=jnp.asarray(val),
-        got_static=jnp.asarray(got)))
+        got_static=jnp.asarray(got), eidx=eidx))
 
 
 # ------------------------------------------------------------------ kernel
@@ -365,7 +382,15 @@ def _split_bf16(x, n_splits):
 
 def _make_kernel(process: Callable, wr: int, h: int, n_splits: int,
                  classes, debug=None, x2_hbm=False, rows=ROWS,
-                 sparse=False, use_val=True):
+                 sparse=False, use_val=True, want_got=False):
+    """``want_got``: the caller has encoded the sender-activity bit into
+    the LOW MANTISSA BIT of every x value (inactive senders carry exactly
+    0.0).  The kernel strips the bit before ⊗ — stealing the bit perturbs
+    each x by at most 1 ulp (2^-24 relative; exact for integer payloads
+    < 2^23) — and scatters it as ONE extra count plane in the same MXU
+    matmul, so the y bitvector costs G extra accumulator rows instead of
+    a second full SpMV (the reference sets the y bitvector inside the
+    multiply loop, ``singlenode/spmspv.h:64-81``)."""
     G = wr // LANE
     wmax = max(classes)
     chunk = rows * LANE
@@ -489,6 +514,18 @@ def _make_kernel(process: Callable, wr: int, h: int, n_splits: int,
                 xvs = [jnp.take_along_axis(xvs[t], slos[t], axis=1)
                        for t in range(ntiles)]
 
+            if want_got:
+                # strip the activity bit (int32 domain — Mosaic lacks
+                # uint32->f32 casts); the engine set it on active senders
+                xbs = [jax.lax.bitcast_convert_type(xv, jnp.int32)
+                       for xv in xvs]
+                af = jnp.concatenate(
+                    [(xb & 1).astype(jnp.float32) for xb in xbs],
+                    axis=0).reshape(1, chunk)
+                xvs = [jax.lax.bitcast_convert_type(
+                           xb & np.int32(-2), jnp.float32)
+                       for xb in xbs]
+
             ps = [process(xvs[t],
                           val_ref[0, 8 * t: 8 * t + 8, :] if use_val
                           else jnp.float32(0.0)).astype(
@@ -515,13 +552,24 @@ def _make_kernel(process: Callable, wr: int, h: int, n_splits: int,
                                 jnp.broadcast_to(part.astype(jnp.float32),
                                                  gm.shape), 0.0)
                       for part in _split_bf16(pf, n_splits)]
+            if want_got:
+                # 0/1 activity plane — exact in bf16, counts exact in the
+                # f32 matmul accumulator up to 2^24
+                planes.append(jnp.where(
+                    gm, jnp.broadcast_to(af, gm.shape), 0.0))
             P = jnp.concatenate(planes, axis=0).astype(jnp.bfloat16)
             M = jax.lax.dot_general(P, ohlo, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
             contrib = M[0:G]
             for k in range(1, n_splits):
                 contrib = contrib + M[k * G:(k + 1) * G]
-            acc_ref[:] = acc_ref[:] + contrib             # [G, 128]
+            if want_got:
+                acc_ref[0:G, :] = acc_ref[0:G, :] + contrib
+                acc_ref[G:2 * G, :] = (acc_ref[G:2 * G, :]
+                                       + M[n_splits * G:
+                                           (n_splits + 1) * G])
+            else:
+                acc_ref[:] = acc_ref[:] + contrib         # [G, 128]
 
         if sparse:
             # frontier-driven chunk skip — the TPU analog of the
@@ -581,14 +629,16 @@ def _chunk_activity(sent, kindid, base, classes, h, nc,
 
 @functools.partial(jax.jit, static_argnames=("plan_static", "process",
                                               "n_splits", "interpret",
-                                              "debug", "x2_hbm"))
+                                              "debug", "x2_hbm",
+                                              "want_got"))
 def _spmv2_call(plan_arrays, plan_static, x, process, n_splits, interpret,
-                debug=None, x2_hbm=None, sent=None):
+                debug=None, x2_hbm=None, sent=None, want_got=False):
     h, wr, nb, nc, n_pad, classes = plan_static[:6]
     rows = plan_static[6] if len(plan_static) > 6 else ROWS
     kindid, blkid, base, kind2, base2, pk, val = plan_arrays
     use_val = val is not None
     G = wr // LANE
+    GA = 2 * G if want_got else G   # got mode: G extra count rows
     x2 = x.reshape(h, LANE)
     sparse = sent is not None
     if sparse:
@@ -600,7 +650,7 @@ def _spmv2_call(plan_arrays, plan_static, x, process, n_splits, interpret,
     if x2_hbm is None:
         x2_hbm = h > VMEM_X2_MAX_ROWS and not interpret
     kernel = _make_kernel(process, wr, h, n_splits, classes, debug,
-                          x2_hbm, rows, sparse, use_val)
+                          x2_hbm, rows, sparse, use_val, want_got)
     wmax = max(classes) if classes else 8
     if sparse:
         nmap = lambda i, kd, bk, bs, k2, b2, a, eff_: (eff_[i], 0, 0)
@@ -613,7 +663,7 @@ def _spmv2_call(plan_arrays, plan_static, x, process, n_splits, interpret,
     x2_spec = pl.BlockSpec(memory_space=(pltpu.ANY if x2_hbm
                                          else pltpu.VMEM))
     # HBM mode: wscr gains a 16-row mirror of x2[0:16] for hub granules
-    scratch = [pltpu.VMEM((G, LANE), jnp.float32),
+    scratch = [pltpu.VMEM((GA, LANE), jnp.float32),
                pltpu.VMEM((wmax + (16 if x2_hbm else 0), LANE),
                           jnp.float32)]
     if x2_hbm:
@@ -623,7 +673,7 @@ def _spmv2_call(plan_arrays, plan_static, x, process, n_splits, interpret,
         grid=(nc,),
         in_specs=([chunk_spec, chunk_spec, x2_spec] if use_val
                   else [chunk_spec, x2_spec]),
-        out_specs=pl.BlockSpec((1, G, LANE), omap,
+        out_specs=pl.BlockSpec((1, GA, LANE), omap,
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
     )
@@ -632,14 +682,48 @@ def _spmv2_call(plan_arrays, plan_static, x, process, n_splits, interpret,
     planes = (pk, val, x2) if use_val else (pk, x2)
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, G, LANE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb, GA, LANE), jnp.float32),
         interpret=interpret,
     )(*operands, *planes)
+    if want_got:
+        return (out[:, :G].reshape(nb * wr)[:n_pad],
+                out[:, G:].reshape(nb * wr)[:n_pad])
     return out.reshape(nb * wr)[:n_pad]
 
 
 def _identity_process(xv, ev):
     return xv
+
+
+def encode_sent_bit(x, sent):
+    """Encode the sender-activity mask into the LOW MANTISSA BIT of x.
+
+    The bit rides the kernel's bit-preserving gathers (take_along_axis,
+    window copies, DMAs); the kernel strips it before ⊗ and scatters it
+    as a count plane — got[r] = count[r] > 0 (``want_got``).  Stealing
+    the bit perturbs each active x by at most 1 ulp (2^-24 relative;
+    integer payloads < 2^23 are exact).  Inactive senders must already
+    carry exactly 0.0 in ``x``.
+    """
+    xb = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    xb = (xb & np.uint32(0xFFFFFFFE)) | sent.astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(xb, jnp.float32)
+
+
+def refresh_plan_vals(plan, new_vals) -> bool:
+    """Patch a plan's edge-value plane in place for updated edge values
+    (same graph structure) via the host eidx map — the applyToAllEdges
+    fast path: no replan of routing/coloring (the reference mutates tile
+    vals in place, ``singlenode/applyedges.h:38-95``).  ``new_vals`` is in
+    the ORIGINAL edge order the plan was built from.  Returns False when
+    the plan carries no eidx map (caller should rebuild)."""
+    if getattr(plan, "eidx", None) is None:
+        return False
+    nv = np.asarray(new_vals, np.float32)
+    ei = plan.eidx
+    val = np.where(ei >= 0, nv[np.maximum(ei, 0)], np.float32(0.0))
+    plan.val = jnp.asarray(val.astype(np.float32))
+    return True
 
 
 def _maybe_validate(plan, mm=False):
@@ -652,7 +736,7 @@ def _maybe_validate(plan, mm=False):
 
 def spmv2(plan: Spmv2Plan, x, reduce_kind: str = "sum",
           process: Optional[Callable] = None, interpret: bool = False,
-          n_splits: int = 3, sent=None):
+          n_splits: int = 3, sent=None, with_got: bool = False):
     """Generalized SpMV: ``y[r] = sum_{(s->r)} process(x[s], val)``.
 
     ``x``: f32[plan.n_send_pad] (shorter inputs are padded).  Returns
@@ -664,6 +748,11 @@ def spmv2(plan: Spmv2Plan, x, reduce_kind: str = "sum",
     sender contribute exactly 0 and their plan blocks are never fetched.
     Inactive senders inside active chunks must already carry 0 in ``x``
     (the engine masks them), so skipping removes only exact zeros.
+
+    ``with_got``: also return ``got`` (bool[n_pad]: receiver heard from an
+    active sender), folded into the same kernel launch as one extra count
+    plane (requires ``sent``) — the reference sets the y bitvector inside
+    the multiply loop (``singlenode/spmspv.h:64-81``).
     """
     if reduce_kind != "sum":
         raise NotImplementedError("spmv2 supports sum only")
@@ -676,6 +765,17 @@ def spmv2(plan: Spmv2Plan, x, reduce_kind: str = "sum",
                    plan.base2, plan.pk, plan.val)
     plan_static = (plan.h, plan.wr, plan.nb, plan.nc, plan.n_pad,
                    plan.classes, plan.rows)
+    if with_got:
+        assert sent is not None, "with_got requires the sent mask"
+        sent_p = sent
+        if sent_p.shape[0] < plan.n_send_pad:
+            sent_p = jnp.pad(sent_p, (0, plan.n_send_pad - sent_p.shape[0]))
+        x = jnp.where(sent_p[: plan.n_send_pad], x, 0.0)
+        x = encode_sent_bit(x, sent_p[: plan.n_send_pad])
+        y, cnt = _spmv2_call(plan_arrays, plan_static, x, process,
+                             n_splits, interpret, sent=sent,
+                             want_got=True)
+        return y, cnt > 0
     return _spmv2_call(plan_arrays, plan_static, x, process, n_splits,
                        interpret, sent=sent)
 
@@ -713,6 +813,8 @@ class Spmv2mPlan:
                           # same packed plane as the sum layout; pads = wr)
     val: Any              # f32[nc,rows,128] per-slot edge value
     got_static: Any
+    eidx: Any = None      # host i32[nc,rows,128]: slot -> original edge
+                          # index (-1 pads) — enables val-only refresh
 
 
 ROWMODE_MIN = 33   # in-cell receiver multiplicity that triggers row-mode
@@ -881,6 +983,7 @@ def build_spmv2m_plan(senders0: np.ndarray, receivers0: np.ndarray,
         kd = int(ks[lo])
         blk = int(bs[lo])
         se, re_, ve = s[idxs], r[idxs], v[idxs]
+        ie = idxs.astype(np.int32)
         rl = (re_ & (LANE - 1)).astype(np.int64)
         if kd == 0:
             top = se < LANE
@@ -908,11 +1011,12 @@ def build_spmv2m_plan(senders0: np.ndarray, receivers0: np.ndarray,
         ishot = np.array([x in hotset for x in re_]) if hotset else             np.zeros(len(re_), bool)
 
         RW = rows
-        rm_rows = []   # (receiver, hi2row, slorow, valrow, maskrow)
+        rm_rows = []   # (hi2row, slorow, valrow, rcfrow, idxrow)
         if ishot.any():
             for rv in sorted(hotset):
                 m = re_ == rv
                 slh, freeh, seh, veh = sl[m], free[m], se[m], ve[m]
+                ieh = ie[m]
                 rwh, sxh, nrh = _pack_rowmode(slh, freeh)
                 for rr in range(nrh):
                     mm_ = rwh == rr
@@ -920,11 +1024,13 @@ def build_spmv2m_plan(senders0: np.ndarray, receivers0: np.ndarray,
                     sr = np.zeros(LANE, np.int32)
                     vr = np.zeros(LANE, np.float32)
                     rcr = np.full(LANE, wr, np.int32)
+                    ir = np.full(LANE, -1, np.int32)
                     h2[sxh[mm_]] = gidx_of(seh[mm_])
                     sr[sxh[mm_]] = sxh[mm_]
                     vr[sxh[mm_]] = veh[mm_]
                     rcr[sxh[mm_]] = rv - blk * wr
-                    rm_rows.append((h2, sr, vr, rcr))
+                    ir[sxh[mm_]] = ieh[mm_]
+                    rm_rows.append((h2, sr, vr, rcr, ir))
         # row-mode rows fill whole chunks (rowmask bits set per used row)
         for c0 in range(0, len(rm_rows), RW):
             grp = rm_rows[c0:c0 + RW]
@@ -932,15 +1038,18 @@ def build_spmv2m_plan(senders0: np.ndarray, receivers0: np.ndarray,
             slo = np.zeros((RW, LANE), np.int32)
             vv = np.zeros((RW, LANE), np.float32)
             rcq = np.full((RW, LANE), wr, np.int32)
-            for i, (h2, sr, vr, rcr) in enumerate(grp):
-                hi2[i], slo[i], vv[i], rcq[i] = h2, sr, vr, rcr
+            ixq = np.full((RW, LANE), -1, np.int32)
+            for i, (h2, sr, vr, rcr, ir) in enumerate(grp):
+                hi2[i], slo[i], vv[i], rcq[i], ixq[i] = h2, sr, vr, rcr, ir
             rowmask = -1 if len(grp) >= 32 else (1 << len(grp)) - 1
-            chunks.append((kd, blk, base, ng, hi2, slo, vv, rcq, rowmask))
+            chunks.append((kd, blk, base, ng, hi2, slo, vv, rcq, rowmask,
+                           ixq))
 
         cold = ~ishot
         if cold.any():
             rlc, slc, freec = rl[cold], sl[cold], free[cold]
             sec, vec, rec = se[cold], ve[cold], re_[cold]
+            iec = ie[cold]
             ch, rw, sx, ncc = _pack_colored(rlc, slc, freec, rows)
             for c in range(ncc):
                 m = ch == c
@@ -948,13 +1057,16 @@ def build_spmv2m_plan(senders0: np.ndarray, receivers0: np.ndarray,
                 slo = np.zeros((rows, LANE), np.int32)
                 vv = np.zeros((rows, LANE), np.float32)
                 rcq = np.full((rows, LANE), wr, np.int32)
+                ixq = np.full((rows, LANE), -1, np.int32)
                 ri, sxi, rli = rw[m], sx[m], rlc[m]
                 gi2 = gidx_of(sec[m])
                 hi2[ri, sxi] = gi2
                 slo[ri, rli] = sxi
                 vv[ri, rli] = vec[m]
                 rcq[ri, rli] = (rec[m] - blk * wr).astype(np.int32)
-                chunks.append((kd, blk, base, ng, hi2, slo, vv, rcq, 0))
+                ixq[ri, rli] = iec[m]
+                chunks.append((kd, blk, base, ng, hi2, slo, vv, rcq, 0,
+                               ixq))
 
     covered = {c[1] for c in chunks}
     for b in range(nb):
@@ -963,7 +1075,8 @@ def build_spmv2m_plan(senders0: np.ndarray, receivers0: np.ndarray,
                            np.zeros((rows, LANE), np.int32),
                            np.zeros((rows, LANE), np.int32),
                            np.zeros((rows, LANE), np.float32),
-                           np.full((rows, LANE), wr, np.int32), 0))
+                           np.full((rows, LANE), wr, np.int32), 0,
+                           np.full((rows, LANE), -1, np.int32)))
     chunks.sort(key=lambda c: c[1])
     nc = len(chunks)
     got = np.zeros(n_pad, bool)
@@ -985,7 +1098,8 @@ def build_spmv2m_plan(senders0: np.ndarray, receivers0: np.ndarray,
              | np.stack([c[7] for c in chunks]).astype(np.uint32)
              ).view(np.int32)),
         val=jnp.asarray(np.stack([c[6] for c in chunks])),
-        got_static=jnp.asarray(got)), mm=True)
+        got_static=jnp.asarray(got),
+        eidx=np.stack([c[9] for c in chunks])), mm=True)
 
 
 def _build_plan2m_native(lib, s, r, v, e, h, wr, nb, hub, windows,
@@ -1013,6 +1127,10 @@ def _build_plan2m_native(lib, s, r, v, e, h, wr, nb, hub, windows,
         val = np.empty((nc, rows, LANE), np.float32)
         lib.gm_plan2m_fill(handle, kindid, blkid, base, ngran, rowmask,
                            pk.reshape(-1), val.reshape(-1))
+        eidx = None
+        if hasattr(lib, "gm_plan2m_eidx"):
+            eidx = np.empty((nc, rows, LANE), np.int32)
+            lib.gm_plan2m_eidx(handle, eidx.reshape(-1))
     finally:
         lib.gm_plan2m_destroy(handle)
     got = np.zeros(n_pad, bool)
@@ -1025,7 +1143,7 @@ def _build_plan2m_native(lib, s, r, v, e, h, wr, nb, hub, windows,
         base=jnp.asarray(base), ngran=jnp.asarray(ngran),
         rowmask=jnp.asarray(rowmask),
         pk=jnp.asarray(pk), val=jnp.asarray(val),
-        got_static=jnp.asarray(got)), mm=True)
+        got_static=jnp.asarray(got), eidx=eidx), mm=True)
 
 
 def _make_kernel_mm(reduce_kind: str, process: Callable, wr: int, h: int,

@@ -264,7 +264,7 @@ class DistGraph:
         got_d = jax.device_put(got, tile_sharding(self.mesh))
         static = (nc_max, nb, wr, h, n_pad, plans[0].row_e, plans[0].win)
         self._pallas_plans[key] = (arrays, static, got_d,
-                                   plans[0].n_send_pad)
+                                   plans[0].n_send_pad, None)
         return self._pallas_plans[key]
 
     def pallas_tile_plans2(self, receiver: str, wr: int = 4096):
@@ -313,8 +313,10 @@ class DistGraph:
         got_d = jax.device_put(got, sh)
         static = (plans[0].h, wr_eff, nb, nc_max, plans[0].n_pad,
                   plans[0].classes, plans[0].rows)
+        eidx = (pad_stack("eidx", -1)
+                if all(p.eidx is not None for p in plans) else None)
         self._pallas_plans[key] = (arrays, static, got_d,
-                                   plans[0].n_send_pad)
+                                   plans[0].n_send_pad, eidx)
         return self._pallas_plans[key]
 
     def pallas_tile_plans2m(self, receiver: str, wr: int = 4096):
@@ -362,8 +364,10 @@ class DistGraph:
         got_d = jax.device_put(got, sh)
         static = (plans[0].h, wr_eff, nb, nc_max, plans[0].n_pad,
                   plans[0].classes, plans[0].rows)
+        eidx = (pad_stack("eidx", -1)
+                if all(p.eidx is not None for p in plans) else None)
         self._pallas_plans[key] = (arrays, static, got_d,
-                                   plans[0].n_send_pad)
+                                   plans[0].n_send_pad, eidx)
         return self._pallas_plans[key]
 
     def pallas_tile_plans_vec2(self, receiver: str, wr: int = 4096):
@@ -427,7 +431,7 @@ class DistGraph:
                   plans[0].n_pad, plans[0].rows, plans[0].wy,
                   plans[0].classes)   # tiles stay single-segment (small)
         self._pallas_plans[key] = (arrays, static, got_d,
-                                   plans[0].n_send_pad)
+                                   plans[0].n_send_pad, None)
         return self._pallas_plans[key]
 
     # ------------------------------------------------------------ index
@@ -503,6 +507,20 @@ class DistGraph:
         i = self._internal_index(vid1)
         self.active = jax.device_put(self.active.at[i].set(True),
                                      self.vec_sharding)
+
+    def set_active_mask(self, mask) -> None:
+        """Bulk-set the frontier from a bool[n] mask in ORIGINAL vertex
+        order — one sharded device_put, not O(frontier) dispatches."""
+        mask = np.asarray(mask, bool)
+        if mask.shape[0] != self.n:
+            raise ValueError(f"mask has {mask.shape[0]} entries, "
+                             f"graph has {self.n} vertices")
+        full = np.zeros(self.n_pad, bool)
+        if self.perm is None:
+            full[: self.n] = mask
+        else:
+            full[self.perm] = mask
+        self.active = jax.device_put(full, self.vec_sharding)
 
     def tiles_for(self, receiver: str) -> DistEdgeTiles:
         t = self.out_tiles if receiver == "dst" else self.in_tiles

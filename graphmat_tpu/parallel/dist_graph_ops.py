@@ -43,29 +43,20 @@ def apply_to_all_vertices(graph: DistGraph, fn: Callable) -> None:
 
 
 def apply_reduce_all_vertices(graph: DistGraph, map_fn: Callable,
-                              reduce: str = "sum"):
+                              reduce="sum"):
     """Global reduce of ``map_fn(vp)`` over valid vertices; host values.
 
-    The result of reducing a mesh-sharded array is replicated on every
-    device — the analog of the reference's fold-at-rank-0 + MPI_Bcast.
+    ``reduce`` matches :func:`core.graph_ops.apply_reduce_all_vertices`
+    (kind string, Monoid, arbitrary associative callable, or a pytree of
+    these).  Fast-path kinds reduce the mesh-sharded array in place (XLA
+    inserts the collectives — the analog of the reference's fold-at-rank-0
+    + MPI_Bcast); generic combines fold on host over gathered values.
     """
+    from ..core.graph_ops import reduce_tree
     mapped = map_fn(graph.vp)
     mask = graph.valid_vertex
-    op = {"sum": jnp.sum, "min": jnp.min, "max": jnp.max}[reduce]
-
-    def neutral_for(dtype):
-        if reduce == "sum":
-            return jnp.array(0, dtype)
-        if jnp.issubdtype(dtype, jnp.floating):
-            return jnp.array(np.inf if reduce == "min" else -np.inf, dtype)
-        info = jnp.iinfo(dtype)
-        return jnp.array(info.max if reduce == "min" else info.min, dtype)
-
-    def one(leaf):
-        m = mask.reshape(mask.shape + (1,) * (leaf.ndim - 1))
-        filled = jnp.where(m, leaf, neutral_for(leaf.dtype))
-        return op(filled, axis=0)
-    return jax.device_get(tree_util.tree_map(one, mapped))
+    return jax.device_get(reduce_tree(mapped, mask, reduce,
+                                      fetch=graph._fetch))
 
 
 def apply_to_all_edges(graph: DistGraph, fn: Callable) -> None:
@@ -110,7 +101,7 @@ def apply_to_all_edges(graph: DistGraph, fn: Callable) -> None:
         graph.in_tiles = run(graph.in_tiles, sender_is_src=False)
 
     # refresh host tile copies (plan builders read them) by re-applying fn
-    # on host-reconstructed global ids, and drop stale kernel plans
+    # on host-reconstructed global ids
     vp_host = {k: graph._fetch(v) for k, v in graph.vp.items()}
     C, S = graph.C, graph.S
     for recv, tiles in list(graph._host_tiles.items()):
@@ -127,4 +118,26 @@ def apply_to_all_edges(graph: DistGraph, fn: Callable) -> None:
                 v = np.asarray(new).astype(v.dtype)
             out.append((s_loc, r_loc, v))
         graph._host_tiles[recv] = out
-    graph._pallas_plans.clear()
+    # patch cached v2/v2m stacked plans' val planes in place via the
+    # per-tile eidx maps (structure unchanged); plans without a map (v1,
+    # vec2) drop and rebuild lazily.  Reference: in-place tile mutation,
+    # singlenode/applyedges.h:38-95.
+    from .mesh import tile_sharding
+    for key in list(graph._pallas_plans):
+        entry = graph._pallas_plans[key]
+        eidx = entry[4] if len(entry) > 4 else None
+        if key[0] in ("v2", "v2m") and eidx is not None:
+            recv = key[1]
+            tiles = graph._host_tiles[recv]
+            val_st = np.zeros(eidx.shape, np.float32)
+            for t, (_s, _r, v) in enumerate(tiles):
+                if len(v):
+                    vt = np.asarray(v, np.float32)
+                    et = eidx[t]
+                    val_st[t] = np.where(et >= 0, vt[np.maximum(et, 0)],
+                                         np.float32(0.0))
+            arrays = entry[0][:-1] + (
+                jax.device_put(val_st, tile_sharding(graph.mesh)),)
+            graph._pallas_plans[key] = (arrays,) + tuple(entry[1:])
+        else:
+            del graph._pallas_plans[key]

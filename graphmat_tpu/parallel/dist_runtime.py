@@ -116,7 +116,9 @@ class DistEngine:
         self.ctx = IterationContext(
             psum=lambda t: lax.psum(t, (ROW_AXIS, COL_AXIS)))
 
-        semiring = program.pallas_semiring()
+        from ..core.runtime import (_normalize_pallas_semiring,
+                                    warn_slow_path)
+        semiring = _normalize_pallas_semiring(program.pallas_semiring())
         vec2_semiring = program.pallas_vec2_semiring()
         if (vec2_semiring is not None
                 and program.activity != Activity.ALL_VERTICES):
@@ -134,6 +136,8 @@ class DistEngine:
             self.use_pallas_vec2 = True
         if use_pallas and semiring is None and vec2_semiring is None:
             raise ValueError("use_pallas=True but no pallas semiring")
+        if not use_pallas:
+            warn_slow_path(program, "DistEngine")
         self.use_pallas = bool(use_pallas)
         self._semiring = semiring
         self._vec2_semiring = vec2_semiring
@@ -203,22 +207,26 @@ class DistEngine:
             dense = prog.activity == Activity.ALL_VERTICES
 
             x = sem.encode(msg).astype(jnp.float32)  # [S]
+            want_got = v2 and kind == "sum" and not dense
             if kind == "sum":
                 x = jnp.where(sent, x, 0.0)
+                if want_got:
+                    # frontier bit rides x's low mantissa bit through the
+                    # all_gather; the kernel strips it before ⊗ and returns
+                    # per-receiver counts in the same launch — no second
+                    # SpMV for the y bitvector
+                    from ..ops.pallas_spmv2 import encode_sent_bit
+                    x = encode_sent_bit(x, sent)
             else:
                 fill = jnp.float32(PALLAS_BIG if kind == "min"
                                    else -PALLAS_BIG)
                 x = jnp.where(sent, x, fill)
                 x = jnp.clip(x, -PALLAS_BIG, PALLAS_BIG)
             x_col = lax.all_gather(x, ROW_AXIS, tiled=True)       # [R*S]
-            sent_col = None
             sent_bool_col = None
             if not dense:
                 # frontier mask for per-tile chunk skipping (v2 kernels)
                 sent_bool_col = lax.all_gather(sent, ROW_AXIS, tiled=True)
-            if kind == "sum" and not dense:
-                sentf = jnp.where(sent, 1.0, 0.0).astype(jnp.float32)
-                sent_col = lax.all_gather(sentf, ROW_AXIS, tiled=True)
 
             y = None
             gotf = None
@@ -244,7 +252,8 @@ class DistEngine:
                         ns = getattr(sem, "n_splits", 3)
                         return _spmv2_call(local, static, xp[:n_send_pad],
                                            proc, ns, interpret,
-                                           sent=sent_arg)
+                                           sent=sent_arg,
+                                           want_got=want_got)
                     if v2:
                         return _spmv2m_call(local, static, xp[:n_send_pad],
                                             kd, proc, interpret,
@@ -252,15 +261,24 @@ class DistEngine:
                     return _spmv_call(local, static, xp[:n_send_pad], kd,
                                       proc, interpret)
 
-                y_dir = call(x_col, kind, sem.process)[:n_row_local]
-                if kind == "sum":
+                if want_got:
+                    y_dir, cnt = call(x_col, kind, sem.process)
+                    y_dir = y_dir[:n_row_local]
+                    g_dir = cnt[:n_row_local]
+                else:
+                    y_dir = call(x_col, kind, sem.process)[:n_row_local]
+                if want_got:
+                    pass
+                elif kind == "sum":
                     if dense:
                         g_dir = got_static[0][:n_row_local].astype(
                             jnp.float32)
                     else:
-                        g_dir = call(sent_col, "sum",
-                                     _identity_process)[:n_row_local]
-                    g_dir = g_dir
+                        g_dir = call(
+                            lax.all_gather(
+                                jnp.where(sent, 1.0, 0.0).astype(
+                                    jnp.float32), ROW_AXIS, tiled=True),
+                            "sum", _identity_process)[:n_row_local]
                 elif kind == "min":
                     g_dir = (y_dir < PALLAS_BIG / 2).astype(jnp.float32)
                 else:
@@ -441,8 +459,8 @@ class DistEngine:
         self._structure = structure
 
     def _pplan_static_for(self, recv):
-        arrays, static, got_d, n_send_pad = self._pplans[recv]
-        return static, n_send_pad
+        entry = self._pplans[recv]
+        return entry[1], entry[3]
 
     def run(self, iterations: int = UNTIL_CONVERGENCE,
             max_iterations: int = 1_000_000, state: Any = None) -> int:

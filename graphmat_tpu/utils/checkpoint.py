@@ -79,11 +79,10 @@ def load_graph_state(graph, path: str) -> None:
     fields: Dict[str, np.ndarray] = {
         k[3:]: z[k] for k in z.files if k.startswith("vp_")}
     graph.init_vertexproperty(**fields)
-    graph.set_all_inactive()
-    active = z["active"]
-    idx = np.where(active)[0]
-    for i in idx:
-        graph.set_active(int(i) + 1)
+    # one vectorized device_put — a per-index .at[i].set loop costs a full
+    # device round-trip per frontier vertex (hours through a remote tunnel
+    # for a 1e5-vertex frontier)
+    graph.set_active_mask(z["active"].astype(bool))
 
 
 def save_vertexproperty(graph, path: str, field: str,

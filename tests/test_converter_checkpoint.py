@@ -100,6 +100,28 @@ def test_graph_state_checkpoint_cross_topology(tmp_path):
     np.testing.assert_allclose(gd.vp_numpy()["pagerank"], pr)
 
 
+def test_graph_state_large_frontier_roundtrip(tmp_path):
+    """A ~1e5-vertex frontier restores via ONE vectorized device_put (the
+    old per-index loop would take O(frontier) dispatches) and survives a
+    permuted graph round trip exactly."""
+    n = 120_000
+    e = random_edgelist(n, 2, seed=6)
+    g = Graph(e, permute=True)
+    g.init_vertexproperty(x=np.arange(n, dtype=np.int32))
+    rng = np.random.default_rng(0)
+    mask = rng.random(n) < 0.8
+    g.set_active_mask(mask)
+    save_graph_state(g, str(tmp_path / "big"))
+
+    g2 = Graph(e, permute="degree")   # different internal permutation
+    load_graph_state(g2, str(tmp_path / "big"))
+    # active mask in ORIGINAL order must match exactly
+    act2 = np.asarray(g2.active)
+    orig2 = act2[g2.perm] if g2.perm is not None else act2[:n]
+    np.testing.assert_array_equal(orig2, mask)
+    np.testing.assert_array_equal(g2.vp_numpy()["x"], np.arange(n))
+
+
 def test_save_vertexproperty_text(tmp_path):
     e = random_edgelist(10, 2, seed=5)
     g = Graph(e)

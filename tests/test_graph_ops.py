@@ -35,6 +35,48 @@ def test_apply_reduce_sum_min_max():
     assert int(out["v"]) == 40
 
 
+def test_apply_reduce_generic_combine():
+    """Arbitrary user reduce fns (MapReduce parity,
+    multinode/reduce.h:39-74): bare callable, generic Monoid, and a pytree
+    mixing fast-path kinds with a callable."""
+    from graphmat_tpu.core.types import Monoid
+    g, e = make_graph()
+    # product of values 1..40 mod nothing — use float64-safe logsum instead
+    out = apply_reduce_all_vertices(
+        g, lambda vp: {"v": vp["val"].astype(jnp.float32)},
+        lambda a, b: jnp.maximum(a, b) + jnp.minimum(a, b) * 0)
+    assert float(out["v"]) == 40.0
+    # generic Monoid with identity (empty-safe)
+    gcd = Monoid("generic", combine_fn=lambda a, b: jnp.gcd(a, b),
+                 identity_fn=lambda dt: 0)
+    g.init_vertexproperty(val=np.arange(2, 82, 2, dtype=np.int32))
+    out = apply_reduce_all_vertices(g, lambda vp: {"v": vp["val"]}, gcd)
+    assert int(out["v"]) == 2
+    # pytree of reduces matching the mapped structure
+    out = apply_reduce_all_vertices(
+        g, lambda vp: {"a": vp["val"], "b": vp["val"]},
+        {"a": "sum", "b": lambda x, y: jnp.minimum(x, y)})
+    assert int(out["a"]) == sum(range(2, 82, 2)) and int(out["b"]) == 2
+
+
+def test_apply_reduce_generic_dist():
+    """Dist MapReduce accepts the same generic reduce specs."""
+    import jax
+    from graphmat_tpu.parallel.dist_graph import DistGraph
+    from graphmat_tpu.parallel.dist_graph_ops import (
+        apply_reduce_all_vertices as dist_reduce)
+    from graphmat_tpu.parallel.mesh import make_mesh
+    e = random_edgelist(40, 4, seed=5)
+    mesh = make_mesh(jax.devices()[:8], (2, 4))
+    g = DistGraph(e, mesh, seg_align=8)
+    g.init_vertexproperty(val=np.arange(1, 41, dtype=np.int32))
+    out = dist_reduce(g, lambda vp: {"v": vp["val"]},
+                      lambda a, b: jnp.maximum(a, b))
+    assert int(out["v"]) == 40
+    out = dist_reduce(g, lambda vp: {"v": vp["val"]}, "sum")
+    assert int(out["v"]) == sum(range(1, 41))
+
+
 def test_apply_to_all_edges_src_plus_s_dst():
     """The reference's check: after apply, every edge value equals
     src_prop + 5 * dst_prop (``test/test_apply_edges.cpp:38-113``)."""
@@ -65,3 +107,59 @@ def test_apply_edges_invalidates_plans():
     assert p1 is not p2
     # plan values reflect the updated edges
     assert float(jnp.sum(p2.vals)) == float(jnp.sum(p1.vals)) + e.nnz
+
+
+def test_apply_edges_patches_v2_plans_in_place():
+    """v2/v2m plans carry an eidx map, so applyToAllEdges refreshes ONLY
+    the val plane — no replan of routing/coloring (reference: in-place
+    mutate, singlenode/applyedges.h:38-95) — and SpMV through the patched
+    plan matches the oracle on the new values."""
+    import scipy.sparse as sp
+    from graphmat_tpu.ops.pallas_spmv2 import spmv2, spmv2m
+    g, e = make_graph(n=300, deg=8, seed=9)
+    p2 = g.pallas_plan2("dst")
+    p2m = g.pallas_plan2m("dst")
+    pk_before = p2.pk
+    apply_to_all_edges(g, lambda vs, vd, val: vs["val"] + 5 * vd["val"])
+    assert g.pallas_plan2("dst") is p2          # same plan object
+    assert g.pallas_plan2m("dst") is p2m
+    assert g.pallas_plan2("dst").pk is pk_before  # structure untouched
+    # oracle on the updated values
+    out = g.get_edges()
+    s0, r0 = out.src - 1, out.dst - 1
+    vexp = (s0 + 1) + 5 * (r0 + 1)
+    x = np.arange(1, g.n_pad + 1, dtype=np.float32)
+    y = np.asarray(spmv2(p2, jnp.asarray(
+        np.pad(x, (0, p2.n_send_pad - g.n_pad))), "sum",
+        process=lambda xv, ev: xv * ev, interpret=True))
+    ref = sp.csr_matrix((vexp.astype(np.float64), (r0, s0)),
+                        shape=(g.n_pad, g.n_pad)) @ x.astype(np.float64)
+    assert np.allclose(y[: g.n_pad], ref, rtol=2e-6, atol=1e-4)
+    ym = np.asarray(spmv2m(p2m, jnp.asarray(
+        np.pad(x, (0, p2m.n_send_pad - g.n_pad))), "min",
+        process=lambda xv, ev: xv + ev, interpret=True))
+    refm = np.full(g.n_pad, np.inf)
+    np.minimum.at(refm, r0, x[s0] + vexp)
+    got = np.isfinite(refm)
+    assert np.allclose(ym[: g.n_pad][got], refm[got], rtol=1e-6)
+
+
+def test_apply_edges_patches_dist_plans_in_place():
+    import jax
+    from graphmat_tpu.parallel.dist_graph import DistGraph
+    from graphmat_tpu.parallel.dist_graph_ops import (
+        apply_to_all_edges as dist_apply_edges)
+    from graphmat_tpu.parallel.mesh import make_mesh
+    e = random_edgelist(64, 4, seed=11)
+    mesh = make_mesh(jax.devices()[:4], (2, 2))
+    g = DistGraph(e, mesh, seg_align=8)
+    g.init_vertexproperty(val=np.arange(1, 65, dtype=np.int32))
+    entry1 = g.pallas_tile_plans2("dst")
+    dist_apply_edges(g, lambda vs, vd, val: vs["val"] + 5 * vd["val"])
+    entry2 = g.pallas_tile_plans2("dst")
+    # same pk plane object (no replan); val plane replaced
+    assert entry2[0][5] is entry1[0][5]
+    tiles = g._host_tiles["dst"]
+    tot = sum(float(np.sum(v)) for (_s, _r, v) in tiles)
+    val_plane_sum = float(np.sum(np.asarray(entry2[0][6])))
+    assert np.isclose(val_plane_sum, tot, rtol=1e-5)
