@@ -184,12 +184,26 @@ class GraphProgram:
     * ``process_requires_vertexprop``: set False when ``process_message``
       ignores the receiver's property — skips a gather (the reference's
       SpMSpV vs SpMSpV3 selection, ``SPMV.h:67-71``)
+    * ``vector_message``: True makes ⊕ a CONCAT — each receiver collects
+      ALL its incoming contributions into a static-width padded row, so
+      ``apply`` receives ``[n_pad, D, ...]`` (D = the direction's max
+      in-degree, or ``max_message_width``) padded with ``vector_pad``.
+      The TPU-native form of the reference's variable-length
+      ``Serializable`` messages + vector-append reduce
+      (``test/test_get_neighbors.cpp:131-137``,
+      ``src/TriangleCounting.cpp:92-109``); ``reduce`` is ignored.
+    * ``vector_pad``: pad value for concat rows (casts per leaf).
+    * ``max_message_width``: static cap on D (contributions beyond it
+      drop — size it to the graph's max in-degree, the default).
     """
 
     order: Direction = Direction.OUT_EDGES
     activity: Activity = Activity.ACTIVE_ONLY
     reduce: Any = SUM
     process_requires_vertexprop: bool = True
+    vector_message: bool = False
+    vector_pad: Any = 2**31 - 1
+    max_message_width: Optional[int] = None
 
     # -------------------------------------------------------------- hooks
 

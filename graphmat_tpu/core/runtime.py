@@ -42,6 +42,46 @@ __all__ = ["Engine", "engine_for", "run_graph_program",
            "graph_program_init"]
 
 
+def _normalize_pallas_semiring(sem):
+    """Map ⊕ kinds onto the kernel layouts: 'or' rides the max layout
+    (encodings must be {0.0, 1.0} floats), 'any' (overwrite-reduce,
+    ``src/BFS.cpp:74-76``) rides min — deterministic tie-break, matching
+    :data:`types.ANY`.  Unknown kinds fail loudly instead of silently
+    dropping to the XLA segment path (reference kernels accept any op_add,
+    ``singlenode/spmspv.h:226-314``; here every kind needs a layout)."""
+    if sem is None or sem.reduce_kind in ("sum", "min", "max"):
+        return sem
+    import dataclasses
+    if sem.reduce_kind in ("or", "any"):
+        return dataclasses.replace(
+            sem, reduce_kind="max" if sem.reduce_kind == "or" else "min")
+    raise ValueError(
+        f"PallasSemiring reduce_kind {sem.reduce_kind!r} has no TPU "
+        "kernel layout (supported: sum/min/max/or/any); use a generic "
+        "Monoid + the XLA path explicitly with use_pallas=False")
+
+
+def warn_slow_path(program, where: str) -> None:
+    """Loud warning when a TPU run drops to the XLA segment-reduce path
+    (measured ~10,000x slower than the Pallas kernels — PERF.md).
+    Silence with GRAPHMAT_SILENCE_SLOW_PATH=1."""
+    import os
+    import warnings
+    if jax.default_backend() != "tpu":
+        return
+    if os.environ.get("GRAPHMAT_SILENCE_SLOW_PATH"):
+        return
+    if getattr(program, "vector_message", False):
+        return   # concat-reduce has no kernel by design (one XLA scatter)
+    warnings.warn(
+        f"{type(program).__name__} runs on the XLA segment-reduce path on "
+        f"TPU ({where}): ~10,000x slower than the Pallas kernels.  "
+        "Declare pallas_semiring()/pallas_vec_semiring()/"
+        "pallas_vec2_semiring() on the program (sum/min/max/or/any all "
+        "have kernel layouts), or set GRAPHMAT_SILENCE_SLOW_PATH=1 to "
+        "acknowledge.", stacklevel=3)
+
+
 def engine_for(program, graph, **kw):
     """Engine dispatch by graph type: single-device :class:`Engine` for a
     ``Graph``, :class:`~graphmat_tpu.parallel.dist_runtime.DistEngine`
@@ -94,9 +134,13 @@ class Engine:
         self._n_pad = graph.n_pad
 
         # ---- Pallas fast-path eligibility ------------------------------
-        semiring = program.pallas_semiring()
+        semiring = _normalize_pallas_semiring(program.pallas_semiring())
         vec_semiring = program.pallas_vec_semiring()
         vec2_semiring = program.pallas_vec2_semiring()
+        if getattr(program, "vector_message", False):
+            # concat-reduce runs the XLA path (static-width scatter)
+            semiring = vec_semiring = vec2_semiring = None
+            use_pallas = False
         if (vec2_semiring is not None
                 and program.activity != Activity.ALL_VERTICES):
             vec2_semiring = None   # vec2 got comes from static structure
@@ -121,6 +165,8 @@ class Engine:
                 and vec2_semiring is None:
             raise ValueError("use_pallas=True but program declares no "
                              "pallas semiring")
+        if not use_pallas:
+            warn_slow_path(program, "Engine")
         self.use_pallas = bool(use_pallas)
         self._semiring = semiring
         self._vec_semiring = vec_semiring
@@ -146,6 +192,13 @@ class Engine:
         else:
             for recv in _direction_receivers(program.order):
                 self._edges[recv] = graph.edges_for(recv)
+        self._msg_width = {}
+        if getattr(program, "vector_message", False):
+            from ..ops.neighbors import max_degree
+            for recv in _direction_receivers(program.order):
+                self._msg_width[recv] = (program.max_message_width
+                                         if program.max_message_width
+                                         else max_degree(graph, recv))
         # Plan arrays must flow through jit ARGUMENTS, not closure captures —
         # captured device arrays become inline constants in the compiled
         # program (hundreds of MB for big graphs).
@@ -196,6 +249,7 @@ class Engine:
             else:
                 reduced = None
                 got = None
+                vecmsg = getattr(prog, "vector_message", False)
                 for recv in _direction_receivers(prog.order):
                     ea: EdgeArrays = structure["edges"][recv]
                     x_e = tree_util.tree_map(lambda a: a[ea.senders], msg)
@@ -205,12 +259,24 @@ class Engine:
                         vp_r = tree_util.tree_map(
                             lambda a: a[ea.receivers], vp)
                     u_e = prog.process_message(state, x_e, ea.vals, vp_r)
-                    u_e = masked_fill_identity(prog.reduce, u_e, e_ok)
-                    partial = segment_reduce_tree(prog.reduce, u_e,
-                                                  ea.receivers, self._n_pad)
+                    if vecmsg:
+                        from ..ops.segment import segment_concat_tree
+                        partial = segment_concat_tree(
+                            u_e, e_ok, ea.receivers, self._n_pad,
+                            self._msg_width[recv], prog.vector_pad)
+                    else:
+                        u_e = masked_fill_identity(prog.reduce, u_e, e_ok)
+                        partial = segment_reduce_tree(
+                            prog.reduce, u_e, ea.receivers, self._n_pad)
                     g = segment_any(e_ok, ea.receivers, self._n_pad)
                     if reduced is None:
                         reduced, got = partial, g
+                    elif vecmsg:
+                        # concat across directions (ALL_EDGES)
+                        reduced = tree_util.tree_map(
+                            lambda a, b: jnp.concatenate([a, b], axis=1),
+                            reduced, partial)
+                        got = got | g
                     else:
                         reduced = _combine_tree(prog.reduce, reduced, partial)
                         got = got | g
@@ -265,8 +331,15 @@ class Engine:
 
         x = sem.encode(msg).astype(jnp.float32)
         dense = (prog.activity == Activity.ALL_VERTICES)
+        want_got = v2 and kind == "sum" and not dense
         if kind == "sum":
             x = jnp.where(sent, x, 0.0)
+            if want_got:
+                # ride the frontier bit on x's low mantissa bit: the kernel
+                # strips it before ⊗ and returns per-receiver counts in the
+                # same launch — no second SpMV for the y bitvector
+                from ..ops.pallas_spmv2 import encode_sent_bit
+                x = encode_sent_bit(x, sent)
         else:
             fill = jnp.float32(PALLAS_BIG if kind == "min" else -PALLAS_BIG)
             x = jnp.where(sent, x, fill)
@@ -296,7 +369,8 @@ class Engine:
                     ns = getattr(sem, "n_splits", 3)
                     return _spmv2_call(plan_arrays, plan_static,
                                        xp[: plan.n_send_pad], proc,
-                                       ns, interpret, sent=sent_arg)
+                                       ns, interpret, sent=sent_arg,
+                                       want_got=want_got)
                 if v2:
                     return _spmv2m_call(plan_arrays, plan_static,
                                         xp[: plan.n_send_pad], kd, proc,
@@ -304,8 +378,15 @@ class Engine:
                 return _spmv_call(plan_arrays, plan_static,
                                   xp[: plan.n_send_pad], kd, proc, interpret)
 
-            y_dir = call(x, kind, sem.process)[: self._n_pad]
-            if kind == "sum":
+            if want_got:
+                y_dir, cnt = call(x, kind, sem.process)
+                y_dir = y_dir[: self._n_pad]
+                g_dir = cnt[: self._n_pad] > 0
+            else:
+                y_dir = call(x, kind, sem.process)[: self._n_pad]
+            if want_got:
+                pass
+            elif kind == "sum":
                 if dense:
                     g_dir = got_static[: self._n_pad]
                 else:
@@ -421,6 +502,12 @@ class Engine:
                 y = y + y_dir
                 got = got | g_dir
         return sem.decode(y), got
+
+    @property
+    def vector_reduced_width(self) -> int:
+        """Static width D of the ``reduced`` rows a vector-message
+        program's ``apply`` receives (directions concat along axis 1)."""
+        return sum(self._msg_width.values())
 
     def _structure(self):
         return {"edges": self._edges,

@@ -27,6 +27,8 @@ __all__ = [
     "segment_reduce",
     "segment_reduce_tree",
     "segment_any",
+    "segment_concat",
+    "segment_concat_tree",
     "masked_fill_identity",
 ]
 
@@ -119,6 +121,46 @@ def segment_any(mask, seg_ids, num_segments, indices_are_sorted=True):
     red = jax.ops.segment_max(mask.astype(jnp.int32), seg_ids, num_segments,
                               indices_are_sorted=indices_are_sorted)
     return red > 0
+
+
+def segment_concat(data, ok, seg_ids, num_segments, width, pad):
+    """Concat-reduce: collect each segment's OK contributions into a
+    static-width padded row — the TPU-native form of the reference's
+    variable-length ``Serializable`` messages reduced by vector append
+    (``src/TriangleCounting.cpp:92-109``, SERIALIZED wire format
+    ``DenseSegment.h:230-358``).
+
+    ``data``: [e_pad, ...] contributions, receiver-sorted; ``ok``: bool
+    [e_pad] (sender sent AND edge valid); ``width``: static row width
+    (contributions beyond it DROP — callers size it to the max in-degree);
+    ``pad``: fill value.  Returns ``[num_segments, width, ...]``; each
+    row's first k slots are its k OK contributions in edge order (the
+    reference's concat order is likewise unspecified — sort in apply if
+    order matters).
+    """
+    e_pad = data.shape[0]
+    okx = ok.astype(jnp.int32)
+    # rank of each OK edge among its segment's OK edges: exclusive cumsum
+    # minus the segment's base (receivers sorted => cumsum nondecreasing)
+    c = jnp.cumsum(okx) - okx
+    base = jax.ops.segment_min(c, seg_ids, num_segments,
+                               indices_are_sorted=True)
+    rank = c - base[seg_ids]
+    row = jnp.where(ok, seg_ids, num_segments - 1)
+    col = jnp.where(ok & (rank < width), rank, width)
+    out = jnp.full((num_segments, width + 1) + data.shape[1:], pad,
+                   data.dtype)
+    out = out.at[row, col].set(
+        jnp.where(_bcast(ok, data), data,
+                  jnp.asarray(pad, data.dtype)), mode="drop")
+    return out[:, :width]
+
+
+def segment_concat_tree(data_tree, ok, seg_ids, num_segments, width, pad):
+    """Leaf-wise :func:`segment_concat` (``pad`` casts to each leaf)."""
+    return tree_util.tree_map(
+        lambda leaf: segment_concat(leaf, ok, seg_ids, num_segments,
+                                    width, pad), data_tree)
 
 
 def masked_fill_identity(monoid, data_tree, mask):

@@ -31,6 +31,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax, tree_util
 from jax.sharding import PartitionSpec as P
 
@@ -120,6 +121,10 @@ class DistEngine:
                                     warn_slow_path)
         semiring = _normalize_pallas_semiring(program.pallas_semiring())
         vec2_semiring = program.pallas_vec2_semiring()
+        if getattr(program, "vector_message", False):
+            # concat-reduce runs the XLA path (static-width scatter)
+            semiring = vec2_semiring = None
+            use_pallas = False
         if (vec2_semiring is not None
                 and program.activity != Activity.ALL_VERTICES):
             vec2_semiring = None
@@ -162,9 +167,23 @@ class DistEngine:
             tiles = {r: graph.tiles_for(r)
                      for r in _direction_receivers(program.order)}
         n_row_local = C * S  # receivers per row block
+        # concat-reduce widths: same static width on every device, so the
+        # per-tile width is the max over ALL tiles
+        self._msg_width = {}
+        if getattr(program, "vector_message", False):
+            for recv in _direction_receivers(program.order):
+                if program.max_message_width:
+                    w = program.max_message_width
+                else:
+                    w = 1
+                    for (_s, r_loc, _v) in graph._host_tiles[recv]:
+                        if len(r_loc):
+                            w = max(w, int(np.bincount(r_loc).max()))
+                self._msg_width[recv] = w
 
         def xla_partials(state, vp_row, msg_col, sent_col, structure):
             prog = self.program
+            vecmsg = getattr(prog, "vector_message", False)
             reduced = None
             got = None
             for recv in _direction_receivers(prog.order):
@@ -179,18 +198,39 @@ class DistEngine:
                 if prog.process_requires_vertexprop:
                     vp_r = tree_util.tree_map(lambda a: a[receivers], vp_row)
                 u_e = prog.process_message(state, x_e, vals, vp_r)
-                u_e = masked_fill_identity(prog.reduce, u_e, e_ok)
-                partial = segment_reduce_tree(prog.reduce, u_e, receivers,
-                                              n_row_local)
+                if vecmsg:
+                    from ..ops.segment import segment_concat_tree
+                    partial = segment_concat_tree(
+                        u_e, e_ok, receivers, n_row_local,
+                        self._msg_width[recv], prog.vector_pad)
+                else:
+                    u_e = masked_fill_identity(prog.reduce, u_e, e_ok)
+                    partial = segment_reduce_tree(prog.reduce, u_e,
+                                                  receivers, n_row_local)
                 g = segment_any(e_ok, receivers, n_row_local)
                 if reduced is None:
                     reduced, got = partial, g
+                elif vecmsg:
+                    reduced = tree_util.tree_map(
+                        lambda a, b: jnp.concatenate([a, b], axis=1),
+                        reduced, partial)
+                    got = got | g
                 else:
                     reduced = _combine_tree(prog.reduce, reduced, partial)
                     got = got | g
-            # fold partials across the column axis; keep this segment
-            reduced = _reduce_scatter_monoid(prog.reduce, reduced,
-                                             COL_AXIS, C)
+            if vecmsg:
+                # CONCAT across the column axis = the SERIALIZED wire
+                # format's list merge (DenseSegment.h:808-830): one
+                # all_to_all splits rows back to their owners while
+                # concatenating each receiver's per-shard lists
+                reduced = tree_util.tree_map(
+                    lambda leaf: lax.all_to_all(
+                        leaf, COL_AXIS, split_axis=0, concat_axis=1,
+                        tiled=True), reduced)
+            else:
+                # fold partials across the column axis; keep this segment
+                reduced = _reduce_scatter_monoid(prog.reduce, reduced,
+                                                 COL_AXIS, C)
             got = lax.psum_scatter(got.astype(jnp.int32), COL_AXIS,
                                    scatter_dimension=0, tiled=True) > 0
             return reduced, got
@@ -457,6 +497,13 @@ class DistEngine:
         else:
             structure["tiles"] = tiles
         self._structure = structure
+
+    @property
+    def vector_reduced_width(self) -> int:
+        """Static width of a vector-message program's ``reduced`` rows:
+        per-shard widths concat across directions, then across the C
+        column shards in the all_to_all merge."""
+        return self.graph.C * sum(self._msg_width.values())
 
     def _pplan_static_for(self, recv):
         entry = self._pplans[recv]
