@@ -121,34 +121,45 @@ class DistEngine:
                                     warn_slow_path)
         semiring = _normalize_pallas_semiring(program.pallas_semiring())
         vec2_semiring = program.pallas_vec2_semiring()
+        vec_semiring = program.pallas_vec_semiring()
         if getattr(program, "vector_message", False):
             # concat-reduce runs the XLA path (static-width scatter)
-            semiring = vec2_semiring = None
+            semiring = vec_semiring = vec2_semiring = None
             use_pallas = False
         if (vec2_semiring is not None
                 and program.activity != Activity.ALL_VERTICES):
             vec2_semiring = None
         self.use_pallas_vec2 = False
+        self.use_pallas_vec = False
         if use_pallas is None:
             on_tpu = jax.default_backend() == "tpu"
             if on_tpu and vec2_semiring is not None:
                 use_pallas = True
                 self.use_pallas_vec2 = True
+            elif on_tpu and vec_semiring is not None:
+                # v1 vec fallback: K > 32 or ACTIVE_ONLY vector programs
+                # (the vec2 layout caps K at 32 and needs ALL_VERTICES)
+                use_pallas = True
+                self.use_pallas_vec = True
             else:
                 use_pallas = (on_tpu and semiring is not None
                               and not program.process_requires_vertexprop)
         elif use_pallas and vec2_semiring is not None:
             self.use_pallas_vec2 = True
-        if use_pallas and semiring is None and vec2_semiring is None:
+        elif use_pallas and vec_semiring is not None and semiring is None:
+            self.use_pallas_vec = True
+        if use_pallas and semiring is None and vec_semiring is None \
+                and vec2_semiring is None:
             raise ValueError("use_pallas=True but no pallas semiring")
         if not use_pallas:
             warn_slow_path(program, "DistEngine")
         self.use_pallas = bool(use_pallas)
         self._semiring = semiring
+        self._vec_semiring = vec_semiring
         self._vec2_semiring = vec2_semiring
         self.pallas_version = 1
-        if self.use_pallas and (semiring is not None
-                                or self.use_pallas_vec2):
+        if self.use_pallas and not self.use_pallas_vec and (
+                semiring is not None or self.use_pallas_vec2):
             self.pallas_version = 2
         self._pplans = {}
         if self.use_pallas:
@@ -341,6 +352,65 @@ class DistEngine:
             reduced = sem.decode(y)
             return reduced, got
 
+        def vec_partials(state, msg, sent, vp, structure):
+            """K-wide v1 vec path on the mesh (SpMSpV3 class) — serves
+            K > 32 and ACTIVE_ONLY vector programs the vec2 layout cannot
+            (the reference's multinode SpMSpV3, spmspv3.h:41-267)."""
+            from ..ops.pallas_spmv import _identity_process, _spmv_call
+            from ..ops.pallas_spmv_vec import _spmv_vec_call
+            prog = self.program
+            sem = self._vec_semiring
+            interpret = jax.default_backend() != "tpu"
+            dense = prog.activity == Activity.ALL_VERTICES
+
+            x = sem.encode(state, msg).astype(jnp.float32)    # [S, K]
+            x = jnp.where(sent[:, None], x, 0.0)
+            x_col = lax.all_gather(x, ROW_AXIS, tiled=True)   # [R*S, K]
+            vp_row = None
+            if sem.needs_vp:
+                vpe = sem.encode_vp(state, vp).astype(jnp.float32)
+                vp_row = lax.all_gather(vpe, COL_AXIS, tiled=True)
+            extra = sem.extra_fn(state) if sem.extra_fn is not None \
+                else None
+            sent_col = None
+            if not dense:
+                sentf = jnp.where(sent, 1.0, 0.0).astype(jnp.float32)
+                sent_col = lax.all_gather(sentf, ROW_AXIS, tiled=True)
+
+            y = None
+            gotf = None
+            for recv in _direction_receivers(prog.order):
+                (arrays, got_static) = structure["pplans"][recv]
+                static, n_send_pad = self._pplan_static_for(recv)
+                local = tuple(a[0] for a in arrays)
+                xp = x_col
+                if xp.shape[0] < n_send_pad:
+                    xp = jnp.pad(xp, ((0, n_send_pad - xp.shape[0]),
+                                      (0, 0)))
+                y_dir = _spmv_vec_call(local, static, xp[:n_send_pad],
+                                       vp_row, extra, sem.process, sem.k,
+                                       sem.x_splits, sem.vp_splits,
+                                       interpret)[:n_row_local]
+                if dense:
+                    g_dir = got_static[0][:n_row_local].astype(jnp.float32)
+                else:
+                    sp = sent_col
+                    if sp.shape[0] < n_send_pad:
+                        sp = jnp.pad(sp, (0, n_send_pad - sp.shape[0]))
+                    g_dir = _spmv_call(local, static, sp[:n_send_pad],
+                                       "sum", _identity_process,
+                                       interpret)[:n_row_local]
+                if y is None:
+                    y, gotf = y_dir, g_dir
+                else:
+                    y = y + y_dir
+                    gotf = gotf + g_dir
+            y = lax.psum_scatter(y, COL_AXIS, scatter_dimension=0,
+                                 tiled=True)                  # [S, K]
+            got = lax.psum_scatter(gotf, COL_AXIS, scatter_dimension=0,
+                                   tiled=True) > 0
+            return sem.decode(y), got
+
         def vec2_partials(state, msg, sent, vp, structure):
             """K-wide local tile multiply (vec2 kernel) + mesh reduce."""
             from ..ops.pallas_spmv_vec2 import KPAD, _spmv_vec2_call
@@ -407,6 +477,9 @@ class DistEngine:
             if self.use_pallas_vec2:
                 reduced, got = vec2_partials(state, msg, sent, vp,
                                              structure)
+            elif self.use_pallas_vec:
+                reduced, got = vec_partials(state, msg, sent, vp,
+                                            structure)
             elif self.use_pallas:
                 reduced, got = pallas_partials(state, msg, sent, structure)
             else:

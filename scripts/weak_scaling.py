@@ -66,18 +66,38 @@ def main() -> int:
         DistEngine(DegreeProgram(), g).run(iterations=1)
         eng = DistEngine(PageRankProgram(), g)
         eng.run(iterations=args.iters)  # warm-up/compile
-        t0 = time.time()
-        eng.run(iterations=args.iters)
-        dt = time.time() - t0
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            eng.run(iterations=args.iters)
+            best = min(best, time.time() - t0)
+        dt = best
         rate = e.nnz * args.iters / dt / 1e9
         if base_rate is None:
             base_rate = rate / nd if nd == 1 else rate
         eff = rate / (base_rate * nd)
+        # analytic per-device per-iteration collective bytes (PageRank:
+        # f32 msg all_gather along 'r', f32 partial psum_scatter along
+        # 'c', 4-byte convergence psum) — the wire cost the reference
+        # pays via compressed Isend/Irecv (multinode/spmspv.h:62-116)
+        R, C = mesh.devices.shape
+        S = g.S
+        coll = {
+            "all_gather_r_bytes": int((R - 1) * S * 4),
+            "psum_scatter_c_bytes": int((C - 1) * S * 4),
+            "convergence_psum_bytes": 4,
+        }
         results.append({"devices": nd, "mesh": list(mesh.devices.shape),
                         "nnz": int(e.nnz), "gteps": round(rate, 4),
-                        "efficiency": round(eff, 3)})
+                        "efficiency": round(eff, 3),
+                        "pallas": bool(eng.use_pallas),
+                        "collectives_per_iter_per_device": coll})
         print(json.dumps(results[-1]))
-    print(json.dumps({"weak_scaling": results}))
+    print(json.dumps({"weak_scaling": results,
+                      "backend": jax.default_backend(),
+                      "note": ("virtual CPU devices validate the sharded "
+                               "dataflow; ICI efficiency needs real "
+                               "multi-chip hardware")}))
     return 0
 
 

@@ -195,6 +195,33 @@ def test_dist_pallas_bfs_matches_xla(mesh):
     np.testing.assert_array_equal(out["parent"], ref["parent"])
 
 
+def test_dist_vec_path_k40_matches_xla(mesh):
+    """K=40 SGD exceeds the vec2 cap (K<=32): the DistEngine v1 vec path
+    must serve it on the mesh instead of cliffing to the XLA segment
+    path (VERDICT round-1 weak #4)."""
+    from graphmat_tpu.apps.sgd import SGDProgram, init_sgd_graph
+    from graphmat_tpu.utils.reference_rng import rand_r_uniform_np
+
+    k = 40
+    e = random_edgelist(48, 3, seed=31, weight_range=5)
+
+    def run(force_vec):
+        g = DistGraph(e, mesh, seg_align=8)
+        lv = rand_r_uniform_np(
+            np.arange(1, g.n + 1, dtype=np.uint32), k).astype(np.float32)
+        g.init_vertexproperty(lv=lv, sqerr=np.float32(0))
+        prog = SGDProgram(step=0.001, k=k)
+        assert prog.pallas_vec2_semiring() is None   # the cliff
+        eng = DistEngine(prog, g, use_pallas=force_vec)
+        if force_vec:
+            assert eng.use_pallas_vec and not eng.use_pallas_vec2
+        eng.run(iterations=2)
+        return g.vp_numpy()["lv"]
+
+    np.testing.assert_allclose(run(True), run(False), rtol=2e-4,
+                               atol=2e-5)
+
+
 def test_multihost_helpers_single_process(tmp_path):
     """Single-process behavior of the multi-host scaffolding."""
     from graphmat_tpu.io.edgelist import write_edgelist
