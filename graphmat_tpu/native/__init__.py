@@ -81,6 +81,21 @@ def load_planner():
         if hasattr(lib, "gm_plan2m_eidx"):
             lib.gm_plan2m_eidx.restype = None
             lib.gm_plan2m_eidx.argtypes = [ctypes.c_void_p, i32p]
+        if hasattr(lib, "gm_plan2u_create"):
+            lib.gm_plan2u_create.restype = ctypes.c_void_p
+            lib.gm_plan2u_create.argtypes = [
+                i32p, i32p, f32p, ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i32p,
+                ctypes.c_int32, ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_int64)]
+            lib.gm_plan2u_fill.restype = None
+            lib.gm_plan2u_fill.argtypes = [ctypes.c_void_p, i32p, i32p,
+                                           i32p, i32p, i32p, i32p, i32p,
+                                           f32p]
+            lib.gm_plan2u_eidx.restype = None
+            lib.gm_plan2u_eidx.argtypes = [ctypes.c_void_p, i32p]
+            lib.gm_plan2u_destroy.restype = None
+            lib.gm_plan2u_destroy.argtypes = [ctypes.c_void_p]
         lib.gm_plan2m_create.restype = ctypes.c_void_p
         lib.gm_plan2m_create.argtypes = [
             i32p, i32p, f32p, ctypes.c_int64, ctypes.c_int32,

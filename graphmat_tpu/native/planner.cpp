@@ -1689,3 +1689,503 @@ int64_t gm_rmat_gen(int32_t scale, int64_t nnz, double a, double b, double c,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// v2u unified plan (pallas_spmv2u.py) — routed slots + out-lane double-gather.
+//
+// Same classification / cell bucketing / half assembly as Plan2; the packer
+// additionally binds each (row, out-lane) to at most one receiver with at
+// most kOutK slots (min/max duplicate the first via gsel2, sum masks with
+// has2), and extracts in-cell in-degree hubs into row-mode rows (whole-row
+// reduce — the HybridTile heavy-row split, HybridTile.h:89-133).  One plan
+// serves sum / min / max / or.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int kOutK = 2;
+
+struct Plan2u {
+  int64_t e = 0;
+  int32_t h = 0, wr = 0, nb = 0, hub = 0, rows = 64, rowmode_min = 129;
+  std::vector<int32_t> windows;
+  std::vector<int64_t> edge_order;
+  std::vector<int32_t> edge_row;        // row within cell (cold then rm)
+  std::vector<int32_t> gidx;
+  std::vector<int64_t> cell_edge_start;
+  std::vector<int64_t> cell_half_start;
+  std::vector<int64_t> cell_nrows;      // cold + rm
+  std::vector<int64_t> cell_ncold;
+  std::vector<int32_t> cell_blk;
+  std::vector<int32_t> ck_kind, ck_blk, ck_base, ck_kind2, ck_base2;
+  int64_t nc = 0;
+  const int32_t* s = nullptr;
+  const int32_t* r = nullptr;
+  const float* v = nullptr;
+};
+
+// Greedy packer for one cell's cold edges (sender-sorted, hot skipped).
+struct UPacker {
+  std::vector<std::array<uint64_t, 2>> reg;     // per-row registered lanes
+  std::vector<int32_t> nslots;
+  std::vector<std::array<int32_t, kLane>> outrecv;  // -1 = free
+  std::vector<std::array<uint8_t, kLane>> outcnt;
+  std::vector<int32_t> cand[kLane];
+  std::vector<int32_t> myrows;                  // rows current sender uses
+  std::vector<int64_t> gstart, gord;
+
+  bool out_ok(int32_t row, int Lr, int32_t rcf) const {
+    const int32_t orc = outrecv[row][Lr];
+    return (orc < 0) || (orc == rcf && outcnt[row][Lr] < kOutK);
+  }
+
+  int32_t new_row() {
+    const int32_t row = (int32_t)reg.size();
+    reg.push_back({0, 0});
+    nslots.push_back(0);
+    outrecv.emplace_back();
+    outrecv.back().fill(-1);
+    outcnt.emplace_back();
+    outcnt.back().fill(0);
+    for (int l = 0; l < kLane; ++l) cand[l].push_back(row);
+    return row;
+  }
+
+  int64_t pack(const int64_t* eo, int64_t m, const char* hot,
+               const int32_t* senders, const int32_t* receivers,
+               int64_t wrblk, int32_t* edge_row_out) {
+    reg.clear(); nslots.clear(); outrecv.clear(); outcnt.clear();
+    for (int l = 0; l < kLane; ++l) cand[l].clear();
+    gstart.clear();
+    gstart.push_back(0);
+    for (int64_t j = 1; j < m; ++j)
+      if (senders[eo[j]] != senders[eo[j - 1]]) gstart.push_back(j);
+    gstart.push_back(m);
+    const int64_t ng = (int64_t)gstart.size() - 1;
+    gord.resize(ng);
+    for (int64_t g = 0; g < ng; ++g) gord[g] = g;
+    std::stable_sort(gord.begin(), gord.end(),
+                     [&](int64_t a, int64_t b) {
+                       return gstart[a + 1] - gstart[a]
+                              > gstart[b + 1] - gstart[b];
+                     });
+    for (int64_t gi = 0; gi < ng; ++gi) {
+      const int64_t g = gord[gi];
+      const int64_t end = gstart[g + 1];
+      const int L = senders[eo[gstart[g]]] & (kLane - 1);
+      myrows.clear();
+      for (int64_t j = gstart[g]; j < end; ++j) {
+        if (hot[j]) continue;
+        const int Lr = receivers[eo[j]] & (kLane - 1);
+        const int32_t rcf = (int32_t)(receivers[eo[j]] - wrblk);
+        int32_t row = -1;
+        for (const int32_t ri : myrows) {
+          if (nslots[ri] < kLane && out_ok(ri, Lr, rcf)) {
+            row = ri;
+            break;
+          }
+        }
+        if (row < 0) {
+          auto& st = cand[L];
+          int scan = 0;
+          for (int64_t t = (int64_t)st.size() - 1; t >= 0 && scan < 24;
+               --t, ++scan) {
+            const int32_t cr = st[t];
+            const bool taken = (reg[cr][L >> 6] >> (L & 63)) & 1;
+            if (nslots[cr] >= kLane || taken) {
+              if (t == (int64_t)st.size() - 1) st.pop_back();
+              continue;
+            }
+            if (!out_ok(cr, Lr, rcf)) continue;
+            row = cr;
+            break;
+          }
+          if (row < 0) row = new_row();
+          reg[row][L >> 6] |= 1ull << (L & 63);
+          myrows.push_back(row);
+        }
+        edge_row_out[j] = row;
+        nslots[row]++;
+        if (outrecv[row][Lr] < 0) outrecv[row][Lr] = rcf;
+        outcnt[row][Lr]++;
+      }
+    }
+    return (int64_t)reg.size();
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* gm_plan2u_create(const int32_t* senders, const int32_t* receivers,
+                       const float* vals, int64_t e, int32_t h, int32_t wr,
+                       int32_t nb, int32_t hub, const int32_t* windows,
+                       int32_t nw, int64_t cell_min, int32_t rows,
+                       int32_t rowmode_min, int64_t* nc_out) {
+  auto* p = new Plan2u();
+  p->e = e; p->h = h; p->wr = wr; p->nb = nb; p->hub = hub;
+  p->rows = rows; p->rowmode_min = rowmode_min;
+  p->s = senders; p->r = receivers; p->v = vals;
+  for (int32_t k = 0; k < nw; ++k)
+    p->windows.push_back(std::min(windows[k], h));
+
+  const int K = (int)p->windows.size();
+  std::vector<int64_t> nwin(K), class_cells_ofs(K + 1, 0);
+  for (int k = 0; k < K; ++k) {
+    nwin[k] = (h + p->windows[k] - 1) / p->windows[k];
+    class_cells_ofs[k + 1] = class_cells_ofs[k] + (int64_t)nb * nwin[k];
+  }
+  const int64_t hub_cells = nb;
+  const int64_t raw_cells = hub_cells + class_cells_ofs[K];
+
+  std::vector<int32_t> kind(e, -1);
+  std::vector<int64_t> rawcell(e);
+  p->gidx.resize(e);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < e; ++i) {
+    if (senders[i] < hub) {
+      kind[i] = 0;
+      rawcell[i] = receivers[i] / wr;
+      p->gidx[i] = senders[i] >> 7;
+    }
+  }
+  std::vector<int64_t> cellcnt;
+  for (int k = 0; k < K; ++k) {
+    const bool last = (k == K - 1);
+    const int32_t W = p->windows[k];
+    cellcnt.assign((size_t)nb * nwin[k], 0);
+    if (!last) {
+      for (int64_t i = 0; i < e; ++i)
+        if (kind[i] < 0)
+          cellcnt[(receivers[i] / wr) * nwin[k] + ((senders[i] >> 7) / W)]++;
+    }
+    for (int64_t i = 0; i < e; ++i) {
+      if (kind[i] >= 0) continue;
+      const int64_t c =
+          (receivers[i] / wr) * nwin[k] + ((senders[i] >> 7) / W);
+      if (last || cellcnt[c] >= cell_min) {
+        kind[i] = 1 + k;
+        rawcell[i] = hub_cells + class_cells_ofs[k] + c;
+        int32_t base = (int32_t)((c % nwin[k]) * W);
+        if (base > h - W) base = h - W;
+        p->gidx[i] = (senders[i] >> 7) - base;
+      }
+    }
+  }
+
+  std::vector<int64_t> rawcnt(raw_cells, 0);
+  for (int64_t i = 0; i < e; ++i) rawcnt[rawcell[i]]++;
+  struct Cell { int64_t raw; int32_t blk, kind, win; };
+  std::vector<Cell> cells;
+  for (int64_t rc = 0; rc < raw_cells; ++rc) {
+    if (!rawcnt[rc]) continue;
+    Cell cl;
+    cl.raw = rc;
+    if (rc < hub_cells) {
+      cl.blk = (int32_t)rc; cl.kind = 0; cl.win = 0;
+    } else {
+      int k = 0;
+      while (k + 1 < K && rc - hub_cells >= class_cells_ofs[k + 1]) ++k;
+      const int64_t c = rc - hub_cells - class_cells_ofs[k];
+      cl.blk = (int32_t)(c / nwin[k]);
+      cl.kind = 1 + k;
+      cl.win = (int32_t)(c % nwin[k]);
+    }
+    cells.push_back(cl);
+  }
+  std::stable_sort(cells.begin(), cells.end(),
+                   [](const Cell& a, const Cell& b) {
+                     if (a.blk != b.blk) return a.blk < b.blk;
+                     if (a.kind != b.kind) return a.kind < b.kind;
+                     return a.win < b.win;
+                   });
+
+  std::vector<char> covered(nb, 0);
+  for (const Cell& cl : cells) covered[cl.blk] = 1;
+  std::vector<Cell> final_cells;
+  std::vector<int64_t> raw_to_cell(raw_cells, -1);
+  size_t ci = 0;
+  for (int32_t b = 0; b < nb; ++b) {
+    if (!covered[b]) {
+      Cell cl; cl.raw = -1; cl.blk = b; cl.kind = 0; cl.win = 0;
+      final_cells.push_back(cl);
+    }
+    while (ci < cells.size() && cells[ci].blk == b) {
+      raw_to_cell[cells[ci].raw] = (int64_t)final_cells.size();
+      final_cells.push_back(cells[ci]);
+      ++ci;
+    }
+  }
+  const size_t nfc = final_cells.size();
+
+  std::vector<int32_t> cellid(e);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < e; ++i)
+    cellid[i] = (int32_t)raw_to_cell[rawcell[i]];
+  p->cell_edge_start.assign(nfc + 2, 0);
+  for (int64_t i = 0; i < e; ++i) p->cell_edge_start[cellid[i] + 2]++;
+  for (size_t q = 2; q < p->cell_edge_start.size(); ++q)
+    p->cell_edge_start[q] += p->cell_edge_start[q - 1];
+  p->edge_order.resize(e);
+  for (int64_t i = 0; i < e; ++i)
+    p->edge_order[p->cell_edge_start[cellid[i] + 1]++] = i;
+  p->cell_edge_start.pop_back();
+
+  // ---- per-cell packing: hot extraction + routed cold pack ----------------
+  p->edge_row.resize(e);
+  p->cell_nrows.assign(nfc, 0);
+  p->cell_ncold.assign(nfc, 0);
+#pragma omp parallel
+  {
+    UPacker packer;
+    std::vector<int64_t> rsort;
+    std::vector<char> hot;
+    std::vector<int32_t> rmrow;      // rm row (local) per edge, -1 cold
+    std::vector<int32_t> lanecnt(kLane);
+#pragma omp for schedule(dynamic, 8)
+    for (int64_t q = 0; q < (int64_t)nfc; ++q) {
+      const int64_t lo = p->cell_edge_start[q];
+      const int64_t m = p->cell_edge_start[q + 1] - lo;
+      if (!m) continue;
+      int64_t* eo = &p->edge_order[lo];
+      std::stable_sort(eo, eo + m, [&](int64_t a, int64_t b) {
+        return senders[a] < senders[b];
+      });
+      // hot receivers: in-cell degree >= rowmode_min
+      rsort.assign(eo, eo + m);
+      std::stable_sort(rsort.begin(), rsort.end(),
+                       [&](int64_t a, int64_t b) {
+                         return receivers[a] < receivers[b];
+                       });
+      hot.assign(m, 0);
+      rmrow.assign(m, -1);
+      // position of edge within the sender-sorted eo: build index map
+      // (edge id -> position) lazily via a second pass below; instead
+      // mark hotness by edge id using a local hash-free trick: store rm
+      // assignment keyed by edge id in a temporary map over the cell.
+      int32_t nrm = 0;
+      {
+        int64_t a = 0;
+        while (a < m) {
+          int64_t b2 = a + 1;
+          while (b2 < m && receivers[rsort[b2]] == receivers[rsort[a]]) ++b2;
+          if (b2 - a >= p->rowmode_min) {
+            std::fill(lanecnt.begin(), lanecnt.end(), 0);
+            int32_t maxc = 0;
+            for (int64_t t = a; t < b2; ++t) {
+              const int L = senders[rsort[t]] & (kLane - 1);
+              // stash rm row (relative to this receiver's base) in the
+              // HIGH bits via two passes: first count, see below
+              const int32_t rr = lanecnt[L]++;
+              if (rr + 1 > maxc) maxc = rr + 1;
+              // temporarily record in rmrow via eo position later
+              // store (nrm + rr + 1) keyed by edge id:
+              rsort[t] |= ((int64_t)(nrm + rr) + 1) << 40;
+            }
+            nrm += maxc;
+          }
+          a = b2;
+        }
+      }
+      // propagate rm assignment to eo positions (match by edge id)
+      if (nrm) {
+        // map edge id -> rm row + 1 (0 = cold)
+        // cells are small; use sort-join: rsort entries carry id in low
+        // 40 bits and rm+1 in high bits
+        std::sort(rsort.begin(), rsort.end(),
+                  [](int64_t a, int64_t b) {
+                    return (a & ((1ll << 40) - 1)) < (b & ((1ll << 40) - 1));
+                  });
+        // eo is sender-sorted; walk eo, binary-search rsort by id
+        for (int64_t j = 0; j < m; ++j) {
+          const int64_t id = eo[j];
+          int64_t lo2 = 0, hi2 = m - 1;
+          while (lo2 < hi2) {
+            const int64_t mid = (lo2 + hi2) / 2;
+            if ((rsort[mid] & ((1ll << 40) - 1)) < id) lo2 = mid + 1;
+            else hi2 = mid;
+          }
+          const int32_t rm = (int32_t)(rsort[lo2] >> 40);
+          if (rm > 0) {
+            hot[j] = 1;
+            rmrow[j] = rm - 1;
+          }
+        }
+      }
+      const int64_t wrblk = (int64_t)final_cells[q].blk * wr;
+      const int64_t ncold = packer.pack(eo, m, hot.data(), senders,
+                                        receivers, wrblk,
+                                        &p->edge_row[lo]);
+      for (int64_t j = 0; j < m; ++j)
+        if (hot[j]) p->edge_row[lo + j] = (int32_t)(ncold + rmrow[j]);
+      p->cell_ncold[q] = ncold;
+      p->cell_nrows[q] = ncold + nrm;
+    }
+  }
+
+  // ---- half-chunk assembly (same scheme as Plan2) -------------------------
+  const int64_t halfr = p->rows / 2;
+  p->cell_half_start.resize(nfc);
+  p->cell_blk.resize(nfc);
+  std::vector<int32_t> hkind, hbase, hblk;
+  int32_t cur_blk = -1;
+  for (size_t q = 0; q < nfc; ++q) {
+    const Cell& cl = final_cells[q];
+    if (cl.blk != cur_blk) {
+      if (hkind.size() & 1) {
+        hkind.push_back(hkind.back());
+        hbase.push_back(hbase.back());
+        hblk.push_back(hblk.back());
+      }
+      cur_blk = cl.blk;
+    }
+    int32_t kv = cl.kind, bv = 0;
+    if (cl.kind != 0) {
+      const int32_t W = p->windows[cl.kind - 1];
+      bv = cl.win * W;
+      if (bv > h - W) bv = h - W;
+    }
+    p->cell_half_start[q] = (int64_t)hkind.size();
+    p->cell_blk[q] = cl.blk;
+    int64_t nh = (p->cell_nrows[q] + halfr - 1) / halfr;
+    if (!nh) nh = 1;
+    for (int64_t k = 0; k < nh; ++k) {
+      hkind.push_back(kv);
+      hbase.push_back(bv);
+      hblk.push_back(cl.blk);
+    }
+  }
+  if (hkind.size() & 1) {
+    hkind.push_back(hkind.back());
+    hbase.push_back(hbase.back());
+    hblk.push_back(hblk.back());
+  }
+  const int64_t nc = (int64_t)hkind.size() / 2;
+  p->ck_kind.resize(nc); p->ck_blk.resize(nc); p->ck_base.resize(nc);
+  p->ck_kind2.resize(nc); p->ck_base2.resize(nc);
+  for (int64_t c = 0; c < nc; ++c) {
+    p->ck_kind[c] = hkind[2 * c];
+    p->ck_base[c] = hbase[2 * c];
+    p->ck_kind2[c] = hkind[2 * c + 1];
+    p->ck_base2[c] = hbase[2 * c + 1];
+    p->ck_blk[c] = hblk[2 * c];
+  }
+  p->nc = nc;
+  *nc_out = nc;
+  return p;
+}
+
+void gm_plan2u_fill(void* handle, int32_t* kindid, int32_t* blkid,
+                    int32_t* baseid, int32_t* kind2, int32_t* base2,
+                    int32_t* pk, int32_t* po, float* val) {
+  auto* p = static_cast<Plan2u*>(handle);
+  const int64_t nc = p->nc;
+  const int64_t chunk_elems = (int64_t)p->rows * kLane;
+  const int64_t halfr = p->rows / 2;
+  const size_t nfc = p->cell_nrows.size();
+  const uint32_t wru = (uint32_t)p->wr;
+
+#pragma omp parallel for schedule(static)
+  for (int64_t c = 0; c < nc; ++c) {
+    int32_t* pkc = pk + c * chunk_elems;
+    int32_t* poc = po + c * chunk_elems;
+    for (int64_t t = 0; t < chunk_elems; ++t) {
+      pkc[t] = (int32_t)wru;
+      poc[t] = (int32_t)wru;
+    }
+    std::memset(val + c * chunk_elems, 0, chunk_elems * sizeof(float));
+    kindid[c] = p->ck_kind[c];
+    blkid[c] = p->ck_blk[c];
+    baseid[c] = p->ck_base[c];
+    kind2[c] = p->ck_kind2[c];
+    base2[c] = p->ck_base2[c];
+  }
+#pragma omp parallel
+  {
+    std::vector<int32_t> rowfill;
+#pragma omp for schedule(dynamic, 8)
+    for (int64_t q = 0; q < (int64_t)nfc; ++q) {
+      const int64_t lo = p->cell_edge_start[q];
+      const int64_t m = p->cell_edge_start[q + 1] - lo;
+      if (!m) continue;
+      rowfill.assign(p->cell_nrows[q], 0);
+      const int64_t wrblk = (int64_t)p->cell_blk[q] * p->wr;
+      const int64_t h0 = p->cell_half_start[q];
+      const int64_t ncold = p->cell_ncold[q];
+      for (int64_t j = lo; j < lo + m; ++j) {
+        const int64_t i = p->edge_order[j];
+        const int32_t row = p->edge_row[j];
+        const int32_t slot = rowfill[row]++;
+        const int L = p->s[i] & (kLane - 1);
+        const int Lr = p->r[i] & (kLane - 1);
+        const uint32_t rcf = (uint32_t)(p->r[i] - wrblk);
+        const int64_t half = h0 + row / halfr;
+        const int64_t chunk = half >> 1;
+        const int64_t rbase = chunk * chunk_elems
+                              + ((half & 1) * halfr + row % halfr) * kLane;
+        uint32_t w = (uint32_t)pk[rbase + slot];
+        w = (w & 0xFFE00000u) | ((uint32_t)L << kSloShift) | rcf;
+        pk[rbase + slot] = (int32_t)w;
+        val[rbase + slot] = p->v[i];
+        pk[rbase + L] = (int32_t)((uint32_t)pk[rbase + L]
+                                  | ((uint32_t)p->gidx[i] << 21));
+        if (row >= ncold) {
+          // row-mode row: mode bit + receiver rcf across all lanes
+          if (slot == 0) {
+            const int32_t w2 = (int32_t)((1u << 29) | rcf);
+            for (int l = 0; l < kLane; ++l) po[rbase + l] = w2;
+          }
+        } else {
+          uint32_t ow = (uint32_t)po[rbase + Lr];
+          if ((ow & ((1u << kRcfBits) - 1)) == wru) {
+            ow = rcf | ((uint32_t)slot << 21)
+                 | ((uint32_t)slot << kSloShift);
+          } else {
+            ow = (ow & ~(((uint32_t)(kLane - 1)) << kSloShift))
+                 | ((uint32_t)slot << kSloShift) | (1u << 28);
+          }
+          po[rbase + Lr] = (int32_t)ow;
+        }
+      }
+    }
+  }
+}
+
+void gm_plan2u_eidx(void* handle, int32_t* eidx) {
+  auto* p = static_cast<Plan2u*>(handle);
+  const int64_t nc = p->nc;
+  const int64_t chunk_elems = (int64_t)p->rows * kLane;
+  const int64_t halfr = p->rows / 2;
+  const size_t nfc = p->cell_nrows.size();
+#pragma omp parallel for schedule(static)
+  for (int64_t c = 0; c < nc; ++c)
+    for (int64_t t = 0; t < chunk_elems; ++t)
+      eidx[c * chunk_elems + t] = -1;
+#pragma omp parallel
+  {
+    std::vector<int32_t> rowfill;
+#pragma omp for schedule(dynamic, 8)
+    for (int64_t q = 0; q < (int64_t)nfc; ++q) {
+      const int64_t lo = p->cell_edge_start[q];
+      const int64_t m = p->cell_edge_start[q + 1] - lo;
+      if (!m) continue;
+      rowfill.assign(p->cell_nrows[q], 0);
+      const int64_t h0 = p->cell_half_start[q];
+      for (int64_t j = lo; j < lo + m; ++j) {
+        const int64_t i = p->edge_order[j];
+        const int32_t row = p->edge_row[j];
+        const int32_t slot = rowfill[row]++;
+        const int64_t half = h0 + row / halfr;
+        const int64_t chunk = half >> 1;
+        const int64_t rbase = chunk * chunk_elems
+                              + ((half & 1) * halfr + row % halfr) * kLane;
+        eidx[rbase + slot] = (int32_t)i;
+      }
+    }
+  }
+}
+
+void gm_plan2u_destroy(void* handle) { delete static_cast<Plan2u*>(handle); }
+
+}  // extern "C"

@@ -1148,7 +1148,7 @@ def _build_plan2m_native(lib, s, r, v, e, h, wr, nb, hub, windows,
 
 def _make_kernel_mm(reduce_kind: str, process: Callable, wr: int, h: int,
                     classes, x2_hbm=False, rows=ROWS, sparse=False,
-                    use_val=True):
+                    use_val=True, debug=None):
     G = wr // LANE
     wmax = max(classes)
     ntiles = rows // 8
@@ -1240,8 +1240,13 @@ def _make_kernel_mm(reduce_kind: str, process: Callable, wr: int, h: int,
                         lambda g: wscr_ref[8 * g: 8 * g + 8, :], W // 8)
                 return inner
 
-            branches = [hub_branch] + [window_branch(W) for W in classes]
-            qs = list(jax.lax.switch(kind_ref[i], branches))
+            if debug == "nogather":
+                qs = [jnp.full((8, LANE), 1.0, jnp.float32)
+                      for _ in range(ntiles)]
+            else:
+                branches = [hub_branch] + [window_branch(W)
+                                           for W in classes]
+                qs = list(jax.lax.switch(kind_ref[i], branches))
 
             # route to receiver-lane slots, then process
             ps = []
@@ -1273,6 +1278,10 @@ def _make_kernel_mm(reduce_kind: str, process: Callable, wr: int, h: int,
             p = jnp.where(mode, p_rm, p)
             rg = jnp.where(mode, rcf_rm, rcf) >> 7
 
+            if debug == "noscatter":
+                red = red_ax1(p, axis=0, keepdims=True)
+                acc_ref[0:1, :] = comb(acc_ref[0:1, :], red)
+                return
             for g in range(G):
                 pm = jnp.where(rg == g, p, ident)
                 red = (jnp.min if reduce_kind == "min" else jnp.max)(
@@ -1302,9 +1311,9 @@ def _make_kernel_mm(reduce_kind: str, process: Callable, wr: int, h: int,
 
 @functools.partial(jax.jit, static_argnames=("plan_static", "reduce_kind",
                                               "process", "interpret",
-                                              "x2_hbm"))
+                                              "x2_hbm", "debug"))
 def _spmv2m_call(plan_arrays, plan_static, x, reduce_kind, process,
-                 interpret, x2_hbm=None, sent=None):
+                 interpret, x2_hbm=None, sent=None, debug=None):
     h, wr, nb, nc, n_pad, classes = plan_static[:6]
     rows = plan_static[6] if len(plan_static) > 6 else ROWS
     kindid, blkid, base, ngran, rowmask, pk, val = plan_arrays
@@ -1324,7 +1333,7 @@ def _spmv2m_call(plan_arrays, plan_static, x, reduce_kind, process,
     if x2_hbm is None:
         x2_hbm = h > VMEM_X2_MAX_ROWS and not interpret
     kernel = _make_kernel_mm(reduce_kind, process, wr, h, classes, x2_hbm,
-                             rows, sparse, use_val)
+                             rows, sparse, use_val, debug)
     wmax = max(classes) if classes else 8
     if sparse:
         nmap = lambda i, kd, bk, bs, rmk, a, eff_: (eff_[i], 0, 0)

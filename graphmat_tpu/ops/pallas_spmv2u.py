@@ -1,0 +1,710 @@
+"""Pallas TPU generalized-SpMV "v2u" — unified routed layout for ⊕ in
+{sum, min, max}.
+
+Motivation (measured, PERF.md round-2): at RMAT-20 the v2r sum kernel's
+MXU one-hot scatter runs at MXU peak yet costs 1.9 ms/iter — 8192 MACs
+per edge just to route one value to one of 4096 block positions — while
+the v2m min/max layout's receiver-lane-bound slots cap fill at 0.512
+(partial-row waste 0.37), and ~0.38 µs/chunk of fixed pipeline cost makes
+*chunk count* the dominant term for both.  v2u removes both walls with
+one layout:
+
+* **Slots are lane-free** (the v2r routed packing, fill-friendly):
+  senders register their gather row at lane ``s & 127`` of ``hi2``; each
+  slot routes its sender's value via ``slo`` — identical gather path to
+  v2r (``pallas_spmv2.py``).
+
+* **Scatter = output-side double-gather + VPU group loop.**  Each
+  (row, out-lane) is bound to at most ONE receiver ``r`` with out-lane
+  ``r & 127``, fed by up to K=2 of the row's slots through two more
+  ``take_along_axis`` routes (``gsel1``/``gsel2``).  min/max duplicate
+  the first slot when there is no second (idempotent); sum masks it with
+  a ``has2`` bit.  The per-block accumulator update is then a masked
+  per-group VPU reduction (measured 0.68 ms at 31 M slots) instead of
+  the 67 M-MAC scatter matmul — and the sum path needs no bf16 splits:
+  everything stays exact f32.
+
+* **Row-mode rows** absorb in-cell in-degree hubs (reference analog: the
+  heavy-row split of HybridTile, ``HybridTile.h:89-133``): the whole row
+  belongs to one receiver, is reduced across lanes, and lands on the
+  receiver's lane.  Without this a degree-d receiver would consume
+  ceil(d/2) rows of out-lane capacity.
+
+* One plan now serves every ⊕ the engine knows (sum / min / max and the
+  'or'/'any' mapping) — the pk/po/val planes are semiring-independent,
+  so a graph builds ONE v2u plan per direction where it previously built
+  separate v2r + v2m plans.
+
+Host-side fill bound for this layout on the bench RMAT-20 workload:
+0.83 (vs 0.512 measured for v2m, 0.701 for v2r) — the binding constraint
+becomes sender-lane registration, same as v2r.
+
+Plan streams per slot: ``pk = hi2<<21 | slo<<14 | rcf`` (v2r-compatible;
+``rcf`` doubles as the pad/row-mode slot mask) and
+``po = mode<<29 | has2<<28 | gsel1<<21 | gsel2<<14 | rcf_out`` — 8 bytes
+plus 4 for ``val`` when the semiring reads edge values.
+
+Reference provenance: the generalized SpMV loop these kernels replace is
+``/root/reference/include/GMDP/singlenode/spmspv.h:39-86`` (DCSC hot
+loop, arbitrary ⊕/⊗); the y-bitvector-in-the-multiply behaviour of
+``want_got`` matches ``spmspv.h:64-81``.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_spmv2 import (HUB_GRANULES2, LANE, RCF_BITS, VMEM_X2_MAX_ROWS,
+                           _chunk_activity, _classify, _identity_process,
+                           _round_up, encode_sent_bit)
+
+__all__ = ["Spmv2uPlan", "build_spmv2u_plan", "spmv2u"]
+
+KIND_HUB = 0
+ROWMODE_MIN_U = 129     # in-cell receiver degree that triggers row-mode
+OUT_K = 2               # slots per (row, out-lane)
+
+
+@dataclass
+class Spmv2uPlan:
+    n_pad: int
+    n_send_pad: int
+    h: int
+    wr: int
+    nb: int
+    nc: int
+    hub: int
+    nnz: int
+    fill: float
+    classes: tuple
+    rows: int
+    kindid: Any           # i32[nc]  half A window class (0 = hub)
+    blkid: Any            # i32[nc]  receiver block (nondecreasing)
+    base: Any             # i32[nc]  half A window base row
+    kind2: Any            # i32[nc]  half B window class
+    base2: Any            # i32[nc]  half B window base
+    pk: Any               # i32[nc,rows,128] hi2<<21 | slo<<14 | rcf
+    po: Any               # i32[nc,rows,128] mode<<29|has2<<28|g1<<21|g2<<14|rcf_out
+    val: Any              # f32[nc,rows,128]
+    got_static: Any
+    eidx: Any = None      # host i32[nc,rows,128] slot -> edge index
+
+
+def _pack_u_cell(sv, rv, vv, gv, iv, blk, wr, rowmode_min=ROWMODE_MIN_U):
+    """Pack one cell's edges (sender-sorted) into v2u rows.
+
+    Returns (cold_rows, rm_rows) where each row is a dict with ``slots``
+    (list of (slot_lane, sender_reg_lane, gidx, rcf, val, eidx)),
+    ``out`` (out_lane -> (rcf, [slot lanes])), and row-mode rows carry
+    ``rm_rcf``.  Python reference packer — small cells only; the native
+    planner (planner.cpp gm_plan2u_*) handles production sizes.
+    """
+    lanes = (sv & (LANE - 1)).astype(np.int64)
+    rlanes = (rv & (LANE - 1)).astype(np.int64)
+    rcfv = (rv - blk * wr).astype(np.int64)
+
+    # hot receivers -> row-mode
+    ur, cnt = np.unique(rv, return_counts=True)
+    hotset = set(ur[cnt >= rowmode_min].tolist())
+    hot = (np.isin(rv, list(hotset)) if hotset
+           else np.zeros(len(rv), bool))
+
+    rm_rows = []
+    if hotset:
+        for r0 in sorted(hotset):
+            m = rv == r0
+            idxs = np.flatnonzero(m)
+            # senders must register at distinct lanes within a row:
+            # row index = per-sender-lane running count
+            cnt: dict = {}
+            buckets: dict = {}
+            for j in idxs:
+                L = int(lanes[j])
+                k = cnt.get(L, 0)
+                cnt[L] = k + 1
+                buckets.setdefault(k, []).append(j)
+            for k in sorted(buckets):
+                grp = buckets[k]
+                slots = [(sl, int(lanes[j]), int(gv[j]), int(rcfv[j]),
+                          float(vv[j]), int(iv[j]))
+                         for sl, j in enumerate(grp)]
+                reg = {int(lanes[j]): int(gv[j]) for j in grp}
+                rm_rows.append({"slots": slots,
+                                "rm_rcf": int(rcfv[idxs[0]]),
+                                "reg": reg})
+
+    cold_rows = []
+
+    def row_ok(row, L, gx, Lr, r0):
+        if len(row["slots"]) >= LANE:
+            return False
+        reg = row["reg"]
+        if L in reg and reg[L] != gx:
+            return False
+        out = row["out"]
+        if Lr in out:
+            orcf, sl = out[Lr]
+            if orcf != r0 or len(sl) >= OUT_K:
+                return False
+        return True
+
+    order = np.flatnonzero(~hot)
+    # sender-major placement (sv already sender-sorted)
+    for j in order:
+        L, gx = int(lanes[j]), int(gv[j])
+        Lr, r0 = int(rlanes[j]), int(rcfv[j])
+        placed = False
+        for row in cold_rows:
+            if row_ok(row, L, gx, Lr, r0):
+                placed = True
+                break
+        if not placed:
+            row = {"slots": [], "reg": {}, "out": {}}
+            cold_rows.append(row)
+        slot = len(row["slots"])
+        row["slots"].append((slot, L, gx, r0, float(vv[j]), int(iv[j])))
+        row["reg"][L] = gx
+        row["out"].setdefault(Lr, (r0, []))[1].append(slot)
+    return cold_rows, rm_rows
+
+
+def _emit_u_row(row, wr, rowmode=False):
+    """Row dict -> (pk[128], po[128], val[128], idx[128]) int32/float32."""
+    pk = np.full(LANE, wr, np.int32)
+    po = np.full(LANE, wr, np.int32)
+    vl = np.zeros(LANE, np.float32)
+    ix = np.full(LANE, -1, np.int32)
+    for (slot, L, gx, rcf, v, ei) in row["slots"]:
+        pk[slot] = np.int32(
+            (np.uint32(0) << 21) | (np.uint32(L) << RCF_BITS)
+            | np.uint32(rcf))
+        vl[slot] = v
+        ix[slot] = ei
+    # registration: OR gidx into the word at the registration lane
+    for L, gx in row["reg"].items():
+        pk[L] = np.int32(np.uint32(pk[L]) | (np.uint32(gx) << 21))
+    if rowmode:
+        po[:] = np.int32(np.uint32(1 << 29) | np.uint32(row["rm_rcf"]))
+    else:
+        for Lr, (rcf, slots) in row["out"].items():
+            g1 = slots[0]
+            g2 = slots[1] if len(slots) > 1 else g1
+            has2 = 1 if len(slots) > 1 else 0
+            po[Lr] = np.int32((np.uint32(has2) << 28)
+                              | (np.uint32(g1) << 21)
+                              | (np.uint32(g2) << RCF_BITS)
+                              | np.uint32(rcf))
+    return pk, po, vl, ix
+
+
+def build_spmv2u_plan(senders0: np.ndarray, receivers0: np.ndarray,
+                      vals: np.ndarray, n: int, n_recv: int | None = None,
+                      wr: int = 4096, hub: int = 2048,
+                      windows=(160, 256, 1024, 2048),
+                      cell_min: int = 4000, rows: int = 64,
+                      rowmode_min: int = ROWMODE_MIN_U) -> Spmv2uPlan:
+    """Pack a 0-based COO edge list into the v2u routed/out-gather layout."""
+    if n_recv is None:
+        n_recv = n
+    h = max(_round_up(_round_up(n, LANE) // LANE, LANE), LANE)
+    n_send_pad = h * LANE
+    n_pad = max(_round_up(n_recv, wr), wr)
+    nb = n_pad // wr
+    e = len(senders0)
+    assert wr <= (1 << RCF_BITS) - 1
+    assert rows % 16 == 0
+
+    s = np.asarray(senders0, np.int64)
+    r = np.asarray(receivers0, np.int64)
+    v = np.asarray(vals, np.float32)
+    hub = int(min(hub, 16 * LANE))
+    norm_windows = sorted({int(min(w, h)) for w in windows}) or [min(2048, h)]
+    assert max(norm_windows) <= 2048
+
+    from ..native import load_planner
+    lib = load_planner()
+    if (lib is not None and e > 0 and hasattr(lib, "gm_plan2u_create")):
+        return _build_plan2u_native(
+            lib, s, r, v, e, h, wr, nb, hub, norm_windows, cell_min,
+            n_pad, n_send_pad, receivers0, rows, rowmode_min)
+
+    rblk = r // wr
+    kind, cellk, basew, gidx = _classify(s, r, rblk, h, nb, wr, hub,
+                                         norm_windows, cell_min)
+    order = np.lexsort((s, cellk, kind, rblk))
+    so, ro, vo, go = s[order], r[order], v[order], gidx[order]
+    ko, co, bo, blko = kind[order], cellk[order], basew[order], rblk[order]
+    io = order.astype(np.int32)
+    half = rows // 2
+
+    # pack per cell -> (blk, kind, base, [(pk, po, val, idx) rows])
+    cells_rows = []
+    cb = np.r_[0, np.flatnonzero(co[1:] != co[:-1]) + 1, e] if e \
+        else np.zeros(1, np.int64)
+    for gi in range(len(cb) - 1):
+        lo, hi_ = int(cb[gi]), int(cb[gi + 1])
+        blk = int(blko[lo])
+        cold, rm = _pack_u_cell(so[lo:hi_], ro[lo:hi_], vo[lo:hi_],
+                                go[lo:hi_], io[lo:hi_], blk, wr,
+                                rowmode_min)
+        rws = ([_emit_u_row(rw, wr) for rw in cold]
+               + [_emit_u_row(rw, wr, rowmode=True) for rw in rm])
+        cells_rows.append((blk, int(ko[lo]), int(bo[lo]), rws))
+
+    # half-chunk assembly (same scheme as v2r)
+    kind_c, blk_c, base_c, kind2_c, base2_c = [], [], [], [], []
+    chunks_pk, chunks_po, chunks_val, chunks_idx = [], [], [], []
+    ci = 0
+    for b in range(nb):
+        halves = []
+        while ci < len(cells_rows) and cells_rows[ci][0] == b:
+            _, kd, bs, rws = cells_rows[ci]
+            for off in range(0, max(len(rws), 1), half):
+                halves.append((kd, bs, rws[off:off + half]))
+            ci += 1
+        if not halves:
+            halves.append((KIND_HUB, 0, []))
+        if len(halves) & 1:
+            halves.append((halves[-1][0], halves[-1][1], []))
+        for c in range(len(halves) // 2):
+            kA, bA, rA = halves[2 * c]
+            kB, bB, rB = halves[2 * c + 1]
+            pkc = np.full((rows, LANE), wr, np.int32)
+            poc = np.full((rows, LANE), wr, np.int32)
+            vlc = np.zeros((rows, LANE), np.float32)
+            ixc = np.full((rows, LANE), -1, np.int32)
+            for ri, (prow, orow, vrow, irow) in enumerate(rA):
+                pkc[ri], poc[ri], vlc[ri], ixc[ri] = prow, orow, vrow, irow
+            for ri, (prow, orow, vrow, irow) in enumerate(rB):
+                pkc[half + ri], poc[half + ri] = prow, orow
+                vlc[half + ri], ixc[half + ri] = vrow, irow
+            kind_c.append(kA)
+            base_c.append(bA)
+            kind2_c.append(kB)
+            base2_c.append(bB)
+            blk_c.append(b)
+            chunks_pk.append(pkc)
+            chunks_po.append(poc)
+            chunks_val.append(vlc)
+            chunks_idx.append(ixc)
+    nc = len(chunks_pk)
+    got = np.zeros(n_pad, bool)
+    if e:
+        got[np.unique(np.asarray(receivers0))] = True
+    return _maybe_validate_u(Spmv2uPlan(
+        n_pad=n_pad, n_send_pad=n_send_pad, h=h, wr=wr, nb=nb, nc=nc,
+        hub=hub, nnz=e, fill=e / max(nc * rows * LANE, 1),
+        classes=tuple(norm_windows), rows=rows,
+        kindid=jnp.asarray(np.asarray(kind_c, np.int32)),
+        blkid=jnp.asarray(np.asarray(blk_c, np.int32)),
+        base=jnp.asarray(np.asarray(base_c, np.int32)),
+        kind2=jnp.asarray(np.asarray(kind2_c, np.int32)),
+        base2=jnp.asarray(np.asarray(base2_c, np.int32)),
+        pk=jnp.asarray(np.stack(chunks_pk)),
+        po=jnp.asarray(np.stack(chunks_po)),
+        val=jnp.asarray(np.stack(chunks_val)),
+        got_static=jnp.asarray(got),
+        eidx=np.stack(chunks_idx)))
+
+
+def _build_plan2u_native(lib, s, r, v, e, h, wr, nb, hub, windows,
+                         cell_min, n_pad, n_send_pad, receivers0,
+                         rows, rowmode_min):
+    """C++/OpenMP v2u plan build (graphmat_tpu/native/planner.cpp)."""
+    import ctypes
+
+    sa = np.ascontiguousarray(s, np.int32)
+    ra = np.ascontiguousarray(r, np.int32)
+    va = np.ascontiguousarray(v, np.float32)
+    wins = np.ascontiguousarray(windows, np.int32)
+    nc_out = ctypes.c_int64()
+    handle = lib.gm_plan2u_create(sa, ra, va, e, h, wr, nb, hub, wins,
+                                  len(wins), cell_min, rows, rowmode_min,
+                                  ctypes.byref(nc_out))
+    nc = int(nc_out.value)
+    try:
+        kindid = np.empty(nc, np.int32)
+        blkid = np.empty(nc, np.int32)
+        base = np.empty(nc, np.int32)
+        kind2 = np.empty(nc, np.int32)
+        base2 = np.empty(nc, np.int32)
+        pk = np.empty((nc, rows, LANE), np.int32)
+        po = np.empty((nc, rows, LANE), np.int32)
+        val = np.empty((nc, rows, LANE), np.float32)
+        lib.gm_plan2u_fill(handle, kindid, blkid, base, kind2, base2,
+                           pk.reshape(-1), po.reshape(-1), val.reshape(-1))
+        eidx = np.empty((nc, rows, LANE), np.int32)
+        lib.gm_plan2u_eidx(handle, eidx.reshape(-1))
+    finally:
+        lib.gm_plan2u_destroy(handle)
+
+    got = np.zeros(n_pad, bool)
+    got[np.unique(np.asarray(receivers0))] = True
+    return _maybe_validate_u(Spmv2uPlan(
+        n_pad=n_pad, n_send_pad=n_send_pad, h=h, wr=wr, nb=nb, nc=nc,
+        hub=hub, nnz=e, fill=e / max(nc * rows * LANE, 1),
+        classes=tuple(int(w) for w in windows), rows=rows,
+        kindid=jnp.asarray(kindid), blkid=jnp.asarray(blkid),
+        base=jnp.asarray(base), kind2=jnp.asarray(kind2),
+        base2=jnp.asarray(base2),
+        pk=jnp.asarray(pk), po=jnp.asarray(po), val=jnp.asarray(val),
+        got_static=jnp.asarray(got), eidx=eidx))
+
+
+def _maybe_validate_u(plan):
+    from ..utils.debug import debug_enabled
+    if debug_enabled():
+        from ..utils.debug import validate_plan2u
+        validate_plan2u(plan)
+    return plan
+
+
+# ------------------------------------------------------------------ kernel
+
+def _make_kernel_u(reduce_kind: str, process: Callable, wr: int, h: int,
+                   classes, debug=None, x2_hbm=False, rows=64,
+                   sparse=False, use_val=True, want_got=False):
+    G = wr // LANE
+    wmax = max(classes)
+    ntiles = rows // 8
+    htiles = ntiles // 2
+    is_sum = reduce_kind == "sum"
+    ident = np.float32(0.0 if is_sum
+                       else (np.inf if reduce_kind == "min" else -np.inf))
+    comb = ((lambda a, b: a + b) if is_sum
+            else (jnp.minimum if reduce_kind == "min" else jnp.maximum))
+
+    def red0(m):       # reduce over rows -> [1, 128]
+        if is_sum:
+            return jnp.sum(m, axis=0, keepdims=True)
+        return (jnp.min if reduce_kind == "min" else jnp.max)(
+            m, axis=0, keepdims=True)
+
+    def red1(m):       # reduce over lanes -> [8, 1]
+        if is_sum:
+            return jnp.sum(m, axis=1, keepdims=True)
+        return (jnp.min if reduce_kind == "min" else jnp.max)(
+            m, axis=1, keepdims=True)
+
+    def kernel(kind_ref, blk_ref, base_ref, kind2_ref, base2_ref, *rest):
+        if sparse:
+            act_ref = rest[0]
+            rest = rest[2:]   # rest[1] = eff_ref, used by index maps only
+        if use_val:
+            (pk_ref, po_ref, val_ref, x2_ref, y_ref,
+             acc_ref, wscr_ref, *dma_sem) = rest
+        else:
+            (pk_ref, po_ref, x2_ref, y_ref,
+             acc_ref, wscr_ref, *dma_sem) = rest
+            val_ref = None
+        i = pl.program_id(0)
+        first = jnp.logical_or(
+            i == 0, blk_ref[i] != blk_ref[jnp.maximum(i - 1, 0)])
+
+        @pl.when(first)
+        def _():
+            if want_got:
+                acc_ref[0:G, :] = jnp.full((G, LANE), ident, jnp.float32)
+                acc_ref[G:2 * G, :] = jnp.zeros((G, LANE), jnp.float32)
+            else:
+                acc_ref[:] = jnp.full_like(acc_ref, ident)
+
+        if x2_hbm:
+            @pl.when(i == 0)
+            def _():
+                dma0 = pltpu.make_async_copy(
+                    x2_ref.at[0:16, :], wscr_ref.at[wmax:wmax + 16, :],
+                    dma_sem[0])
+                dma0.start()
+                dma0.wait()
+
+        def compute():
+            us = [jax.lax.bitcast_convert_type(
+                      pk_ref[0, 8 * t: 8 * t + 8, :], jnp.uint32)
+                  for t in range(ntiles)]
+            hi2s = [(u >> 21).astype(jnp.int32) for u in us]
+            slos = [((u >> RCF_BITS) & (LANE - 1)).astype(jnp.int32)
+                    for u in us]
+            rcfs = [(u & ((1 << RCF_BITS) - 1)).astype(jnp.int32)
+                    for u in us]
+            subs = [ix & 7 for ix in hi2s]
+            gsels = [ix >> 3 for ix in hi2s]
+
+            def gather_half(tsel, kind_v, base_v, skip_load):
+                def gather_from(tbl_for_g, ngran):
+                    xvs = [jnp.zeros((8, LANE), jnp.float32)
+                           for _ in tsel]
+                    for g in range(ngran):
+                        tbl = tbl_for_g(g)
+                        for k, t in enumerate(tsel):
+                            got = jnp.take_along_axis(tbl, subs[t], axis=0)
+                            xvs[k] = jnp.where(gsels[t] == g, got, xvs[k])
+                    return tuple(xvs)
+
+                def hub_branch():
+                    def tbl(g):
+                        if x2_hbm:
+                            return wscr_ref[wmax + 8 * g:
+                                            wmax + 8 * g + 8, :]
+                        return x2_ref[8 * g: 8 * g + 8, :]
+                    return gather_from(tbl, HUB_GRANULES2)
+
+                def window_branch(W):
+                    def inner():
+                        base = pl.multiple_of(base_v, 8)
+
+                        @pl.when(jnp.logical_not(skip_load))
+                        def _():
+                            if x2_hbm:
+                                dma = pltpu.make_async_copy(
+                                    x2_ref.at[pl.ds(base, W), :],
+                                    wscr_ref.at[0:W, :], dma_sem[0])
+                                dma.start()
+                                dma.wait()
+                            else:
+                                wscr_ref[0:W, :] = x2_ref[pl.ds(base, W), :]
+                        return gather_from(
+                            lambda g: wscr_ref[8 * g: 8 * g + 8, :], W // 8)
+                    return inner
+
+                branches = [hub_branch] + [window_branch(W)
+                                           for W in classes]
+                return list(jax.lax.switch(kind_v, branches))
+
+            if debug == "nogather":
+                xvs = [jnp.full((8, LANE), 1.0, jnp.float32)
+                       for _ in range(ntiles)]
+            else:
+                # window-reuse chain across halves (see pallas_spmv2.py)
+                prev = jnp.maximum(i - 1, 0)
+                prev_ok = i > 0
+                if sparse:
+                    prev_ok = jnp.logical_and(prev_ok, act_ref[prev] != 0)
+                kA, bA = kind_ref[i], base_ref[i]
+                kB, bB = kind2_ref[i], base2_ref[i]
+                kP, bP = kind2_ref[prev], base2_ref[prev]
+                sameA = jnp.logical_and(
+                    prev_ok, jnp.logical_and(kA == kP, bA == bP))
+                sameB = jnp.logical_or(
+                    jnp.logical_and(kB == kA, bB == bA),
+                    jnp.logical_and(
+                        kA == 0, jnp.logical_and(
+                            prev_ok,
+                            jnp.logical_and(kB == kP, bB == bP))))
+                xvs = (gather_half(list(range(htiles)), kA, bA, sameA)
+                       + gather_half(list(range(htiles, ntiles)), kB, bB,
+                                     sameB))
+                xvs = [jnp.take_along_axis(xvs[t], slos[t], axis=1)
+                       for t in range(ntiles)]
+
+            if want_got:
+                xbs = [jax.lax.bitcast_convert_type(xv, jnp.int32)
+                       for xv in xvs]
+                afs = [(xb & 1).astype(jnp.float32) for xb in xbs]
+                xvs = [jax.lax.bitcast_convert_type(
+                           xb & np.int32(-2), jnp.float32)
+                       for xb in xbs]
+
+            ps = [process(xvs[t],
+                          val_ref[0, 8 * t: 8 * t + 8, :] if use_val
+                          else jnp.float32(0.0)).astype(jnp.float32)
+                  for t in range(ntiles)]
+
+            # ---- output-side routing: po decode + double-gather ----
+            lane_i = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 1)
+            vts, cts, rgts = [], [], []
+            for t in range(ntiles):
+                ou = jax.lax.bitcast_convert_type(
+                    po_ref[0, 8 * t: 8 * t + 8, :], jnp.uint32)
+                rco = (ou & ((1 << RCF_BITS) - 1)).astype(jnp.int32)
+                if debug == "noout":
+                    vts.append(ps[t])
+                    rgts.append(rcfs[t] >> 7)
+                    if want_got:
+                        cts.append(afs[t])
+                    continue
+                g1 = ((ou >> 21) & (LANE - 1)).astype(jnp.int32)
+                g2 = ((ou >> RCF_BITS) & (LANE - 1)).astype(jnp.int32)
+                has2 = ((ou >> 28) & 1).astype(jnp.int32)
+                mode = ((ou >> 29) & 1).astype(jnp.int32)
+                p = ps[t]
+                v1 = jnp.take_along_axis(p, g1, axis=1)
+                v2 = jnp.take_along_axis(p, g2, axis=1)
+                if is_sum:
+                    vcold = v1 + jnp.where(has2 == 1, v2, 0.0)
+                else:
+                    vcold = comb(v1, v2)
+                # row-mode: whole-row reduce routed to the receiver lane
+                padm = rcfs[t] == wr
+                pm = jnp.where(padm, ident, p)
+                rsum = red1(pm)                       # [8, 1]
+                hit = lane_i == (rco & (LANE - 1))
+                vrm = jnp.where(hit, jnp.broadcast_to(rsum, (8, LANE)),
+                                ident)
+                vts.append(jnp.where(mode == 1, vrm, vcold))
+                rgts.append(rco >> 7)
+                if want_got:
+                    af = afs[t]
+                    a1 = jnp.take_along_axis(af, g1, axis=1)
+                    a2 = jnp.take_along_axis(af, g2, axis=1)
+                    ccold = a1 + jnp.where(has2 == 1, a2, 0.0)
+                    asum = jnp.sum(jnp.where(padm, 0.0, af), axis=1,
+                                   keepdims=True)
+                    crm = jnp.where(hit, jnp.broadcast_to(asum, (8, LANE)),
+                                    0.0)
+                    cts.append(jnp.where(mode == 1, crm, ccold))
+
+            V = jnp.concatenate(vts, axis=0)          # [rows, 128]
+            RG = jnp.concatenate(rgts, axis=0)
+            if debug == "noscatter":
+                acc_ref[0:1, :] = comb(acc_ref[0:1, :], red0(V))
+                return
+            if want_got:
+                C = jnp.concatenate(cts, axis=0)
+            for g in range(G):
+                m = RG == g
+                acc_ref[g:g + 1, :] = comb(
+                    acc_ref[g:g + 1, :], red0(jnp.where(m, V, ident)))
+                if want_got:
+                    acc_ref[G + g:G + g + 1, :] = (
+                        acc_ref[G + g:G + g + 1, :]
+                        + jnp.sum(jnp.where(m, C, 0.0), axis=0,
+                                  keepdims=True))
+
+        if sparse:
+            @pl.when(act_ref[i] != 0)
+            def _():
+                compute()
+        else:
+            compute()
+
+        npr = pl.num_programs(0)
+        nxt = jnp.minimum(i + 1, npr - 1)
+        last = jnp.logical_or(i == npr - 1, blk_ref[nxt] != blk_ref[i])
+
+        @pl.when(last)
+        def _():
+            y_ref[0] = acc_ref[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("plan_static", "reduce_kind",
+                                              "process", "interpret",
+                                              "debug", "x2_hbm",
+                                              "want_got"))
+def _spmv2u_call(plan_arrays, plan_static, x, reduce_kind, process,
+                 interpret, debug=None, x2_hbm=None, sent=None,
+                 want_got=False):
+    h, wr, nb, nc, n_pad, classes, rows = plan_static[:7]
+    kindid, blkid, base, kind2, base2, pk, po, val = plan_arrays
+    use_val = val is not None
+    G = wr // LANE
+    GA = 2 * G if want_got else G
+    x2 = x.reshape(h, LANE)
+    sparse = sent is not None
+    if sparse:
+        if sent.shape[0] < h * LANE:
+            sent = jnp.pad(sent, (0, h * LANE - sent.shape[0]))
+        act, eff = _chunk_activity(sent[: h * LANE], kindid, base,
+                                   classes, h, nc, kind2, base2)
+
+    if x2_hbm is None:
+        x2_hbm = h > VMEM_X2_MAX_ROWS and not interpret
+    kernel = _make_kernel_u(reduce_kind, process, wr, h, classes, debug,
+                            x2_hbm, rows, sparse, use_val, want_got)
+    wmax = max(classes) if classes else 8
+    if sparse:
+        nmap = lambda i, kd, bk, bs, k2, b2, a, eff_: (eff_[i], 0, 0)
+        omap = lambda i, kd, bk, bs, k2, b2, a, eff_: (bk[i], 0, 0)
+    else:
+        nmap = lambda i, *_: (i, 0, 0)
+        omap = lambda i, kind, blk, bs, k2, b2: (blk[i], 0, 0)
+    chunk_spec = pl.BlockSpec((1, rows, LANE), nmap,
+                              memory_space=pltpu.VMEM)
+    x2_spec = pl.BlockSpec(memory_space=(pltpu.ANY if x2_hbm
+                                         else pltpu.VMEM))
+    scratch = [pltpu.VMEM((GA, LANE), jnp.float32),
+               pltpu.VMEM((wmax + (16 if x2_hbm else 0), LANE),
+                          jnp.float32)]
+    if x2_hbm:
+        scratch.append(pltpu.SemaphoreType.DMA(()))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7 if sparse else 5,
+        grid=(nc,),
+        in_specs=([chunk_spec, chunk_spec, chunk_spec, x2_spec] if use_val
+                  else [chunk_spec, chunk_spec, x2_spec]),
+        out_specs=pl.BlockSpec((1, GA, LANE), omap,
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+    )
+    operands = ((kindid, blkid, base, kind2, base2, act, eff) if sparse
+                else (kindid, blkid, base, kind2, base2))
+    planes = (pk, po, val, x2) if use_val else (pk, po, x2)
+    out = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, GA, LANE), jnp.float32),
+        interpret=interpret,
+    )(*operands, *planes)
+    if want_got:
+        return (out[:, :G].reshape(nb * wr)[:n_pad],
+                out[:, G:].reshape(nb * wr)[:n_pad])
+    return out.reshape(nb * wr)[:n_pad]
+
+
+def refresh_plan2u_vals(plan, new_vals) -> bool:
+    """applyToAllEdges fast path: patch the val plane in place via the
+    host eidx map (original edge order), no replan — the reference
+    mutates tile vals in place (``singlenode/applyedges.h:38-95``)."""
+    if getattr(plan, "eidx", None) is None:
+        return False
+    nv = np.asarray(new_vals, np.float32)
+    ei = plan.eidx
+    val = np.where(ei >= 0, nv[np.maximum(ei, 0)], np.float32(0.0))
+    plan.val = jnp.asarray(val.astype(np.float32))
+    return True
+
+
+def spmv2u(plan: Spmv2uPlan, x, reduce_kind: str = "sum",
+           process: Optional[Callable] = None, interpret: bool = False,
+           sent=None, with_got: bool = False):
+    """Generalized SpMV on the unified layout:
+    ``y[r] = ⊕_{(s->r)} process(x[s], val)`` with ⊕ in {sum, min, max}.
+
+    ``sent``/``with_got`` as in :func:`spmv2`/``spmv2m`` — the sparse
+    frontier chunk skip and the fused y-bitvector (sum only; min/max
+    programs detect receipt via the ±sentinel instead).
+    """
+    assert reduce_kind in ("sum", "min", "max")
+    if process is None:
+        process = _identity_process
+    if x.shape[0] < plan.n_send_pad:
+        x = jnp.pad(x, (0, plan.n_send_pad - x.shape[0]))
+    x = x[: plan.n_send_pad].astype(jnp.float32)
+    plan_arrays = (plan.kindid, plan.blkid, plan.base, plan.kind2,
+                   plan.base2, plan.pk, plan.po, plan.val)
+    plan_static = (plan.h, plan.wr, plan.nb, plan.nc, plan.n_pad,
+                   plan.classes, plan.rows)
+    if with_got:
+        assert reduce_kind == "sum", "with_got rides the sum layout"
+        assert sent is not None, "with_got requires the sent mask"
+        sent_p = sent
+        if sent_p.shape[0] < plan.n_send_pad:
+            sent_p = jnp.pad(sent_p,
+                             (0, plan.n_send_pad - sent_p.shape[0]))
+        x = jnp.where(sent_p[: plan.n_send_pad], x, 0.0)
+        x = encode_sent_bit(x, sent_p[: plan.n_send_pad])
+        y, cnt = _spmv2u_call(plan_arrays, plan_static, x, reduce_kind,
+                              process, interpret, sent=sent,
+                              want_got=True)
+        return y, cnt > 0
+    return _spmv2u_call(plan_arrays, plan_static, x, reduce_kind, process,
+                        interpret, sent=sent)

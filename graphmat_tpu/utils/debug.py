@@ -16,7 +16,7 @@ import os
 import numpy as np
 
 __all__ = ["debug_enabled", "validate_plan2", "validate_plan2m",
-           "validate_planv", "assert_all_finite"]
+           "validate_plan2u", "validate_planv", "assert_all_finite"]
 
 
 def debug_enabled() -> bool:
@@ -77,6 +77,56 @@ def validate_plan2m(plan) -> None:
     _basic(plan, rcf)
     real = (rcf < plan.wr).sum()
     assert real == plan.nnz, f"slot conservation {real} != {plan.nnz}"
+
+
+def validate_plan2u(plan) -> None:
+    """Invariants of the unified (v2u) plan: v2r slot/registration checks
+    plus full OUTPUT-ROUTING COVERAGE — every real slot must be consumed
+    exactly once, either through its row's (gsel1, gsel2/has2) out-lane
+    mapping with a matching receiver, or through a row-mode whole-row
+    reduce.  This is the load-bearing check: a slot the out plane misses
+    silently drops an edge in the compiled kernel."""
+    from ..ops.pallas_spmv2 import RCF_BITS
+    validate_plan2(plan)
+    u = np.asarray(plan.pk).view(np.uint32)
+    rcf = (u & ((1 << RCF_BITS) - 1)).astype(np.int64)
+    o = np.asarray(plan.po).view(np.uint32)
+    orcf = (o & ((1 << RCF_BITS) - 1)).astype(np.int64)
+    g1 = ((o >> 21) & 127).astype(np.int64)
+    g2 = ((o >> RCF_BITS) & 127).astype(np.int64)
+    has2 = ((o >> 28) & 1).astype(np.int64)
+    mode = ((o >> 29) & 1).astype(np.int64)
+    nc, rows, lanes = rcf.shape
+    real = rcf < plan.wr
+    # row-mode rows: flag uniform across lanes, one receiver per row
+    rm_row = mode[:, :, 0] == 1
+    assert (mode == mode[:, :, :1]).all(), "row-mode flag not row-uniform"
+    if rm_row.any():
+        rr = orcf[rm_row]
+        assert (rr == rr[:, :1]).all(), "row-mode rcf not row-uniform"
+        srcf = rcf[rm_row]
+        ok = ~((srcf < plan.wr) & (srcf != rr))
+        assert ok.all(), "row-mode row holds foreign slots"
+    # cold rows: every out-lane's gsels hit slots of that receiver; every
+    # real slot referenced exactly once
+    cold = ~rm_row
+    refcnt = np.zeros_like(rcf)
+    live = (orcf < plan.wr) & (mode == 0)
+    idx = np.indices(rcf.shape)
+    c_i, r_i = idx[0][live], idx[1][live]
+    s1 = g1[live]
+    s2 = g2[live]
+    h2 = has2[live]
+    tgt = orcf[live]
+    assert (rcf[c_i, r_i, s1] == tgt).all(), "gsel1 receiver mismatch"
+    assert (rcf[c_i, r_i, s2][h2 == 1]
+            == tgt[h2 == 1]).all(), "gsel2 receiver mismatch"
+    np.add.at(refcnt, (c_i, r_i, s1), 1)
+    np.add.at(refcnt, (c_i[h2 == 1], r_i[h2 == 1], s2[h2 == 1]), 1)
+    cold3 = np.broadcast_to(cold[:, :, None], rcf.shape)
+    assert (refcnt[real & cold3] == 1).all(), \
+        "cold slot not consumed exactly once"
+    assert (refcnt[~real] == 0).all(), "pad slot referenced"
 
 
 def validate_planv(plan) -> None:

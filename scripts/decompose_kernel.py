@@ -1,0 +1,85 @@
+"""Same-session kernel phase decomposition on the real chip.
+
+Times full / nogather / noscatter variants of the v2 (sum) and v2m
+(min/max) kernels on the bench RMAT workload; differences bound the
+gather and scatter phases (the residual is streams + per-chunk fixed
+cost).  MODE=sum|mm, SWEEP_SCALE, SWEEP_REPS as in sweep_spmv2.py.
+"""
+
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from graphmat_tpu import Graph
+    from graphmat_tpu.ops.pallas_spmv2 import (build_spmv2_plan,
+                                               build_spmv2m_plan,
+                                               _identity_process,
+                                               _spmv2_call,
+                                               _spmv2m_call)
+    from graphmat_tpu.utils.generators import rmat_edgelist
+
+    mode = os.environ.get("SWEEP_MODE", "mm")
+    scale = int(os.environ.get("SWEEP_SCALE", "20"))
+    reps = int(os.environ.get("SWEEP_REPS", "50"))
+
+    e = rmat_edgelist(scale, 16, seed=1)
+    g = Graph(e, build_in_edges=False, permute="degree")
+    senders0, receivers0, vals = g._host_edges["dst"]
+    nnz = len(senders0)
+
+    if mode == "mm":
+        plan = build_spmv2m_plan(senders0, receivers0, vals, g.n_pad,
+                                 n_recv=g.n_pad)
+        arrays = (plan.kindid, plan.blkid, plan.base, plan.ngran,
+                  plan.rowmask, plan.pk, plan.val)
+    else:
+        plan = build_spmv2_plan(senders0, receivers0, vals, g.n_pad,
+                                n_recv=g.n_pad)
+        arrays = (plan.kindid, plan.blkid, plan.base, plan.kind2,
+                  plan.base2, plan.pk, plan.val)
+    static = (plan.h, plan.wr, plan.nb, plan.nc, plan.n_pad,
+              plan.classes, plan.rows)
+    print(f"mode={mode} nnz={nnz} nc={plan.nc} fill={plan.fill:.3f}")
+
+    def timed(debug):
+        @jax.jit
+        def chain(arrays, x):
+            def one(x, _):
+                if mode == "mm":
+                    y = _spmv2m_call(arrays, static, x, "min",
+                                     _identity_process, False, debug=debug)
+                else:
+                    y = _spmv2_call(arrays, static, x, _identity_process,
+                                    2, False, debug=debug)
+                return y[: plan.n_send_pad] * 0.99 + 0.01, 0.0
+            out, _ = jax.lax.scan(one, x, None, length=reps)
+            return out
+
+        x0 = jnp.ones(plan.n_send_pad, jnp.float32)
+        float(chain(arrays, x0)[0])
+        best = np.inf
+        for trial in range(4):
+            t0 = time.perf_counter()
+            float(chain(arrays, x0)[0])
+            dt = (time.perf_counter() - t0) / reps
+            if trial:
+                best = min(best, dt)
+        return best
+
+    full = timed(None)
+    nog = timed("nogather")
+    nos = timed("noscatter")
+    print(f"full      {full*1e3:6.2f} ms/iter ({nnz/full/1e9:.2f} GTEPS)")
+    print(f"nogather  {nog*1e3:6.2f} ms/iter  -> gather ~{(full-nog)*1e3:.2f} ms")
+    print(f"noscatter {nos*1e3:6.2f} ms/iter  -> scatter ~{(full-nos)*1e3:.2f} ms")
+    print(f"residual (streams+fixed) ~{(nog+nos-full)*1e3:.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -21,7 +21,9 @@ def main():
                                                _spmv2_call,
                                                _spmv2m_call)
 
-    mode = os.environ.get("SWEEP_MODE", "sum")
+    mode = os.environ.get("SWEEP_MODE", "sum")  # sum | mm | usum | umin
+    from graphmat_tpu.ops.pallas_spmv2u import (build_spmv2u_plan,
+                                                _spmv2u_call)
     from graphmat_tpu.utils.generators import rmat_edgelist
 
     scale = int(os.environ.get("SWEEP_SCALE", "20"))
@@ -42,7 +44,16 @@ def main():
         windows = tuple(int(w) for w in wins.split(","))
         cell_min = int(cm)
         t0 = time.time()
-        if mode == "mm":
+        if mode in ("usum", "umin", "umax"):
+            rows_u = int(os.environ.get("SWEEP_ROWS", "64"))
+            rm_min = int(os.environ.get("SWEEP_RM", "129"))
+            plan = build_spmv2u_plan(senders0, receivers0, vals, g.n_pad,
+                                     n_recv=g.n_pad, windows=windows,
+                                     cell_min=cell_min, wr=wr,
+                                     rows=rows_u, rowmode_min=rm_min)
+            arrays = (plan.kindid, plan.blkid, plan.base, plan.kind2,
+                      plan.base2, plan.pk, plan.po, plan.val)
+        elif mode == "mm":
             plan = build_spmv2m_plan(senders0, receivers0, vals, g.n_pad,
                                      n_recv=g.n_pad, windows=windows,
                                      cell_min=cell_min, wr=wr)
@@ -61,7 +72,10 @@ def main():
         @jax.jit
         def chain(arrays, x):
             def one(x, _):
-                if mode == "mm":
+                if mode in ("usum", "umin", "umax"):
+                    y = _spmv2u_call(arrays, static, x, mode[1:],
+                                     _identity_process, False)
+                elif mode == "mm":
                     y = _spmv2m_call(arrays, static, x, "min",
                                      _identity_process, False)
                 else:

@@ -1,0 +1,189 @@
+"""Oracle tests for the unified v2u Pallas layout (interpret mode, CPU).
+
+Mirrors the reference's SpMV identity/oracle tests
+(``test/test_spmv.cpp:38-103``) across all three reduce kinds on ONE
+plan, plus the v2u-specific machinery: row-mode hot receivers, the
+sparse-frontier chunk skip, the fused got bitvector, and the in-place
+val refresh."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from graphmat_tpu.ops.pallas_spmv2u import (build_spmv2u_plan,
+                                            refresh_plan2u_vals, spmv2u)
+
+os.environ.setdefault("GRAPHMAT_DEBUG", "1")
+
+
+def _rand_graph(n, e, seed, skew=False):
+    rng = np.random.default_rng(seed)
+    if skew:
+        # zipf-ish senders/receivers to hit hubs and row-mode
+        s = np.minimum((rng.pareto(1.0, e) * 3).astype(np.int64), n - 1)
+        r = np.minimum((rng.pareto(1.2, e) * 5).astype(np.int64), n - 1)
+    else:
+        s = rng.integers(0, n, e)
+        r = rng.integers(0, n, e)
+    v = rng.normal(size=e).astype(np.float32)
+    return s.astype(np.int64), r.astype(np.int64), v
+
+
+def _oracle(s, r, v, x, n, kind, process):
+    if kind == "sum":
+        y = np.zeros(n, np.float64)
+        np.add.at(y, r, process(x[s], v).astype(np.float64))
+        return y
+    y = np.full(n, np.inf if kind == "min" else -np.inf, np.float64)
+    f = np.minimum if kind == "min" else np.maximum
+    vals = process(x[s], v)
+    for i in range(len(s)):
+        y[r[i]] = f(y[r[i]], vals[i])
+    return y
+
+
+@pytest.mark.parametrize("kind", ["sum", "min", "max"])
+@pytest.mark.parametrize("skew", [False, True])
+def test_spmv2u_matches_oracle(kind, skew):
+    n, e = 1500, 12000
+    s, r, v = _rand_graph(n, e, seed=3 + skew, skew=skew)
+    plan = build_spmv2u_plan(s, r, v, n, wr=512, windows=(16, 64),
+                             cell_min=64, rows=32, hub=128)
+    x = np.arange(n, dtype=np.float32) * 0.25 + 1.0
+    xp = np.zeros(plan.n_send_pad, np.float32)
+    xp[:n] = x
+    proc = lambda xv, ev: xv * ev
+    y = np.asarray(spmv2u(plan, jnp.asarray(xp), kind,
+                          process=proc, interpret=True))[:n]
+    ref = _oracle(s, r, v, x, n, kind, lambda a, b: a * b)
+    m = np.isfinite(ref)
+    np.testing.assert_allclose(y[m], ref[m], rtol=1e-4, atol=1e-4)
+    if kind != "sum":
+        assert not np.isfinite(y[~m]).any() or (~m).sum() == 0
+
+
+def test_spmv2u_one_plan_serves_all_kinds():
+    n, e = 800, 6000
+    s, r, v = _rand_graph(n, e, seed=11)
+    plan = build_spmv2u_plan(s, r, v, n, wr=512, windows=(16,),
+                             cell_min=48, rows=32, hub=128)
+    x = np.linspace(0.5, 2.0, n).astype(np.float32)
+    xp = np.zeros(plan.n_send_pad, np.float32)
+    xp[:n] = x
+    for kind in ("sum", "min", "max"):
+        y = np.asarray(spmv2u(plan, jnp.asarray(xp), kind,
+                              interpret=True))[:n]
+        ref = _oracle(s, r, v, x, n, kind, lambda a, b: a)
+        m = np.isfinite(ref)
+        np.testing.assert_allclose(y[m], ref[m], rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("kind", ["sum", "min"])
+def test_spmv2u_hot_receiver_rowmode(kind):
+    # one receiver with in-cell degree >> rowmode_min plus background
+    rng = np.random.default_rng(7)
+    n, e = 1200, 9000
+    s = rng.integers(0, n, e)
+    r = rng.integers(0, n, e)
+    s2 = rng.integers(0, n, 700)
+    r2 = np.full(700, 37)
+    s_, r_ = np.r_[s, s2], np.r_[r, r2]
+    v_ = rng.normal(size=len(s_)).astype(np.float32)
+    plan = build_spmv2u_plan(s_, r_, v_, n, wr=512, windows=(16, 64),
+                             cell_min=64, rows=32, hub=128,
+                             rowmode_min=65)
+    x = rng.normal(size=n).astype(np.float32)
+    xp = np.zeros(plan.n_send_pad, np.float32)
+    xp[:n] = x
+    y = np.asarray(spmv2u(plan, jnp.asarray(xp), kind,
+                          interpret=True))[:n]
+    ref = _oracle(s_, r_, v_, x, n, kind, lambda a, b: a)
+    m = np.isfinite(ref)
+    np.testing.assert_allclose(y[m], ref[m], rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("kind", ["sum", "min"])
+def test_spmv2u_sparse_frontier_matches_dense(kind):
+    n, e = 1400, 10000
+    s, r, v = _rand_graph(n, e, seed=5)
+    plan = build_spmv2u_plan(s, r, v, n, wr=512, windows=(16, 64),
+                             cell_min=64, rows=32, hub=128)
+    rng = np.random.default_rng(0)
+    BIG = np.float32(3.0e38)
+    fillv = 0.0 if kind == "sum" else (BIG if kind == "min" else -BIG)
+    for frac in (0.02, 0.5):
+        active = rng.random(n) < frac
+        x = np.where(active, rng.normal(size=n).astype(np.float32),
+                     np.float32(fillv))
+        xp = np.full(plan.n_send_pad, np.float32(fillv), np.float32)
+        xp[:n] = x
+        sent = np.zeros(plan.n_send_pad, bool)
+        sent[:n] = active
+        y_dense = np.asarray(spmv2u(plan, jnp.asarray(xp), kind,
+                                    interpret=True))[:n]
+        y_sparse = np.asarray(spmv2u(plan, jnp.asarray(xp), kind,
+                                     sent=jnp.asarray(sent),
+                                     interpret=True))[:n]
+        np.testing.assert_allclose(y_sparse, y_dense, rtol=1e-6)
+
+
+def test_spmv2u_got_fused():
+    n, e = 1000, 8000
+    s, r, v = _rand_graph(n, e, seed=9)
+    plan = build_spmv2u_plan(s, r, v, n, wr=512, windows=(16, 64),
+                             cell_min=64, rows=32, hub=128,
+                             rowmode_min=65)
+    rng = np.random.default_rng(1)
+    active = rng.random(n) < 0.3
+    x = np.where(active, rng.normal(size=n).astype(np.float32), 0.0)
+    xp = np.zeros(plan.n_send_pad, np.float32)
+    xp[:n] = x
+    sent = np.zeros(plan.n_send_pad, bool)
+    sent[:n] = active
+    y, got = spmv2u(plan, jnp.asarray(xp), "sum",
+                    sent=jnp.asarray(sent), with_got=True,
+                    interpret=True)
+    y, got = np.asarray(y)[:n], np.asarray(got)[:n]
+    ref_got = np.zeros(n, bool)
+    am = active[s]
+    np.logical_or.at(ref_got, r[am], True)
+    np.testing.assert_array_equal(got, ref_got)
+    ref = np.zeros(n, np.float64)
+    np.add.at(ref, r[am], x[s[am]].astype(np.float64))
+    np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_spmv2u_empty_and_single_edge():
+    plan = build_spmv2u_plan(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                             np.zeros(0, np.float32), 300, wr=512,
+                             windows=(16,), cell_min=8, rows=32)
+    x = jnp.ones(plan.n_send_pad, jnp.float32)
+    y = np.asarray(spmv2u(plan, x, "sum", interpret=True))
+    assert (y[:300] == 0).all()
+
+    plan = build_spmv2u_plan(np.array([3]), np.array([7]),
+                             np.array([2.5], np.float32), 300, wr=512,
+                             windows=(16,), cell_min=8, rows=32)
+    y = np.asarray(spmv2u(plan, x, "sum",
+                          process=lambda a, b: a * b, interpret=True))
+    assert y[7] == pytest.approx(2.5)
+    assert (np.delete(y[:300], 7) == 0).all()
+
+
+def test_spmv2u_val_refresh():
+    n, e = 600, 4000
+    s, r, v = _rand_graph(n, e, seed=13)
+    plan = build_spmv2u_plan(s, r, v, n, wr=512, windows=(16,),
+                             cell_min=48, rows=32)
+    x = np.ones(plan.n_send_pad, np.float32)
+    v2 = (v * 3 + 1).astype(np.float32)
+    assert refresh_plan2u_vals(plan, v2)
+    y = np.asarray(spmv2u(plan, jnp.asarray(x), "sum",
+                          process=lambda a, b: a * b, interpret=True))[:n]
+    ref = _oracle(s, r, v2, np.ones(n, np.float32), n, "sum",
+                  lambda a, b: a * b)
+    np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-5)
