@@ -343,6 +343,20 @@ class Graph:
                 n_recv=self.n_pad, wr=wr)
         return self._pallas_plans[key]
 
+    def pallas_plan2u(self, receiver: str, wr: int = 4096):
+        """Lazily built v2u unified plan — ONE plan serves ⊕ = sum, min,
+        max and the 'or'/'any' mapping (``ops/pallas_spmv2u.py``)."""
+        key = ("v2u", receiver, wr)
+        if key not in self._pallas_plans:
+            if receiver not in self._host_edges:
+                raise ValueError(f"no host edges for receiver={receiver}")
+            from ..ops.pallas_spmv2u import build_spmv2u_plan
+            senders0, receivers0, vals = self._host_edges[receiver]
+            self._pallas_plans[key] = build_spmv2u_plan(
+                senders0, receivers0, vals, self.n_pad,
+                n_recv=self.n_pad, wr=wr)
+        return self._pallas_plans[key]
+
     def pallas_plan_vec2(self, receiver: str, wr: int = 4096):
         """Lazily built v2 K-wide vector plan (32-lane edge blocks)."""
         key = ("vec2", receiver, wr)

@@ -150,7 +150,7 @@ def apply_to_all_edges(graph: Graph, fn: Callable) -> None:
     # singlenode/applyedges.h:38-95.
     from ..ops.pallas_spmv2 import refresh_plan_vals
     for key in list(graph._pallas_plans):
-        if key[0] in ("v2", "v2m"):
+        if key[0] in ("v2", "v2m", "v2u"):
             recv = key[1]
             new_vals = graph._host_edges[recv][2]
             if refresh_plan_vals(graph._pallas_plans[key], new_vals):

@@ -173,16 +173,26 @@ class Engine:
         self._vec2_semiring = vec2_semiring
         self._plans = {}
         self._edges = {}
-        # v2 (VPU-gather) kernel serves scalar ⊕ = sum programs; min/max
-        # and the K-wide vector path stay on v1.
+        # Scalar ⊕ programs run on the v2u unified kernel (version 3) —
+        # one routed/out-gather plan serves sum, min, max and 'or'; the
+        # K-wide vector paths keep their own layouts.  Set
+        # GRAPHMAT_KERNEL=v2 to fall back to the round-1 split kernels
+        # (v2r MXU-scatter sum + v2m colored min/max).
+        import os as _os
+        legacy = _os.environ.get("GRAPHMAT_KERNEL", "v2u") == "v2"
         self.pallas_version = 1
         if self.use_pallas:
             if self.use_pallas_vec2 or (not self.use_pallas_vec
                                         and semiring is not None):
                 self.pallas_version = 2
+                if (semiring is not None and not self.use_pallas_vec2
+                        and not legacy):
+                    self.pallas_version = 3
             for recv in _direction_receivers(program.order):
                 if self.use_pallas_vec2:
                     self._plans[recv] = graph.pallas_plan_vec2(recv)
+                elif self.pallas_version == 3:
+                    self._plans[recv] = graph.pallas_plan2u(recv)
                 elif self.pallas_version != 2:
                     self._plans[recv] = graph.pallas_plan(recv)
                 elif semiring.reduce_kind == "sum":
@@ -206,6 +216,13 @@ class Engine:
             self._plan_args = {
                 recv: ((p.kindid, p.blkid, p.sbase, p.rbase, p.pk,
                         p.valp, p.rcwt), p.got_static)
+                for recv, p in self._plans.items()}
+        elif self.pallas_version == 3:
+            use_ev = semiring.uses_edge_value
+            self._plan_args = {
+                recv: ((p.kindid, p.blkid, p.base, p.kind2, p.base2,
+                        p.pk, p.po, p.val if use_ev else None),
+                       p.got_static)
                 for recv, p in self._plans.items()}
         elif self.pallas_version == 2 and semiring is not None \
                 and semiring.reduce_kind != "sum":
@@ -323,10 +340,12 @@ class Engine:
         arrays as traced arguments."""
         from ..ops.pallas_spmv import _spmv_call
         from ..ops.pallas_spmv2 import _spmv2_call, _spmv2m_call
+        from ..ops.pallas_spmv2u import _spmv2u_call
         prog = self.program
         sem: PallasSemiring = self._semiring
         kind = sem.reduce_kind
-        v2 = self.pallas_version == 2
+        v3 = self.pallas_version == 3
+        v2 = self.pallas_version == 2 or v3
         interpret = jax.default_backend() != "tpu"
 
         x = sem.encode(msg).astype(jnp.float32)
@@ -365,6 +384,11 @@ class Engine:
                 xp = xin
                 if xp.shape[0] < plan.n_send_pad:
                     xp = jnp.pad(xp, (0, plan.n_send_pad - xp.shape[0]))
+                if v3:
+                    return _spmv2u_call(plan_arrays, plan_static,
+                                        xp[: plan.n_send_pad], kd, proc,
+                                        interpret, sent=sent_arg,
+                                        want_got=want_got)
                 if v2 and kd == "sum":
                     ns = getattr(sem, "n_splits", 3)
                     return _spmv2_call(plan_arrays, plan_static,

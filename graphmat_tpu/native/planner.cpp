@@ -1725,12 +1725,16 @@ struct Plan2u {
 };
 
 // Greedy packer for one cell's cold edges (sender-sorted, hot skipped).
+// Candidate rows are scanned OLDEST-FIRST with an advancing head pointer
+// (first-fit bin packing: old rows fill up before new ones open) — a
+// newest-first scan leaves the median row at ~94/128 slots on RMAT-20.
 struct UPacker {
   std::vector<std::array<uint64_t, 2>> reg;     // per-row registered lanes
   std::vector<int32_t> nslots;
   std::vector<std::array<int32_t, kLane>> outrecv;  // -1 = free
   std::vector<std::array<uint8_t, kLane>> outcnt;
-  std::vector<int32_t> cand[kLane];
+  std::vector<int32_t> cand[kLane];             // rows in creation order
+  size_t head[kLane];                           // first maybe-usable row
   std::vector<int32_t> myrows;                  // rows current sender uses
   std::vector<int64_t> gstart, gord;
 
@@ -1755,7 +1759,10 @@ struct UPacker {
                const int32_t* senders, const int32_t* receivers,
                int64_t wrblk, int32_t* edge_row_out) {
     reg.clear(); nslots.clear(); outrecv.clear(); outcnt.clear();
-    for (int l = 0; l < kLane; ++l) cand[l].clear();
+    for (int l = 0; l < kLane; ++l) {
+      cand[l].clear();
+      head[l] = 0;
+    }
     gstart.clear();
     gstart.push_back(0);
     for (int64_t j = 1; j < m; ++j)
@@ -1787,13 +1794,13 @@ struct UPacker {
         }
         if (row < 0) {
           auto& st = cand[L];
+          size_t& hd = head[L];
           int scan = 0;
-          for (int64_t t = (int64_t)st.size() - 1; t >= 0 && scan < 24;
-               --t, ++scan) {
+          for (size_t t = hd; t < st.size() && scan < 96; ++t, ++scan) {
             const int32_t cr = st[t];
             const bool taken = (reg[cr][L >> 6] >> (L & 63)) & 1;
             if (nslots[cr] >= kLane || taken) {
-              if (t == (int64_t)st.size() - 1) st.pop_back();
+              if (t == hd) ++hd;      // permanently unusable at this lane
               continue;
             }
             if (!out_ok(cr, Lr, rcf)) continue;

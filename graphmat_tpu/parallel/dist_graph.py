@@ -370,6 +370,57 @@ class DistGraph:
                                    plans[0].n_send_pad, eidx)
         return self._pallas_plans[key]
 
+    def pallas_tile_plans2u(self, receiver: str, wr: int = 4096):
+        """Stacked per-tile v2u (unified) plans — one plan set serves
+        every scalar reduce kind on the mesh."""
+        key = ("v2u", receiver, wr)
+        if key in self._pallas_plans:
+            return self._pallas_plans[key]
+        if receiver not in self._host_tiles:
+            raise ValueError(f"no host tiles for receiver={receiver}")
+        from ..ops.pallas_spmv2u import build_spmv2u_plan
+        R, C, S = self.R, self.C, self.S
+        plans = [build_spmv2u_plan(s, r, v, R * S, wr=wr, n_recv=C * S)
+                 for (s, r, v) in self._host_tiles[receiver]]
+        nc_max = max(p.nc for p in plans)
+        nb = plans[0].nb
+        assert all(p.classes == plans[0].classes for p in plans)
+
+        def pad_stack(name, fill, pad_blk=False):
+            outs = []
+            for p in plans:
+                a = np.asarray(getattr(p, name))
+                pad = nc_max - a.shape[0]
+                if pad:
+                    padval = np.full((pad,) + a.shape[1:], fill, a.dtype)
+                    if pad_blk:
+                        padval[:] = nb - 1   # keep blkid nondecreasing
+                    a = np.concatenate([a, padval])
+                outs.append(a)
+            return np.stack(outs)
+
+        sh = tile_sharding(self.mesh)
+        wr_eff = plans[0].wr
+        arrays = (
+            jax.device_put(pad_stack("kindid", 0), sh),
+            jax.device_put(pad_stack("blkid", 0, pad_blk=True), sh),
+            jax.device_put(pad_stack("base", 0), sh),
+            jax.device_put(pad_stack("kind2", 0), sh),
+            jax.device_put(pad_stack("base2", 0), sh),
+            jax.device_put(pad_stack("pk", wr_eff), sh),  # pad slot
+            jax.device_put(pad_stack("po", wr_eff), sh),  # pad out-lane
+            jax.device_put(pad_stack("val", 0), sh),
+        )
+        got = np.stack([np.asarray(p.got_static) for p in plans])
+        got_d = jax.device_put(got, sh)
+        static = (plans[0].h, wr_eff, nb, nc_max, plans[0].n_pad,
+                  plans[0].classes, plans[0].rows)
+        eidx = (pad_stack("eidx", -1)
+                if all(p.eidx is not None for p in plans) else None)
+        self._pallas_plans[key] = (arrays, static, got_d,
+                                   plans[0].n_send_pad, eidx)
+        return self._pallas_plans[key]
+
     def pallas_tile_plans_vec2(self, receiver: str, wr: int = 4096):
         """Stacked per-tile vec2 (K-wide) plans."""
         key = ("vec2", receiver, wr)

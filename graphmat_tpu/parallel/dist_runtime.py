@@ -157,15 +157,25 @@ class DistEngine:
         self._semiring = semiring
         self._vec_semiring = vec_semiring
         self._vec2_semiring = vec2_semiring
+        # Scalar ⊕ programs run the v2u unified kernel per tile (version
+        # 3, same as Engine); GRAPHMAT_KERNEL=v2 restores the round-1
+        # split kernels.
+        import os as _os
+        legacy = _os.environ.get("GRAPHMAT_KERNEL", "v2u") == "v2"
         self.pallas_version = 1
         if self.use_pallas and not self.use_pallas_vec and (
                 semiring is not None or self.use_pallas_vec2):
             self.pallas_version = 2
+            if semiring is not None and not self.use_pallas_vec2 \
+                    and not legacy:
+                self.pallas_version = 3
         self._pplans = {}
         if self.use_pallas:
             for recv in _direction_receivers(program.order):
                 if self.use_pallas_vec2:
                     self._pplans[recv] = graph.pallas_tile_plans_vec2(recv)
+                elif self.pallas_version == 3:
+                    self._pplans[recv] = graph.pallas_tile_plans2u(recv)
                 elif self.pallas_version != 2:
                     self._pplans[recv] = graph.pallas_tile_plans(recv)
                 elif semiring.reduce_kind == "sum":
@@ -250,7 +260,9 @@ class DistEngine:
             """Local tile multiply via the Pallas kernel + mesh reduce."""
             from ..ops.pallas_spmv import _identity_process, _spmv_call
             from ..ops.pallas_spmv2 import _spmv2_call, _spmv2m_call
-            v2 = self.pallas_version == 2
+            from ..ops.pallas_spmv2u import _spmv2u_call
+            v3 = self.pallas_version == 3
+            v2 = self.pallas_version == 2 or v3
             prog = self.program
             sem: PallasSemiring = self._semiring
             kind = sem.reduce_kind
@@ -299,6 +311,11 @@ class DistEngine:
                     xp = xin
                     if xp.shape[0] < n_send_pad:
                         xp = jnp.pad(xp, (0, n_send_pad - xp.shape[0]))
+                    if v3:
+                        return _spmv2u_call(local, static,
+                                            xp[:n_send_pad], kd, proc,
+                                            interpret, sent=sent_arg,
+                                            want_got=want_got)
                     if v2 and kd == "sum":
                         ns = getattr(sem, "n_splits", 3)
                         return _spmv2_call(local, static, xp[:n_send_pad],

@@ -191,7 +191,7 @@ def test_bfs_pallas_sparse_frontier_engine():
     g = Graph(e, build_in_edges=False)
     init_bfs_graph(g, 1)
     eng = Engine(BFSProgram(), g, use_pallas=True)
-    assert eng.pallas_version == 2 and eng.use_pallas
+    assert eng.pallas_version >= 2 and eng.use_pallas
     eng.run()
     depth = g.vp_numpy()["depth"]
     np.testing.assert_array_equal(depth, scipy_depths(e, 1))
@@ -213,7 +213,7 @@ def test_incremental_pr_pallas_sparse_engine():
     Engine(DegreeProgram(), g2).run(iterations=1)
     g2.set_all_active()
     eng = Engine(DeltaPageRankProgram(), g2, use_pallas=True)
-    assert eng.pallas_version == 2
+    assert eng.pallas_version >= 2
     eng.run(max_iterations=10_000)
     dpr = g2.vp_numpy()["pagerank"]
     np.testing.assert_allclose(np.asarray(dpr, np.float64),
