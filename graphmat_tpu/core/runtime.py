@@ -220,9 +220,8 @@ class Engine:
         elif self.pallas_version == 3:
             use_ev = semiring.uses_edge_value
             self._plan_args = {
-                recv: ((p.kindid, p.blkid, p.base, p.kind2, p.base2,
-                        p.pk, p.po, p.val if use_ev else None),
-                       p.got_static)
+                recv: ((p.kb, p.blkid, p.pk, p.po,
+                        p.val if use_ev else None), p.got_static)
                 for recv, p in self._plans.items()}
         elif self.pallas_version == 2 and semiring is not None \
                 and semiring.reduce_kind != "sum":
@@ -373,7 +372,11 @@ class Engine:
         for recv in _direction_receivers(prog.order):
             plan = self._plans[recv]
             plan_arrays, got_static = plans[recv]
-            if v2:
+            if v3:
+                plan_static = (plan.h, plan.wr, plan.nb, plan.nc,
+                               plan.n_pad, plan.classes, plan.rows,
+                               plan.splits)
+            elif v2:
                 plan_static = (plan.h, plan.wr, plan.nb, plan.nc,
                                plan.n_pad, plan.classes, plan.rows)
             else:

@@ -90,8 +90,7 @@ def load_planner():
                 ctypes.c_int32, ctypes.POINTER(ctypes.c_int64)]
             lib.gm_plan2u_fill.restype = None
             lib.gm_plan2u_fill.argtypes = [ctypes.c_void_p, i32p, i32p,
-                                           i32p, i32p, i32p, i32p, i32p,
-                                           f32p]
+                                           i32p, i32p, f32p]
             lib.gm_plan2u_eidx.restype = None
             lib.gm_plan2u_eidx.argtypes = [ctypes.c_void_p, i32p]
             lib.gm_plan2u_destroy.restype = None

@@ -1693,31 +1693,39 @@ int64_t gm_rmat_gen(int32_t scale, int64_t nnz, double a, double b, double c,
 // ---------------------------------------------------------------------------
 // v2u unified plan (pallas_spmv2u.py) — routed slots + out-lane double-gather.
 //
-// Same classification / cell bucketing / half assembly as Plan2; the packer
-// additionally binds each (row, out-lane) to at most one receiver with at
-// most kOutK slots (min/max duplicate the first via gsel2, sum masks with
-// has2), and extracts in-cell in-degree hubs into row-mode rows (whole-row
-// reduce — the HybridTile heavy-row split, HybridTile.h:89-133).  One plan
-// serves sum / min / max / or.
+// Same classification / cell bucketing as Plan2; the packer additionally
+// binds each (row, out-lane) to at most one receiver with at most kOutK
+// slots (min/max duplicate the first via gsel2, sum masks with has2), and
+// extracts in-cell in-degree hubs into row-mode rows (whole-row reduce —
+// the HybridTile heavy-row split, HybridTile.h:89-133).  Chunks are
+// rows/32 SUB-WINDOWS of 32 rows each; per-sub (kind, base) plus the
+// window-reuse chain bits ride one packed kb scalar stream.  Block-tail
+// pad subs are HUB kind (cheap 2-granule walk).  One plan serves
+// sum / min / max / or.
 // ---------------------------------------------------------------------------
 
 namespace {
 
 constexpr int kOutK = 2;
+constexpr int kSubR = 32;
+constexpr uint32_t kKbSame = 1u << 22;
+constexpr uint32_t kKbPrev = 1u << 23;
+constexpr int kKbKindShift = 24;
 
 struct Plan2u {
   int64_t e = 0;
-  int32_t h = 0, wr = 0, nb = 0, hub = 0, rows = 64, rowmode_min = 129;
+  int32_t h = 0, wr = 0, nb = 0, hub = 0, rows = 128, rowmode_min = 129;
   std::vector<int32_t> windows;
   std::vector<int64_t> edge_order;
   std::vector<int32_t> edge_row;        // row within cell (cold then rm)
   std::vector<int32_t> gidx;
   std::vector<int64_t> cell_edge_start;
-  std::vector<int64_t> cell_half_start;
+  std::vector<int64_t> cell_sub_start;  // global sub id of cell's first sub
   std::vector<int64_t> cell_nrows;      // cold + rm
   std::vector<int64_t> cell_ncold;
   std::vector<int32_t> cell_blk;
-  std::vector<int32_t> ck_kind, ck_blk, ck_base, ck_kind2, ck_base2;
+  std::vector<int32_t> sub_kind, sub_base;   // per global sub
+  std::vector<int32_t> ck_blk;               // per chunk
   int64_t nc = 0;
   const int32_t* s = nullptr;
   const int32_t* r = nullptr;
@@ -1726,8 +1734,7 @@ struct Plan2u {
 
 // Greedy packer for one cell's cold edges (sender-sorted, hot skipped).
 // Candidate rows are scanned OLDEST-FIRST with an advancing head pointer
-// (first-fit bin packing: old rows fill up before new ones open) — a
-// newest-first scan leaves the median row at ~94/128 slots on RMAT-20.
+// (first-fit bin packing: old rows fill up before new ones open).
 struct UPacker {
   std::vector<std::array<uint64_t, 2>> reg;     // per-row registered lanes
   std::vector<int32_t> nslots;
@@ -1959,7 +1966,8 @@ void* gm_plan2u_create(const int32_t* senders, const int32_t* receivers,
       std::stable_sort(eo, eo + m, [&](int64_t a, int64_t b) {
         return senders[a] < senders[b];
       });
-      // hot receivers: in-cell degree >= rowmode_min
+      // hot receivers: in-cell degree >= rowmode_min; rm row assignment
+      // keyed by edge id in the high bits of a receiver-sorted copy
       rsort.assign(eo, eo + m);
       std::stable_sort(rsort.begin(), rsort.end(),
                        [&](int64_t a, int64_t b) {
@@ -1967,10 +1975,6 @@ void* gm_plan2u_create(const int32_t* senders, const int32_t* receivers,
                        });
       hot.assign(m, 0);
       rmrow.assign(m, -1);
-      // position of edge within the sender-sorted eo: build index map
-      // (edge id -> position) lazily via a second pass below; instead
-      // mark hotness by edge id using a local hash-free trick: store rm
-      // assignment keyed by edge id in a temporary map over the cell.
       int32_t nrm = 0;
       {
         int64_t a = 0;
@@ -1982,12 +1986,8 @@ void* gm_plan2u_create(const int32_t* senders, const int32_t* receivers,
             int32_t maxc = 0;
             for (int64_t t = a; t < b2; ++t) {
               const int L = senders[rsort[t]] & (kLane - 1);
-              // stash rm row (relative to this receiver's base) in the
-              // HIGH bits via two passes: first count, see below
               const int32_t rr = lanecnt[L]++;
               if (rr + 1 > maxc) maxc = rr + 1;
-              // temporarily record in rmrow via eo position later
-              // store (nrm + rr + 1) keyed by edge id:
               rsort[t] |= ((int64_t)(nrm + rr) + 1) << 40;
             }
             nrm += maxc;
@@ -1995,16 +1995,11 @@ void* gm_plan2u_create(const int32_t* senders, const int32_t* receivers,
           a = b2;
         }
       }
-      // propagate rm assignment to eo positions (match by edge id)
       if (nrm) {
-        // map edge id -> rm row + 1 (0 = cold)
-        // cells are small; use sort-join: rsort entries carry id in low
-        // 40 bits and rm+1 in high bits
         std::sort(rsort.begin(), rsort.end(),
                   [](int64_t a, int64_t b) {
                     return (a & ((1ll << 40) - 1)) < (b & ((1ll << 40) - 1));
                   });
-        // eo is sender-sorted; walk eo, binary-search rsort by id
         for (int64_t j = 0; j < m; ++j) {
           const int64_t id = eo[j];
           int64_t lo2 = 0, hi2 = m - 1;
@@ -2031,67 +2026,80 @@ void* gm_plan2u_create(const int32_t* senders, const int32_t* receivers,
     }
   }
 
-  // ---- half-chunk assembly (same scheme as Plan2) -------------------------
-  const int64_t halfr = p->rows / 2;
-  p->cell_half_start.resize(nfc);
+  // ---- sub-window assembly: cells -> 32-row subs; blocks pad to a
+  // multiple of S subs with cheap HUB pads; S subs = one chunk ---------
+  const int S = rows / kSubR > 0 ? rows / kSubR : 1;
+  p->cell_sub_start.resize(nfc);
   p->cell_blk.resize(nfc);
-  std::vector<int32_t> hkind, hbase, hblk;
-  int32_t cur_blk = -1;
-  for (size_t q = 0; q < nfc; ++q) {
-    const Cell& cl = final_cells[q];
-    if (cl.blk != cur_blk) {
-      if (hkind.size() & 1) {
-        hkind.push_back(hkind.back());
-        hbase.push_back(hbase.back());
-        hblk.push_back(hblk.back());
+  int32_t cur_blk = -1;   // unused marker
+  (void)cur_blk;
+  size_t qi = 0;
+  for (int32_t b = 0; b < nb; ++b) {
+    const size_t nsub0 = p->sub_kind.size();
+    while (qi < nfc && final_cells[qi].blk == b) {
+      const Cell& cl = final_cells[qi];
+      int32_t kv = cl.kind, bv = 0;
+      if (cl.kind != 0) {
+        const int32_t W = p->windows[cl.kind - 1];
+        bv = cl.win * W;
+        if (bv > h - W) bv = h - W;
       }
-      cur_blk = cl.blk;
+      p->cell_sub_start[qi] = (int64_t)p->sub_kind.size();
+      p->cell_blk[qi] = b;
+      int64_t nsub = (p->cell_nrows[qi] + kSubR - 1) / kSubR;
+      if (!nsub) nsub = 1;
+      for (int64_t k = 0; k < nsub; ++k) {
+        p->sub_kind.push_back(kv);
+        p->sub_base.push_back(bv);
+      }
+      ++qi;
     }
-    int32_t kv = cl.kind, bv = 0;
-    if (cl.kind != 0) {
-      const int32_t W = p->windows[cl.kind - 1];
-      bv = cl.win * W;
-      if (bv > h - W) bv = h - W;
+    if (p->sub_kind.size() == nsub0) {       // empty-block coverage
+      p->sub_kind.push_back(0);
+      p->sub_base.push_back(0);
     }
-    p->cell_half_start[q] = (int64_t)hkind.size();
-    p->cell_blk[q] = cl.blk;
-    int64_t nh = (p->cell_nrows[q] + halfr - 1) / halfr;
-    if (!nh) nh = 1;
-    for (int64_t k = 0; k < nh; ++k) {
-      hkind.push_back(kv);
-      hbase.push_back(bv);
-      hblk.push_back(cl.blk);
+    while ((p->sub_kind.size() - nsub0) % S) {
+      p->sub_kind.push_back(0);              // cheap hub pad
+      p->sub_base.push_back(0);
     }
+    const int64_t nchunk = (int64_t)(p->sub_kind.size() - nsub0) / S;
+    for (int64_t c2 = 0; c2 < nchunk; ++c2) p->ck_blk.push_back(b);
   }
-  if (hkind.size() & 1) {
-    hkind.push_back(hkind.back());
-    hbase.push_back(hbase.back());
-    hblk.push_back(hblk.back());
-  }
-  const int64_t nc = (int64_t)hkind.size() / 2;
-  p->ck_kind.resize(nc); p->ck_blk.resize(nc); p->ck_base.resize(nc);
-  p->ck_kind2.resize(nc); p->ck_base2.resize(nc);
-  for (int64_t c = 0; c < nc; ++c) {
-    p->ck_kind[c] = hkind[2 * c];
-    p->ck_base[c] = hbase[2 * c];
-    p->ck_kind2[c] = hkind[2 * c + 1];
-    p->ck_base2[c] = hbase[2 * c + 1];
-    p->ck_blk[c] = hblk[2 * c];
-  }
-  p->nc = nc;
-  *nc_out = nc;
+  p->nc = (int64_t)p->sub_kind.size() / S;
+  *nc_out = p->nc;
   return p;
 }
 
-void gm_plan2u_fill(void* handle, int32_t* kindid, int32_t* blkid,
-                    int32_t* baseid, int32_t* kind2, int32_t* base2,
+void gm_plan2u_fill(void* handle, int32_t* kb, int32_t* blkid,
                     int32_t* pk, int32_t* po, float* val) {
   auto* p = static_cast<Plan2u*>(handle);
   const int64_t nc = p->nc;
   const int64_t chunk_elems = (int64_t)p->rows * kLane;
-  const int64_t halfr = p->rows / 2;
+  const int S = p->rows / kSubR > 0 ? p->rows / kSubR : 1;
   const size_t nfc = p->cell_nrows.size();
   const uint32_t wru = (uint32_t)p->wr;
+
+  // kb: packed per-sub metadata with the window-reuse chain bits
+  {
+    int64_t last_kind = -1, last_base = -1, last_idx = -1;
+    for (int64_t j = 0; j < (int64_t)p->sub_kind.size(); ++j) {
+      const int32_t kd = p->sub_kind[j];
+      const int32_t bs = p->sub_base[j];
+      uint32_t w = ((uint32_t)kd << kKbKindShift)
+                   | (uint32_t)(bs >> 3);
+      if (kd != 0) {
+        if (last_idx >= 0 && last_kind == kd && last_base == bs) {
+          const int64_t pc = last_idx / S, mc = j / S;
+          if (mc - pc <= 1) {
+            w |= kKbSame;
+            if (pc == mc - 1) w |= kKbPrev;
+          }
+        }
+        last_kind = kd; last_base = bs; last_idx = j;
+      }
+      kb[j] = (int32_t)w;
+    }
+  }
 
 #pragma omp parallel for schedule(static)
   for (int64_t c = 0; c < nc; ++c) {
@@ -2102,11 +2110,7 @@ void gm_plan2u_fill(void* handle, int32_t* kindid, int32_t* blkid,
       poc[t] = (int32_t)wru;
     }
     std::memset(val + c * chunk_elems, 0, chunk_elems * sizeof(float));
-    kindid[c] = p->ck_kind[c];
     blkid[c] = p->ck_blk[c];
-    baseid[c] = p->ck_base[c];
-    kind2[c] = p->ck_kind2[c];
-    base2[c] = p->ck_base2[c];
   }
 #pragma omp parallel
   {
@@ -2118,7 +2122,7 @@ void gm_plan2u_fill(void* handle, int32_t* kindid, int32_t* blkid,
       if (!m) continue;
       rowfill.assign(p->cell_nrows[q], 0);
       const int64_t wrblk = (int64_t)p->cell_blk[q] * p->wr;
-      const int64_t h0 = p->cell_half_start[q];
+      const int64_t s0 = p->cell_sub_start[q];
       const int64_t ncold = p->cell_ncold[q];
       for (int64_t j = lo; j < lo + m; ++j) {
         const int64_t i = p->edge_order[j];
@@ -2127,10 +2131,10 @@ void gm_plan2u_fill(void* handle, int32_t* kindid, int32_t* blkid,
         const int L = p->s[i] & (kLane - 1);
         const int Lr = p->r[i] & (kLane - 1);
         const uint32_t rcf = (uint32_t)(p->r[i] - wrblk);
-        const int64_t half = h0 + row / halfr;
-        const int64_t chunk = half >> 1;
+        const int64_t sub = s0 + row / kSubR;
+        const int64_t chunk = sub / S;
         const int64_t rbase = chunk * chunk_elems
-                              + ((half & 1) * halfr + row % halfr) * kLane;
+                              + ((sub % S) * kSubR + row % kSubR) * kLane;
         uint32_t w = (uint32_t)pk[rbase + slot];
         w = (w & 0xFFE00000u) | ((uint32_t)L << kSloShift) | rcf;
         pk[rbase + slot] = (int32_t)w;
@@ -2163,7 +2167,7 @@ void gm_plan2u_eidx(void* handle, int32_t* eidx) {
   auto* p = static_cast<Plan2u*>(handle);
   const int64_t nc = p->nc;
   const int64_t chunk_elems = (int64_t)p->rows * kLane;
-  const int64_t halfr = p->rows / 2;
+  const int S = p->rows / kSubR > 0 ? p->rows / kSubR : 1;
   const size_t nfc = p->cell_nrows.size();
 #pragma omp parallel for schedule(static)
   for (int64_t c = 0; c < nc; ++c)
@@ -2178,15 +2182,15 @@ void gm_plan2u_eidx(void* handle, int32_t* eidx) {
       const int64_t m = p->cell_edge_start[q + 1] - lo;
       if (!m) continue;
       rowfill.assign(p->cell_nrows[q], 0);
-      const int64_t h0 = p->cell_half_start[q];
+      const int64_t s0 = p->cell_sub_start[q];
       for (int64_t j = lo; j < lo + m; ++j) {
         const int64_t i = p->edge_order[j];
         const int32_t row = p->edge_row[j];
         const int32_t slot = rowfill[row]++;
-        const int64_t half = h0 + row / halfr;
-        const int64_t chunk = half >> 1;
+        const int64_t sub = s0 + row / kSubR;
+        const int64_t chunk = sub / S;
         const int64_t rbase = chunk * chunk_elems
-                              + ((half & 1) * halfr + row % halfr) * kLane;
+                              + ((sub % S) * kSubR + row % kSubR) * kLane;
         eidx[rbase + slot] = (int32_t)i;
       }
     }

@@ -30,14 +30,26 @@ one layout:
   receiver's lane.  Without this a degree-d receiver would consume
   ceil(d/2) rows of out-lane capacity.
 
+* **Chunks are ``rows`` sublanes split into 32-row SUB-WINDOWS**, each
+  with its own gather window — rows=128 (default) packs four cells'
+  worth of work per grid step, halving the ~0.35 µs/chunk fixed pipeline
+  cost and the SMEM scalar footprint relative to rows=64 halves, at
+  unchanged 32-row fill granularity.  Per-sub metadata rides ONE packed
+  scalar stream ``kb = kind<<24 | prevchunk<<23 | same<<22 | base>>3``;
+  the ``same``/``prevchunk`` bits encode the window-reuse chain at plan
+  time (hub subs are transparent — they never touch the window scratch).
+  Block-tail pad subs are HUB kind: a 2-granule walk instead of a full
+  window walk.
+
 * One plan now serves every ⊕ the engine knows (sum / min / max and the
   'or'/'any' mapping) — the pk/po/val planes are semiring-independent,
   so a graph builds ONE v2u plan per direction where it previously built
   separate v2r + v2m plans.
 
-Host-side fill bound for this layout on the bench RMAT-20 workload:
-0.83 (vs 0.512 measured for v2m, 0.701 for v2r) — the binding constraint
-becomes sender-lane registration, same as v2r.
+* **SMEM-budget grid segmentation**: the scalar-prefetch arrays must fit
+  the 1 MB SMEM; beyond ``NC_SEG`` chunks the grid splits into several
+  ``pallas_call``s cut at receiver-block boundaries (``_compute_splits``)
+  — RMAT-23-class graphs overflow a single grid.
 
 Plan streams per slot: ``pk = hi2<<21 | slo<<14 | rcf`` (v2r-compatible;
 ``rcf`` doubles as the pad/row-mode slot mask) and
@@ -63,14 +75,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_spmv2 import (HUB_GRANULES2, LANE, RCF_BITS, VMEM_X2_MAX_ROWS,
-                           _chunk_activity, _classify, _identity_process,
-                           _round_up, encode_sent_bit)
+                           _classify, _identity_process, _round_up,
+                           encode_sent_bit)
 
 __all__ = ["Spmv2uPlan", "build_spmv2u_plan", "spmv2u"]
 
 KIND_HUB = 0
 ROWMODE_MIN_U = 129     # in-cell receiver degree that triggers row-mode
 OUT_K = 2               # slots per (row, out-lane)
+SUBR = 32               # rows per sub-window (fill granularity)
+# kb packed scalar: bits [0,22) base>>3; bit 22 same-window-as-pred;
+# bit 23 pred-is-in-previous-chunk; bits [24,28) kind
+KB_SAME = 1 << 22
+KB_PREV = 1 << 23
+KB_KIND_SHIFT = 24
+# SMEM holds the scalar-prefetch arrays within a 1 MB budget; beyond
+# this many chunks the grid splits into multiple pallas_calls at block
+# boundaries (see _compute_splits)
+NC_SEG = 24000
 
 
 @dataclass
@@ -86,32 +108,72 @@ class Spmv2uPlan:
     fill: float
     classes: tuple
     rows: int
-    kindid: Any           # i32[nc]  half A window class (0 = hub)
+    kb: Any               # i32[nc * S] packed per-sub window metadata
     blkid: Any            # i32[nc]  receiver block (nondecreasing)
-    base: Any             # i32[nc]  half A window base row
-    kind2: Any            # i32[nc]  half B window class
-    base2: Any            # i32[nc]  half B window base
     pk: Any               # i32[nc,rows,128] hi2<<21 | slo<<14 | rcf
     po: Any               # i32[nc,rows,128] mode<<29|has2<<28|g1<<21|g2<<14|rcf_out
     val: Any              # f32[nc,rows,128]
     got_static: Any
     eidx: Any = None      # host i32[nc,rows,128] slot -> edge index
+    splits: tuple = ()    # ((c0, b0), ...) grid segments (SMEM budget)
+
+
+def _compute_splits(blkid_np, nb, nc_seg=NC_SEG):
+    """Split the chunk grid into segments of <= nc_seg chunks, breaking
+    only at receiver-block boundaries (each block's accumulator must
+    stay within one pallas_call).  Returns ((c0, b0), ...)."""
+    nc = len(blkid_np)
+    if nc <= nc_seg:
+        return ((0, 0),)
+    starts = [(0, 0)]
+    c0 = 0
+    while nc - c0 > nc_seg:
+        cut = c0 + nc_seg
+        b = blkid_np[cut]
+        while cut > c0 and blkid_np[cut - 1] == b:
+            cut -= 1
+        if cut == c0:
+            raise ValueError(
+                f"single receiver block spans > {nc_seg} chunks "
+                f"(block {int(b)}); raise wr or nc_seg")
+        starts.append((int(cut), int(blkid_np[cut])))
+        c0 = cut
+    return tuple(starts)
+
+
+def _pack_kb(subs, S):
+    """Flattened sub list [(kind, base)] -> packed kb int32 array with
+    the window-reuse chain bits.  Hub subs are transparent to the chain
+    (they never write the window scratch); ``same`` only survives when
+    the predecessor sub lives in the same or the immediately previous
+    chunk (the kernel gates the cross-chunk case on that chunk's
+    activity in sparse mode)."""
+    kb = np.zeros(len(subs), np.uint32)
+    last = None   # (kind, base, sub index) of last non-hub sub
+    for j, (kd, bs) in enumerate(subs):
+        w = (np.uint32(kd) << KB_KIND_SHIFT) | np.uint32(bs >> 3)
+        if kd != KIND_HUB:
+            if last is not None and last[0] == kd and last[1] == bs:
+                pred_chunk, my_chunk = last[2] // S, j // S
+                if my_chunk - pred_chunk <= 1:
+                    w |= KB_SAME
+                    if pred_chunk == my_chunk - 1:
+                        w |= KB_PREV
+            last = (kd, bs, j)
+        kb[j] = w
+    return kb.view(np.int32)
 
 
 def _pack_u_cell(sv, rv, vv, gv, iv, blk, wr, rowmode_min=ROWMODE_MIN_U):
     """Pack one cell's edges (sender-sorted) into v2u rows.
 
-    Returns (cold_rows, rm_rows) where each row is a dict with ``slots``
-    (list of (slot_lane, sender_reg_lane, gidx, rcf, val, eidx)),
-    ``out`` (out_lane -> (rcf, [slot lanes])), and row-mode rows carry
-    ``rm_rcf``.  Python reference packer — small cells only; the native
-    planner (planner.cpp gm_plan2u_*) handles production sizes.
-    """
+    Returns (cold_rows, rm_rows); python reference packer — small cells
+    only; the native planner (planner.cpp gm_plan2u_*) handles
+    production sizes."""
     lanes = (sv & (LANE - 1)).astype(np.int64)
     rlanes = (rv & (LANE - 1)).astype(np.int64)
     rcfv = (rv - blk * wr).astype(np.int64)
 
-    # hot receivers -> row-mode
     ur, cnt = np.unique(rv, return_counts=True)
     hotset = set(ur[cnt >= rowmode_min].tolist())
     hot = (np.isin(rv, list(hotset)) if hotset
@@ -124,12 +186,12 @@ def _pack_u_cell(sv, rv, vv, gv, iv, blk, wr, rowmode_min=ROWMODE_MIN_U):
             idxs = np.flatnonzero(m)
             # senders must register at distinct lanes within a row:
             # row index = per-sender-lane running count
-            cnt: dict = {}
+            cnt2: dict = {}
             buckets: dict = {}
             for j in idxs:
                 L = int(lanes[j])
-                k = cnt.get(L, 0)
-                cnt[L] = k + 1
+                k = cnt2.get(L, 0)
+                cnt2[L] = k + 1
                 buckets.setdefault(k, []).append(j)
             for k in sorted(buckets):
                 grp = buckets[k]
@@ -157,7 +219,6 @@ def _pack_u_cell(sv, rv, vv, gv, iv, blk, wr, rowmode_min=ROWMODE_MIN_U):
         return True
 
     order = np.flatnonzero(~hot)
-    # sender-major placement (sv already sender-sorted)
     for j in order:
         L, gx = int(lanes[j]), int(gv[j])
         Lr, r0 = int(rlanes[j]), int(rcfv[j])
@@ -188,7 +249,6 @@ def _emit_u_row(row, wr, rowmode=False):
             | np.uint32(rcf))
         vl[slot] = v
         ix[slot] = ei
-    # registration: OR gidx into the word at the registration lane
     for L, gx in row["reg"].items():
         pk[L] = np.int32(np.uint32(pk[L]) | (np.uint32(gx) << 21))
     if rowmode:
@@ -209,7 +269,7 @@ def build_spmv2u_plan(senders0: np.ndarray, receivers0: np.ndarray,
                       vals: np.ndarray, n: int, n_recv: int | None = None,
                       wr: int = 4096, hub: int = 2048,
                       windows=(160, 256, 1024, 2048),
-                      cell_min: int = 4000, rows: int = 64,
+                      cell_min: int = 4000, rows: int = 128,
                       rowmode_min: int = ROWMODE_MIN_U) -> Spmv2uPlan:
     """Pack a 0-based COO edge list into the v2u routed/out-gather layout."""
     if n_recv is None:
@@ -220,7 +280,8 @@ def build_spmv2u_plan(senders0: np.ndarray, receivers0: np.ndarray,
     nb = n_pad // wr
     e = len(senders0)
     assert wr <= (1 << RCF_BITS) - 1
-    assert rows % 16 == 0
+    assert rows % SUBR == 0 or rows == SUBR
+    S = max(rows // SUBR, 1)
 
     s = np.asarray(senders0, np.int64)
     r = np.asarray(receivers0, np.int64)
@@ -243,7 +304,6 @@ def build_spmv2u_plan(senders0: np.ndarray, receivers0: np.ndarray,
     so, ro, vo, go = s[order], r[order], v[order], gidx[order]
     ko, co, bo, blko = kind[order], cellk[order], basew[order], rblk[order]
     io = order.astype(np.int32)
-    half = rows // 2
 
     # pack per cell -> (blk, kind, base, [(pk, po, val, idx) rows])
     cells_rows = []
@@ -259,60 +319,58 @@ def build_spmv2u_plan(senders0: np.ndarray, receivers0: np.ndarray,
                + [_emit_u_row(rw, wr, rowmode=True) for rw in rm])
         cells_rows.append((blk, int(ko[lo]), int(bo[lo]), rws))
 
-    # half-chunk assembly (same scheme as v2r)
-    kind_c, blk_c, base_c, kind2_c, base2_c = [], [], [], [], []
-    chunks_pk, chunks_po, chunks_val, chunks_idx = [], [], [], []
+    # sub-window assembly: cells split into SUBR-row subs; blocks pad to
+    # a multiple of S subs with cheap HUB pads; S subs form one chunk
+    sub_meta = []          # (kind, base) per sub
+    sub_rows = []          # row list per sub
+    blk_c = []
     ci = 0
     for b in range(nb):
-        halves = []
+        nsub0 = len(sub_meta)
         while ci < len(cells_rows) and cells_rows[ci][0] == b:
             _, kd, bs, rws = cells_rows[ci]
-            for off in range(0, max(len(rws), 1), half):
-                halves.append((kd, bs, rws[off:off + half]))
+            for off in range(0, max(len(rws), 1), SUBR):
+                sub_meta.append((kd, bs))
+                sub_rows.append(rws[off:off + SUBR])
             ci += 1
-        if not halves:
-            halves.append((KIND_HUB, 0, []))
-        if len(halves) & 1:
-            halves.append((halves[-1][0], halves[-1][1], []))
-        for c in range(len(halves) // 2):
-            kA, bA, rA = halves[2 * c]
-            kB, bB, rB = halves[2 * c + 1]
-            pkc = np.full((rows, LANE), wr, np.int32)
-            poc = np.full((rows, LANE), wr, np.int32)
-            vlc = np.zeros((rows, LANE), np.float32)
-            ixc = np.full((rows, LANE), -1, np.int32)
-            for ri, (prow, orow, vrow, irow) in enumerate(rA):
-                pkc[ri], poc[ri], vlc[ri], ixc[ri] = prow, orow, vrow, irow
-            for ri, (prow, orow, vrow, irow) in enumerate(rB):
-                pkc[half + ri], poc[half + ri] = prow, orow
-                vlc[half + ri], ixc[half + ri] = vrow, irow
-            kind_c.append(kA)
-            base_c.append(bA)
-            kind2_c.append(kB)
-            base2_c.append(bB)
-            blk_c.append(b)
-            chunks_pk.append(pkc)
-            chunks_po.append(poc)
-            chunks_val.append(vlc)
-            chunks_idx.append(ixc)
-    nc = len(chunks_pk)
+        if len(sub_meta) == nsub0:       # empty-block coverage
+            sub_meta.append((KIND_HUB, 0))
+            sub_rows.append([])
+        while (len(sub_meta) - nsub0) % S:
+            sub_meta.append((KIND_HUB, 0))   # cheap 2-granule pad
+            sub_rows.append([])
+        blk_c += [b] * ((len(sub_meta) - nsub0) // S)
+
+    nc = len(sub_meta) // S
+    chunks_pk = np.full((nc, rows, LANE), wr, np.int32)
+    chunks_po = np.full((nc, rows, LANE), wr, np.int32)
+    chunks_val = np.zeros((nc, rows, LANE), np.float32)
+    chunks_idx = np.full((nc, rows, LANE), -1, np.int32)
+    for j, rws in enumerate(sub_rows):
+        c, sub = j // S, j % S
+        for ri, (prow, orow, vrow, irow) in enumerate(rws):
+            rr = sub * SUBR + ri
+            chunks_pk[c, rr] = prow
+            chunks_po[c, rr] = orow
+            chunks_val[c, rr] = vrow
+            chunks_idx[c, rr] = irow
+
     got = np.zeros(n_pad, bool)
     if e:
         got[np.unique(np.asarray(receivers0))] = True
+    blk_np = np.asarray(blk_c, np.int32)
     return _maybe_validate_u(Spmv2uPlan(
         n_pad=n_pad, n_send_pad=n_send_pad, h=h, wr=wr, nb=nb, nc=nc,
         hub=hub, nnz=e, fill=e / max(nc * rows * LANE, 1),
         classes=tuple(norm_windows), rows=rows,
-        kindid=jnp.asarray(np.asarray(kind_c, np.int32)),
-        blkid=jnp.asarray(np.asarray(blk_c, np.int32)),
-        base=jnp.asarray(np.asarray(base_c, np.int32)),
-        kind2=jnp.asarray(np.asarray(kind2_c, np.int32)),
-        base2=jnp.asarray(np.asarray(base2_c, np.int32)),
-        pk=jnp.asarray(np.stack(chunks_pk)),
-        po=jnp.asarray(np.stack(chunks_po)),
-        val=jnp.asarray(np.stack(chunks_val)),
+        splits=_compute_splits(blk_np, nb),
+        kb=jnp.asarray(_pack_kb(sub_meta, S)),
+        blkid=jnp.asarray(blk_np),
+        pk=jnp.asarray(chunks_pk),
+        po=jnp.asarray(chunks_po),
+        val=jnp.asarray(chunks_val),
         got_static=jnp.asarray(got),
-        eidx=np.stack(chunks_idx)))
+        eidx=chunks_idx))
 
 
 def _build_plan2u_native(lib, s, r, v, e, h, wr, nb, hub, windows,
@@ -321,6 +379,7 @@ def _build_plan2u_native(lib, s, r, v, e, h, wr, nb, hub, windows,
     """C++/OpenMP v2u plan build (graphmat_tpu/native/planner.cpp)."""
     import ctypes
 
+    S = max(rows // SUBR, 1)
     sa = np.ascontiguousarray(s, np.int32)
     ra = np.ascontiguousarray(r, np.int32)
     va = np.ascontiguousarray(v, np.float32)
@@ -331,16 +390,13 @@ def _build_plan2u_native(lib, s, r, v, e, h, wr, nb, hub, windows,
                                   ctypes.byref(nc_out))
     nc = int(nc_out.value)
     try:
-        kindid = np.empty(nc, np.int32)
+        kb = np.empty(nc * S, np.int32)
         blkid = np.empty(nc, np.int32)
-        base = np.empty(nc, np.int32)
-        kind2 = np.empty(nc, np.int32)
-        base2 = np.empty(nc, np.int32)
         pk = np.empty((nc, rows, LANE), np.int32)
         po = np.empty((nc, rows, LANE), np.int32)
         val = np.empty((nc, rows, LANE), np.float32)
-        lib.gm_plan2u_fill(handle, kindid, blkid, base, kind2, base2,
-                           pk.reshape(-1), po.reshape(-1), val.reshape(-1))
+        lib.gm_plan2u_fill(handle, kb, blkid, pk.reshape(-1),
+                           po.reshape(-1), val.reshape(-1))
         eidx = np.empty((nc, rows, LANE), np.int32)
         lib.gm_plan2u_eidx(handle, eidx.reshape(-1))
     finally:
@@ -352,9 +408,8 @@ def _build_plan2u_native(lib, s, r, v, e, h, wr, nb, hub, windows,
         n_pad=n_pad, n_send_pad=n_send_pad, h=h, wr=wr, nb=nb, nc=nc,
         hub=hub, nnz=e, fill=e / max(nc * rows * LANE, 1),
         classes=tuple(int(w) for w in windows), rows=rows,
-        kindid=jnp.asarray(kindid), blkid=jnp.asarray(blkid),
-        base=jnp.asarray(base), kind2=jnp.asarray(kind2),
-        base2=jnp.asarray(base2),
+        splits=_compute_splits(blkid, nb),
+        kb=jnp.asarray(kb), blkid=jnp.asarray(blkid),
         pk=jnp.asarray(pk), po=jnp.asarray(po), val=jnp.asarray(val),
         got_static=jnp.asarray(got), eidx=eidx))
 
@@ -370,12 +425,13 @@ def _maybe_validate_u(plan):
 # ------------------------------------------------------------------ kernel
 
 def _make_kernel_u(reduce_kind: str, process: Callable, wr: int, h: int,
-                   classes, debug=None, x2_hbm=False, rows=64,
+                   classes, debug=None, x2_hbm=False, rows=128,
                    sparse=False, use_val=True, want_got=False):
     G = wr // LANE
     wmax = max(classes)
     ntiles = rows // 8
-    htiles = ntiles // 2
+    S = max(rows // SUBR, 1)
+    stiles = ntiles // S          # tiles per sub-window
     is_sum = reduce_kind == "sum"
     ident = np.float32(0.0 if is_sum
                        else (np.inf if reduce_kind == "min" else -np.inf))
@@ -394,7 +450,7 @@ def _make_kernel_u(reduce_kind: str, process: Callable, wr: int, h: int,
         return (jnp.min if reduce_kind == "min" else jnp.max)(
             m, axis=1, keepdims=True)
 
-    def kernel(kind_ref, blk_ref, base_ref, kind2_ref, base2_ref, *rest):
+    def kernel(kb_ref, blk_ref, *rest):
         if sparse:
             act_ref = rest[0]
             rest = rest[2:]   # rest[1] = eff_ref, used by index maps only
@@ -438,7 +494,7 @@ def _make_kernel_u(reduce_kind: str, process: Callable, wr: int, h: int,
             subs = [ix & 7 for ix in hi2s]
             gsels = [ix >> 3 for ix in hi2s]
 
-            def gather_half(tsel, kind_v, base_v, skip_load):
+            def gather_sub(tsel, kind_v, base_v, skip_load):
                 def gather_from(tbl_for_g, ngran):
                     xvs = [jnp.zeros((8, LANE), jnp.float32)
                            for _ in tsel]
@@ -483,25 +539,27 @@ def _make_kernel_u(reduce_kind: str, process: Callable, wr: int, h: int,
                 xvs = [jnp.full((8, LANE), 1.0, jnp.float32)
                        for _ in range(ntiles)]
             else:
-                # window-reuse chain across halves (see pallas_spmv2.py)
+                # per-sub window chain: the kb same/prev bits encode the
+                # plan-time chain (hub subs transparent); the cross-chunk
+                # case additionally requires the previous chunk to have
+                # executed (sparse skip)
                 prev = jnp.maximum(i - 1, 0)
                 prev_ok = i > 0
                 if sparse:
                     prev_ok = jnp.logical_and(prev_ok, act_ref[prev] != 0)
-                kA, bA = kind_ref[i], base_ref[i]
-                kB, bB = kind2_ref[i], base2_ref[i]
-                kP, bP = kind2_ref[prev], base2_ref[prev]
-                sameA = jnp.logical_and(
-                    prev_ok, jnp.logical_and(kA == kP, bA == bP))
-                sameB = jnp.logical_or(
-                    jnp.logical_and(kB == kA, bB == bA),
-                    jnp.logical_and(
-                        kA == 0, jnp.logical_and(
-                            prev_ok,
-                            jnp.logical_and(kB == kP, bB == bP))))
-                xvs = (gather_half(list(range(htiles)), kA, bA, sameA)
-                       + gather_half(list(range(htiles, ntiles)), kB, bB,
-                                     sameB))
+                xvs = []
+                for sI in range(S):
+                    kbw = kb_ref[i * S + sI]
+                    kind_v = (kbw >> KB_KIND_SHIFT) & 15
+                    base_v = (kbw & ((1 << 22) - 1)) << 3
+                    same = (kbw & KB_SAME) != 0
+                    from_prev = (kbw & KB_PREV) != 0
+                    skip = jnp.logical_and(
+                        same, jnp.logical_or(
+                            jnp.logical_not(from_prev), prev_ok))
+                    xvs += gather_sub(
+                        list(range(sI * stiles, (sI + 1) * stiles)),
+                        kind_v, base_v, skip)
                 xvs = [jnp.take_along_axis(xvs[t], slos[t], axis=1)
                        for t in range(ntiles)]
 
@@ -597,6 +655,25 @@ def _make_kernel_u(reduce_kind: str, process: Callable, wr: int, h: int,
     return kernel
 
 
+def _chunk_activity_u(sent, kb, classes, h, nc, S):
+    """Per-chunk frontier activity + effective-block routing for the kb
+    sub-window format: a chunk is active iff any sender in ANY of its
+    subs' gather ranges is (hub subs read x2 rows [0, 16))."""
+    rowact = jnp.any(sent.reshape(h, LANE), axis=1).astype(jnp.int32)
+    pref = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(rowact)])
+    wlen = jnp.asarray(np.array([16] + list(classes), np.int64),
+                       dtype=jnp.int32)
+    kd = (kb >> KB_KIND_SHIFT) & 15
+    bs = (kb & ((1 << 22) - 1)) << 3
+    L = jnp.take(wlen, kd)
+    b = jnp.where(kd == 0, 0, bs)
+    sub_act = (pref[jnp.minimum(b + L, h)] - pref[b]) > 0
+    cact = jnp.any(sub_act.reshape(nc, S), axis=1)
+    idxs = jnp.arange(nc, dtype=jnp.int32)
+    eff = jax.lax.cummax(jnp.where(cact, idxs, -1))
+    return cact.astype(jnp.int32), jnp.maximum(eff, 0)
+
+
 @functools.partial(jax.jit, static_argnames=("plan_static", "reduce_kind",
                                               "process", "interpret",
                                               "debug", "x2_hbm",
@@ -605,17 +682,16 @@ def _spmv2u_call(plan_arrays, plan_static, x, reduce_kind, process,
                  interpret, debug=None, x2_hbm=None, sent=None,
                  want_got=False):
     h, wr, nb, nc, n_pad, classes, rows = plan_static[:7]
-    kindid, blkid, base, kind2, base2, pk, po, val = plan_arrays
+    splits = plan_static[7] if len(plan_static) > 7 else ()
+    kb, blkid, pk, po, val = plan_arrays
     use_val = val is not None
     G = wr // LANE
     GA = 2 * G if want_got else G
+    S = max(rows // SUBR, 1)
     x2 = x.reshape(h, LANE)
     sparse = sent is not None
-    if sparse:
-        if sent.shape[0] < h * LANE:
-            sent = jnp.pad(sent, (0, h * LANE - sent.shape[0]))
-        act, eff = _chunk_activity(sent[: h * LANE], kindid, base,
-                                   classes, h, nc, kind2, base2)
+    if sparse and sent.shape[0] < h * LANE:
+        sent = jnp.pad(sent, (0, h * LANE - sent.shape[0]))
 
     if x2_hbm is None:
         x2_hbm = h > VMEM_X2_MAX_ROWS and not interpret
@@ -623,11 +699,11 @@ def _spmv2u_call(plan_arrays, plan_static, x, reduce_kind, process,
                             x2_hbm, rows, sparse, use_val, want_got)
     wmax = max(classes) if classes else 8
     if sparse:
-        nmap = lambda i, kd, bk, bs, k2, b2, a, eff_: (eff_[i], 0, 0)
-        omap = lambda i, kd, bk, bs, k2, b2, a, eff_: (bk[i], 0, 0)
+        nmap = lambda i, kbv, bk, a, eff_: (eff_[i], 0, 0)
+        omap = lambda i, kbv, bk, a, eff_: (bk[i], 0, 0)
     else:
         nmap = lambda i, *_: (i, 0, 0)
-        omap = lambda i, kind, blk, bs, k2, b2: (blk[i], 0, 0)
+        omap = lambda i, kbv, blk: (blk[i], 0, 0)
     chunk_spec = pl.BlockSpec((1, rows, LANE), nmap,
                               memory_space=pltpu.VMEM)
     x2_spec = pl.BlockSpec(memory_space=(pltpu.ANY if x2_hbm
@@ -637,23 +713,41 @@ def _spmv2u_call(plan_arrays, plan_static, x, reduce_kind, process,
                           jnp.float32)]
     if x2_hbm:
         scratch.append(pltpu.SemaphoreType.DMA(()))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7 if sparse else 5,
-        grid=(nc,),
-        in_specs=([chunk_spec, chunk_spec, chunk_spec, x2_spec] if use_val
-                  else [chunk_spec, chunk_spec, x2_spec]),
-        out_specs=pl.BlockSpec((1, GA, LANE), omap,
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=scratch,
-    )
-    operands = ((kindid, blkid, base, kind2, base2, act, eff) if sparse
-                else (kindid, blkid, base, kind2, base2))
-    planes = (pk, po, val, x2) if use_val else (pk, po, x2)
-    out = pl.pallas_call(
-        kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, GA, LANE), jnp.float32),
-        interpret=interpret,
-    )(*operands, *planes)
+
+    segs = splits if len(splits) > 1 else ((0, 0),)
+    bounds = [(segs[k][0], segs[k][1],
+               segs[k + 1][0] if k + 1 < len(segs) else nc,
+               segs[k + 1][1] if k + 1 < len(segs) else nb)
+              for k in range(len(segs))]
+    outs = []
+    for (c0, b0, c1, b1) in bounds:
+        nc_s, nb_s = c1 - c0, b1 - b0
+        kb_s = kb[c0 * S:c1 * S]
+        blk_s = blkid[c0:c1] - b0
+        if sparse:
+            act, eff = _chunk_activity_u(sent[: h * LANE], kb_s, classes,
+                                         h, nc_s, S)
+            operands = (kb_s, blk_s, act, eff)
+        else:
+            operands = (kb_s, blk_s)
+        planes = ((pk[c0:c1], po[c0:c1], val[c0:c1], x2) if use_val
+                  else (pk[c0:c1], po[c0:c1], x2))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4 if sparse else 2,
+            grid=(nc_s,),
+            in_specs=([chunk_spec, chunk_spec, chunk_spec, x2_spec]
+                      if use_val
+                      else [chunk_spec, chunk_spec, x2_spec]),
+            out_specs=pl.BlockSpec((1, GA, LANE), omap,
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=scratch,
+        )
+        outs.append(pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nb_s, GA, LANE), jnp.float32),
+            interpret=interpret,
+        )(*operands, *planes))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     if want_got:
         return (out[:, :G].reshape(nb * wr)[:n_pad],
                 out[:, G:].reshape(nb * wr)[:n_pad])
@@ -689,10 +783,9 @@ def spmv2u(plan: Spmv2uPlan, x, reduce_kind: str = "sum",
     if x.shape[0] < plan.n_send_pad:
         x = jnp.pad(x, (0, plan.n_send_pad - x.shape[0]))
     x = x[: plan.n_send_pad].astype(jnp.float32)
-    plan_arrays = (plan.kindid, plan.blkid, plan.base, plan.kind2,
-                   plan.base2, plan.pk, plan.po, plan.val)
+    plan_arrays = (plan.kb, plan.blkid, plan.pk, plan.po, plan.val)
     plan_static = (plan.h, plan.wr, plan.nb, plan.nc, plan.n_pad,
-                   plan.classes, plan.rows)
+                   plan.classes, plan.rows, plan.splits)
     if with_got:
         assert reduce_kind == "sum", "with_got rides the sum layout"
         assert sent is not None, "with_got requires the sent mask"

@@ -386,11 +386,14 @@ class DistGraph:
         nb = plans[0].nb
         assert all(p.classes == plans[0].classes for p in plans)
 
-        def pad_stack(name, fill, pad_blk=False):
+        from ..ops.pallas_spmv2u import SUBR
+        subs = max(plans[0].rows // SUBR, 1)   # kb entries per chunk
+
+        def pad_stack(name, fill, pad_blk=False, scale=1):
             outs = []
             for p in plans:
                 a = np.asarray(getattr(p, name))
-                pad = nc_max - a.shape[0]
+                pad = nc_max * scale - a.shape[0]
                 if pad:
                     padval = np.full((pad,) + a.shape[1:], fill, a.dtype)
                     if pad_blk:
@@ -401,20 +404,26 @@ class DistGraph:
 
         sh = tile_sharding(self.mesh)
         wr_eff = plans[0].wr
+        # kb pads decode as hub subs (kind 0, base 0) — cheap and inert
+        # for the all-pad chunks appended by pad_stack
         arrays = (
-            jax.device_put(pad_stack("kindid", 0), sh),
+            jax.device_put(pad_stack("kb", 0, scale=subs), sh),
             jax.device_put(pad_stack("blkid", 0, pad_blk=True), sh),
-            jax.device_put(pad_stack("base", 0), sh),
-            jax.device_put(pad_stack("kind2", 0), sh),
-            jax.device_put(pad_stack("base2", 0), sh),
             jax.device_put(pad_stack("pk", wr_eff), sh),  # pad slot
             jax.device_put(pad_stack("po", wr_eff), sh),  # pad out-lane
             jax.device_put(pad_stack("val", 0), sh),
         )
         got = np.stack([np.asarray(p.got_static) for p in plans])
         got_d = jax.device_put(got, sh)
+        # per-tile blkid streams differ, so a common block-boundary grid
+        # split does not exist — distributed tiles must fit one segment
+        # (each holds ~1/(R*C) of the edges; far below NC_SEG in practice)
+        from ..ops.pallas_spmv2u import NC_SEG
+        assert nc_max <= NC_SEG, \
+            f"tile plan nc={nc_max} exceeds the SMEM segment budget; " \
+            f"use a larger mesh or wr"
         static = (plans[0].h, wr_eff, nb, nc_max, plans[0].n_pad,
-                  plans[0].classes, plans[0].rows)
+                  plans[0].classes, plans[0].rows, ((0, 0),))
         eidx = (pad_stack("eidx", -1)
                 if all(p.eidx is not None for p in plans) else None)
         self._pallas_plans[key] = (arrays, static, got_d,

@@ -80,16 +80,39 @@ def validate_plan2m(plan) -> None:
 
 
 def validate_plan2u(plan) -> None:
-    """Invariants of the unified (v2u) plan: v2r slot/registration checks
+    """Invariants of the unified (v2u) plan: slot/registration checks
     plus full OUTPUT-ROUTING COVERAGE — every real slot must be consumed
     exactly once, either through its row's (gsel1, gsel2/has2) out-lane
     mapping with a matching receiver, or through a row-mode whole-row
     reduce.  This is the load-bearing check: a slot the out plane misses
     silently drops an edge in the compiled kernel."""
     from ..ops.pallas_spmv2 import RCF_BITS
-    validate_plan2(plan)
+    from ..ops.pallas_spmv2u import KB_KIND_SHIFT, SUBR
     u = np.asarray(plan.pk).view(np.uint32)
     rcf = (u & ((1 << RCF_BITS) - 1)).astype(np.int64)
+    slo = ((u >> RCF_BITS) & 127).astype(np.int64)
+    hi2 = (u >> 21).astype(np.int64)
+    blk = np.asarray(plan.blkid)
+    assert (np.diff(blk) >= 0).all(), "blkid must be nondecreasing"
+    S = max(plan.rows // SUBR, 1)
+    kb = np.asarray(plan.kb).view(np.uint32)
+    kd = (kb >> KB_KIND_SHIFT) & 15
+    bs = (kb & ((1 << 22) - 1)) << 3
+    assert kd.max() <= len(plan.classes), "kind out of range"
+    assert (bs % 8 == 0).all() and bs.max() <= plan.h, "base out of range"
+    assert rcf.min() >= 0 and rcf.max() <= plan.wr, "rcf out of range"
+    real = rcf < plan.wr
+    assert real.sum() == plan.nnz, \
+        f"slot conservation {real.sum()} != {plan.nnz}"
+    # registration rows within each SUB's gather range
+    wtab = np.array([16] + list(plan.classes))
+    wlen_sub = wtab[kd]                                  # [nc * S]
+    wlen = np.repeat(wlen_sub, SUBR).reshape(
+        plan.nc, plan.rows)[:, :, None]
+    assert (hi2 < wlen).all(), "hi2 outside gather range"
+    reg_at = np.take_along_axis(hi2, slo, axis=2)
+    assert (reg_at < wlen)[real].all(), \
+        "routing lane registration out of range"
     o = np.asarray(plan.po).view(np.uint32)
     orcf = (o & ((1 << RCF_BITS) - 1)).astype(np.int64)
     g1 = ((o >> 21) & 127).astype(np.int64)

@@ -45,14 +45,13 @@ def main():
         cell_min = int(cm)
         t0 = time.time()
         if mode in ("usum", "umin", "umax"):
-            rows_u = int(os.environ.get("SWEEP_ROWS", "64"))
+            rows_u = int(os.environ.get("SWEEP_ROWS", "128"))
             rm_min = int(os.environ.get("SWEEP_RM", "129"))
             plan = build_spmv2u_plan(senders0, receivers0, vals, g.n_pad,
                                      n_recv=g.n_pad, windows=windows,
                                      cell_min=cell_min, wr=wr,
                                      rows=rows_u, rowmode_min=rm_min)
-            arrays = (plan.kindid, plan.blkid, plan.base, plan.kind2,
-                      plan.base2, plan.pk, plan.po, plan.val)
+            arrays = (plan.kb, plan.blkid, plan.pk, plan.po, plan.val)
         elif mode == "mm":
             plan = build_spmv2m_plan(senders0, receivers0, vals, g.n_pad,
                                      n_recv=g.n_pad, windows=windows,
@@ -67,7 +66,8 @@ def main():
                       plan.base2, plan.pk, plan.val)
         tb = time.time() - t0
         static = (plan.h, plan.wr, plan.nb, plan.nc, plan.n_pad,
-                  plan.classes, plan.rows)
+                  plan.classes, plan.rows) + (
+                      (plan.splits,) if hasattr(plan, "splits") else ())
 
         @jax.jit
         def chain(arrays, x):

@@ -187,3 +187,77 @@ def test_spmv2u_val_refresh():
     ref = _oracle(s, r, v2, np.ones(n, np.float32), n, "sum",
                   lambda a, b: a * b)
     np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("kind", ["sum", "min"])
+def test_spmv2u_segmented_grid_matches(kind):
+    """Grids beyond the SMEM scalar budget split into multiple
+    pallas_calls at block boundaries; forcing tiny segments must give
+    identical results (dense + sparse + got)."""
+    from graphmat_tpu.ops.pallas_spmv2u import _compute_splits
+    n, e = 1800, 14000
+    s, r, v = _rand_graph(n, e, seed=21)
+    plan = build_spmv2u_plan(s, r, v, n, wr=256, windows=(16, 64),
+                             cell_min=64, rows=32, hub=128)
+    assert plan.nb >= 4
+    x = np.linspace(0.5, 2.0, n).astype(np.float32)
+    xp = np.zeros(plan.n_send_pad, np.float32)
+    xp[:n] = x
+    y_one = np.asarray(spmv2u(plan, jnp.asarray(xp), kind,
+                              interpret=True))[:n]
+    plan.splits = _compute_splits(np.asarray(plan.blkid), plan.nb,
+                                  nc_seg=max(plan.nc // 3, 2))
+    assert len(plan.splits) >= 2
+    y_seg = np.asarray(spmv2u(plan, jnp.asarray(xp), kind,
+                              interpret=True))[:n]
+    np.testing.assert_array_equal(y_one, y_seg)
+    # sparse + got through the segmented path
+    rng = np.random.default_rng(2)
+    active = rng.random(n) < 0.3
+    if kind == "sum":
+        xs = np.where(active, x, 0.0).astype(np.float32)
+        xp2 = np.zeros(plan.n_send_pad, np.float32)
+        xp2[:n] = xs
+        sent = np.zeros(plan.n_send_pad, bool)
+        sent[:n] = active
+        y, got = spmv2u(plan, jnp.asarray(xp2), "sum",
+                        sent=jnp.asarray(sent), with_got=True,
+                        interpret=True)
+        ref_got = np.zeros(n, bool)
+        am = active[s]
+        np.logical_or.at(ref_got, r[am], True)
+        np.testing.assert_array_equal(np.asarray(got)[:n], ref_got)
+
+
+@pytest.mark.parametrize("kind", ["sum", "min"])
+def test_spmv2u_quad_subwindow_chunks(kind):
+    """rows=128 chunks carry four 32-row sub-windows (the production
+    shape); oracle match incl. window-reuse chain and sparse skip."""
+    n, e = 2500, 30000
+    s, r, v = _rand_graph(n, e, seed=31, skew=True)
+    plan = build_spmv2u_plan(s, r, v, n, wr=512, windows=(16, 64),
+                             cell_min=64, rows=128, hub=128)
+    assert plan.rows == 128
+    x = np.arange(n, dtype=np.float32) * 0.125 + 1.0
+    xp = np.zeros(plan.n_send_pad, np.float32)
+    xp[:n] = x
+    y = np.asarray(spmv2u(plan, jnp.asarray(xp), kind,
+                          interpret=True))[:n]
+    ref = _oracle(s, r, v, x, n, kind, lambda a, b: a)
+    m = np.isfinite(ref)
+    np.testing.assert_allclose(y[m], ref[m], rtol=1e-4, atol=1e-4)
+    # sparse path on the quad shape
+    rng = np.random.default_rng(3)
+    BIG = np.float32(3.0e38)
+    fillv = 0.0 if kind == "sum" else BIG
+    active = rng.random(n) < 0.1
+    x2 = np.where(active, x, np.float32(fillv))
+    xp2 = np.full(plan.n_send_pad, np.float32(fillv), np.float32)
+    xp2[:n] = x2
+    sent = np.zeros(plan.n_send_pad, bool)
+    sent[:n] = active
+    y_d = np.asarray(spmv2u(plan, jnp.asarray(xp2), kind,
+                            interpret=True))[:n]
+    y_s = np.asarray(spmv2u(plan, jnp.asarray(xp2), kind,
+                            sent=jnp.asarray(sent), interpret=True))[:n]
+    np.testing.assert_allclose(y_s, y_d, rtol=1e-6)
