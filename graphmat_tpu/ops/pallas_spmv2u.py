@@ -141,6 +141,40 @@ def _compute_splits(blkid_np, nb, nc_seg=NC_SEG):
     return tuple(starts)
 
 
+def _apply_splits(plan):
+    """Finalize a freshly built plan: upload the (numpy) planes to
+    device, split per grid segment first when the grid must split (SMEM
+    budget) — slicing inside jit would copy the multi-GB plan planes
+    every iteration (and double peak HBM), so the split happens once on
+    the host.  Per-segment blkid is stored already rebased to the
+    segment's first block."""
+    if len(plan.splits) <= 1:
+        plan.kb = jnp.asarray(plan.kb)
+        plan.blkid = jnp.asarray(plan.blkid)
+        plan.pk = jnp.asarray(plan.pk)
+        plan.po = jnp.asarray(plan.po)
+        plan.val = jnp.asarray(plan.val)
+        return plan
+    S = max(plan.rows // SUBR, 1)
+    segs = plan.splits
+    bounds = [(segs[k][0], segs[k][1],
+               segs[k + 1][0] if k + 1 < len(segs) else plan.nc)
+              for k in range(len(segs))]
+    kb = np.asarray(plan.kb)
+    blk = np.asarray(plan.blkid)
+    pk = np.asarray(plan.pk)
+    po = np.asarray(plan.po)
+    val = np.asarray(plan.val)
+    plan.kb = tuple(jnp.asarray(kb[c0 * S:c1 * S])
+                    for (c0, b0, c1) in bounds)
+    plan.blkid = tuple(jnp.asarray(blk[c0:c1] - b0)
+                       for (c0, b0, c1) in bounds)
+    plan.pk = tuple(jnp.asarray(pk[c0:c1]) for (c0, b0, c1) in bounds)
+    plan.po = tuple(jnp.asarray(po[c0:c1]) for (c0, b0, c1) in bounds)
+    plan.val = tuple(jnp.asarray(val[c0:c1]) for (c0, b0, c1) in bounds)
+    return plan
+
+
 def _pack_kb(subs, S):
     """Flattened sub list [(kind, base)] -> packed kb int32 array with
     the window-reuse chain bits.  Hub subs are transparent to the chain
@@ -359,18 +393,18 @@ def build_spmv2u_plan(senders0: np.ndarray, receivers0: np.ndarray,
     if e:
         got[np.unique(np.asarray(receivers0))] = True
     blk_np = np.asarray(blk_c, np.int32)
-    return _maybe_validate_u(Spmv2uPlan(
+    return _apply_splits(_maybe_validate_u(Spmv2uPlan(
         n_pad=n_pad, n_send_pad=n_send_pad, h=h, wr=wr, nb=nb, nc=nc,
         hub=hub, nnz=e, fill=e / max(nc * rows * LANE, 1),
         classes=tuple(norm_windows), rows=rows,
         splits=_compute_splits(blk_np, nb),
-        kb=jnp.asarray(_pack_kb(sub_meta, S)),
-        blkid=jnp.asarray(blk_np),
-        pk=jnp.asarray(chunks_pk),
-        po=jnp.asarray(chunks_po),
-        val=jnp.asarray(chunks_val),
+        kb=_pack_kb(sub_meta, S),
+        blkid=blk_np,
+        pk=chunks_pk,
+        po=chunks_po,
+        val=chunks_val,
         got_static=jnp.asarray(got),
-        eidx=chunks_idx))
+        eidx=chunks_idx)))
 
 
 def _build_plan2u_native(lib, s, r, v, e, h, wr, nb, hub, windows,
@@ -404,14 +438,13 @@ def _build_plan2u_native(lib, s, r, v, e, h, wr, nb, hub, windows,
 
     got = np.zeros(n_pad, bool)
     got[np.unique(np.asarray(receivers0))] = True
-    return _maybe_validate_u(Spmv2uPlan(
+    return _apply_splits(_maybe_validate_u(Spmv2uPlan(
         n_pad=n_pad, n_send_pad=n_send_pad, h=h, wr=wr, nb=nb, nc=nc,
         hub=hub, nnz=e, fill=e / max(nc * rows * LANE, 1),
         classes=tuple(int(w) for w in windows), rows=rows,
         splits=_compute_splits(blkid, nb),
-        kb=jnp.asarray(kb), blkid=jnp.asarray(blkid),
-        pk=jnp.asarray(pk), po=jnp.asarray(po), val=jnp.asarray(val),
-        got_static=jnp.asarray(got), eidx=eidx))
+        kb=kb, blkid=blkid, pk=pk, po=po, val=val,
+        got_static=jnp.asarray(got), eidx=eidx)))
 
 
 def _maybe_validate_u(plan):
@@ -719,19 +752,27 @@ def _spmv2u_call(plan_arrays, plan_static, x, reduce_kind, process,
                segs[k + 1][0] if k + 1 < len(segs) else nc,
                segs[k + 1][1] if k + 1 < len(segs) else nb)
               for k in range(len(segs))]
+    multi = isinstance(pk, (tuple, list))
+    assert multi == (len(bounds) > 1), \
+        "segmented plans must store per-segment arrays (_apply_splits)"
     outs = []
-    for (c0, b0, c1, b1) in bounds:
+    for k, (c0, b0, c1, b1) in enumerate(bounds):
         nc_s, nb_s = c1 - c0, b1 - b0
-        kb_s = kb[c0 * S:c1 * S]
-        blk_s = blkid[c0:c1] - b0
+        if multi:   # host-side pre-split (blkid already rebased)
+            kb_s, blk_s = kb[k], blkid[k]
+            pk_s, po_s = pk[k], po[k]
+            val_s = val[k] if use_val else None
+        else:
+            kb_s, blk_s, pk_s, po_s = kb, blkid, pk, po
+            val_s = val
         if sparse:
             act, eff = _chunk_activity_u(sent[: h * LANE], kb_s, classes,
                                          h, nc_s, S)
             operands = (kb_s, blk_s, act, eff)
         else:
             operands = (kb_s, blk_s)
-        planes = ((pk[c0:c1], po[c0:c1], val[c0:c1], x2) if use_val
-                  else (pk[c0:c1], po[c0:c1], x2))
+        planes = ((pk_s, po_s, val_s, x2) if use_val
+                  else (pk_s, po_s, x2))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4 if sparse else 2,
             grid=(nc_s,),
@@ -763,7 +804,15 @@ def refresh_plan2u_vals(plan, new_vals) -> bool:
     nv = np.asarray(new_vals, np.float32)
     ei = plan.eidx
     val = np.where(ei >= 0, nv[np.maximum(ei, 0)], np.float32(0.0))
-    plan.val = jnp.asarray(val.astype(np.float32))
+    val = val.astype(np.float32)
+    if isinstance(plan.pk, tuple):       # segmented storage
+        segs = plan.splits
+        bounds = [(segs[k][0],
+                   segs[k + 1][0] if k + 1 < len(segs) else plan.nc)
+                  for k in range(len(segs))]
+        plan.val = tuple(jnp.asarray(val[c0:c1]) for (c0, c1) in bounds)
+    else:
+        plan.val = jnp.asarray(val)
     return True
 
 

@@ -194,7 +194,8 @@ def test_spmv2u_segmented_grid_matches(kind):
     """Grids beyond the SMEM scalar budget split into multiple
     pallas_calls at block boundaries; forcing tiny segments must give
     identical results (dense + sparse + got)."""
-    from graphmat_tpu.ops.pallas_spmv2u import _compute_splits
+    from graphmat_tpu.ops.pallas_spmv2u import (_apply_splits,
+                                                _compute_splits)
     n, e = 1800, 14000
     s, r, v = _rand_graph(n, e, seed=21)
     plan = build_spmv2u_plan(s, r, v, n, wr=256, windows=(16, 64),
@@ -208,6 +209,7 @@ def test_spmv2u_segmented_grid_matches(kind):
     plan.splits = _compute_splits(np.asarray(plan.blkid), plan.nb,
                                   nc_seg=max(plan.nc // 3, 2))
     assert len(plan.splits) >= 2
+    _apply_splits(plan)   # segmented plans store per-segment arrays
     y_seg = np.asarray(spmv2u(plan, jnp.asarray(xp), kind,
                               interpret=True))[:n]
     np.testing.assert_array_equal(y_one, y_seg)
