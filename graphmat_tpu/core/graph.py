@@ -343,9 +343,20 @@ class Graph:
                 n_recv=self.n_pad, wr=wr)
         return self._pallas_plans[key]
 
-    def pallas_plan2u(self, receiver: str, wr: int = 4096):
+    def pallas_plan2u(self, receiver: str, wr: int | None = None):
         """Lazily built v2u unified plan — ONE plan serves ⊕ = sum, min,
-        max and the 'or'/'any' mapping (``ops/pallas_spmv2u.py``)."""
+        max and the 'or'/'any' mapping (``ops/pallas_spmv2u.py``).
+
+        ``wr`` (receiver block width) defaults to 4096, or 8192 for
+        graphs beyond 2^23 padded vertices — wider blocks halve the
+        sender-window re-reads that dominate hypersparse cells at scale
+        (each block re-DMAs the windows its cells touch) at the price of
+        a 2x group loop.  ``GRAPHMAT_WR`` overrides."""
+        if wr is None:
+            import os
+            env = os.environ.get("GRAPHMAT_WR")
+            wr = (int(env) if env
+                  else (8192 if self.n_pad > (1 << 23) else 4096))
         key = ("v2u", receiver, wr)
         if key not in self._pallas_plans:
             if receiver not in self._host_edges:

@@ -263,3 +263,16 @@ def test_spmv2u_quad_subwindow_chunks(kind):
     y_s = np.asarray(spmv2u(plan, jnp.asarray(xp2), kind,
                             sent=jnp.asarray(sent), interpret=True))[:n]
     np.testing.assert_allclose(y_s, y_d, rtol=1e-6)
+
+
+def test_graph_plan2u_wr_knob(monkeypatch):
+    """pallas_plan2u picks wr=4096 by default and honors GRAPHMAT_WR
+    (wider receiver blocks halve sender-window re-reads at scale)."""
+    from graphmat_tpu.core.graph import Graph
+    from graphmat_tpu.io.edgelist import edgelist_from_arrays
+    e = edgelist_from_arrays([1, 2, 3, 4], [2, 3, 4, 1], m=600, n=600)
+    g = Graph(e, build_in_edges=False)
+    assert g.pallas_plan2u("dst").wr == 4096
+    monkeypatch.setenv("GRAPHMAT_WR", "1024")
+    g2 = Graph(e, build_in_edges=False)
+    assert g2.pallas_plan2u("dst").wr == 1024
