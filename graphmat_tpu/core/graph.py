@@ -355,8 +355,18 @@ class Graph:
         if wr is None:
             import os
             env = os.environ.get("GRAPHMAT_WR")
-            wr = (int(env) if env
-                  else (8192 if self.n_pad > (1 << 23) else 4096))
+            if env:
+                from ..ops.pallas_spmv2 import RCF_BITS
+                wr = int(env)
+                # v2u out-lane binding assumes rcf & 127 == r & 127 and
+                # the group loop uses G = wr // 128 — enforce here so a
+                # bad knob fails at the knob, not in a Mosaic trace
+                if wr % 128 != 0 or not 0 < wr <= (1 << RCF_BITS) - 1:
+                    raise ValueError(
+                        f"GRAPHMAT_WR={wr!r} invalid: must be a positive "
+                        f"multiple of 128 and <= {(1 << RCF_BITS) - 1}")
+            else:
+                wr = 8192 if self.n_pad > (1 << 23) else 4096
         key = ("v2u", receiver, wr)
         if key not in self._pallas_plans:
             if receiver not in self._host_edges:

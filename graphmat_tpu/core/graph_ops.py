@@ -149,10 +149,17 @@ def apply_to_all_edges(graph: Graph, fn: Callable) -> None:
     # vec2) drop and rebuild lazily.  Reference: in-place tile mutation,
     # singlenode/applyedges.h:38-95.
     from ..ops.pallas_spmv2 import refresh_plan_vals
+    from ..ops.pallas_spmv2u import refresh_plan2u_vals
     for key in list(graph._pallas_plans):
         if key[0] in ("v2", "v2m", "v2u"):
             recv = key[1]
             new_vals = graph._host_edges[recv][2]
-            if refresh_plan_vals(graph._pallas_plans[key], new_vals):
+            # v2u plans may be grid-segmented (val stored as a per-segment
+            # tuple); refresh_plan2u_vals rebuilds the tuple from
+            # plan.splits, where refresh_plan_vals would write a single
+            # monolithic array and break the next _spmv2u_call.
+            refresh = (refresh_plan2u_vals if key[0] == "v2u"
+                       else refresh_plan_vals)
+            if refresh(graph._pallas_plans[key], new_vals):
                 continue
         del graph._pallas_plans[key]

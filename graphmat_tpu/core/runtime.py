@@ -61,6 +61,19 @@ def _normalize_pallas_semiring(sem):
         "Monoid + the XLA path explicitly with use_pallas=False")
 
 
+def legacy_kernel_env() -> bool:
+    """Parse GRAPHMAT_KERNEL with validation: 'v2u' (default, unified
+    routed kernel) or 'v2' (round-1 split v2r/v2m kernels).  Any other
+    value raises — a typo must not silently select a kernel."""
+    import os
+    val = os.environ.get("GRAPHMAT_KERNEL", "v2u")
+    if val not in ("v2u", "v2"):
+        raise ValueError(
+            f"GRAPHMAT_KERNEL={val!r} unrecognized: use 'v2u' (default "
+            "unified kernel) or 'v2' (legacy split v2r/v2m kernels)")
+    return val == "v2"
+
+
 def warn_slow_path(program, where: str) -> None:
     """Loud warning when a TPU run drops to the XLA segment-reduce path
     (measured ~10,000x slower than the Pallas kernels — PERF.md).
@@ -178,8 +191,7 @@ class Engine:
         # K-wide vector paths keep their own layouts.  Set
         # GRAPHMAT_KERNEL=v2 to fall back to the round-1 split kernels
         # (v2r MXU-scatter sum + v2m colored min/max).
-        import os as _os
-        legacy = _os.environ.get("GRAPHMAT_KERNEL", "v2u") == "v2"
+        legacy = legacy_kernel_env()
         self.pallas_version = 1
         if self.use_pallas:
             if self.use_pallas_vec2 or (not self.use_pallas_vec

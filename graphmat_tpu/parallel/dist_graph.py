@@ -382,6 +382,14 @@ class DistGraph:
         R, C, S = self.R, self.C, self.S
         plans = [build_spmv2u_plan(s, r, v, R * S, wr=wr, n_recv=C * S)
                  for (s, r, v) in self._host_tiles[receiver]]
+        # segmented plans store kb/pk/po/val as per-segment tuples, which
+        # pad_stack below cannot stack — fail here with the real reason
+        # rather than a cryptic np.asarray error (per-tile blkid streams
+        # differ, so no common block-boundary grid split exists)
+        for p in plans:
+            assert len(p.splits) == 1, \
+                f"tile plan nc={p.nc} exceeds the SMEM segment budget " \
+                f"(segmented into {len(p.splits)}); use a larger mesh or wr"
         nc_max = max(p.nc for p in plans)
         nb = plans[0].nb
         assert all(p.classes == plans[0].classes for p in plans)
@@ -415,13 +423,6 @@ class DistGraph:
         )
         got = np.stack([np.asarray(p.got_static) for p in plans])
         got_d = jax.device_put(got, sh)
-        # per-tile blkid streams differ, so a common block-boundary grid
-        # split does not exist — distributed tiles must fit one segment
-        # (each holds ~1/(R*C) of the edges; far below NC_SEG in practice)
-        from ..ops.pallas_spmv2u import NC_SEG
-        assert nc_max <= NC_SEG, \
-            f"tile plan nc={nc_max} exceeds the SMEM segment budget; " \
-            f"use a larger mesh or wr"
         static = (plans[0].h, wr_eff, nb, nc_max, plans[0].n_pad,
                   plans[0].classes, plans[0].rows, ((0, 0),))
         eidx = (pad_stack("eidx", -1)

@@ -160,8 +160,8 @@ class DistEngine:
         # Scalar ⊕ programs run the v2u unified kernel per tile (version
         # 3, same as Engine); GRAPHMAT_KERNEL=v2 restores the round-1
         # split kernels.
-        import os as _os
-        legacy = _os.environ.get("GRAPHMAT_KERNEL", "v2u") == "v2"
+        from ..core.runtime import legacy_kernel_env
+        legacy = legacy_kernel_env()
         self.pallas_version = 1
         if self.use_pallas and not self.use_pallas_vec and (
                 semiring is not None or self.use_pallas_vec2):

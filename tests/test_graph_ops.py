@@ -163,3 +163,39 @@ def test_apply_edges_patches_dist_plans_in_place():
     tot = sum(float(np.sum(v)) for (_s, _r, v) in tiles)
     val_plane_sum = float(np.sum(np.asarray(entry2[0][6])))
     assert np.isclose(val_plane_sum, tot, rtol=1e-5)
+
+
+def test_apply_edges_refreshes_segmented_v2u_plan():
+    """applyToAllEdges must dispatch v2u plans to refresh_plan2u_vals:
+    on a GRID-SEGMENTED plan (nc > NC_SEG, the RMAT-23 class) pk/po/val
+    are per-segment tuples — writing one monolithic val array (the
+    v2/v2m refresh) would crash the next _spmv2u_call."""
+    import scipy.sparse as sp
+    from graphmat_tpu.ops.pallas_spmv2u import (_apply_splits,
+                                                _compute_splits, spmv2u)
+    g, e = make_graph(n=900, deg=12, seed=17)
+    plan = g.pallas_plan2u("dst", wr=256)
+    # force segmentation the way the SMEM budget would at scale
+    plan.splits = _compute_splits(np.asarray(plan.blkid), plan.nb,
+                                  nc_seg=max(plan.nc // 3, 2))
+    assert len(plan.splits) >= 2
+    _apply_splits(plan)
+    assert isinstance(plan.pk, tuple)
+    apply_to_all_edges(g, lambda vs, vd, val: vs["val"] + 5 * vd["val"])
+    # still the same (segmented) plan object, val stays a matching tuple
+    assert g._pallas_plans[("v2u", "dst", 256)] is plan
+    assert isinstance(plan.val, tuple) and len(plan.val) == len(plan.pk)
+    for vk, pkk in zip(plan.val, plan.pk):
+        assert vk.shape == pkk.shape
+    # SpMV through the refreshed segmented plan matches the oracle
+    out = g.get_edges()
+    s0, r0 = out.src - 1, out.dst - 1
+    vexp = (s0 + 1) + 5 * (r0 + 1)
+    x = np.arange(1, g.n_pad + 1, dtype=np.float32)
+    xp = np.pad(x, (0, plan.n_send_pad - g.n_pad))
+    y = np.asarray(spmv2u(plan, jnp.asarray(xp), "sum",
+                          process=lambda xv, ev: xv * ev,
+                          interpret=True))
+    ref = sp.csr_matrix((vexp.astype(np.float64), (r0, s0)),
+                        shape=(g.n_pad, g.n_pad)) @ x.astype(np.float64)
+    assert np.allclose(y[: g.n_pad], ref, rtol=2e-6, atol=1e-4)

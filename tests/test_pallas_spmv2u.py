@@ -276,3 +276,33 @@ def test_graph_plan2u_wr_knob(monkeypatch):
     monkeypatch.setenv("GRAPHMAT_WR", "1024")
     g2 = Graph(e, build_in_edges=False)
     assert g2.pallas_plan2u("dst").wr == 1024
+
+def test_graph_plan2u_wr_knob_validated(monkeypatch):
+    """A GRAPHMAT_WR that is not a multiple of 128 (or out of rcf range)
+    must fail at the knob with a clear message, not deep in a Mosaic
+    trace (v2u binds out-lanes as rcf & 127 == r & 127)."""
+    import pytest
+    from graphmat_tpu.core.graph import Graph
+    from graphmat_tpu.io.edgelist import edgelist_from_arrays
+    e = edgelist_from_arrays([1, 2], [2, 1], m=300, n=300)
+    g = Graph(e, build_in_edges=False)
+    monkeypatch.setenv("GRAPHMAT_WR", "1000")
+    with pytest.raises(ValueError, match="GRAPHMAT_WR"):
+        g.pallas_plan2u("dst")
+    monkeypatch.setenv("GRAPHMAT_WR", "1048576")
+    with pytest.raises(ValueError, match="GRAPHMAT_WR"):
+        g.pallas_plan2u("dst")
+
+
+def test_kernel_env_knob_validated(monkeypatch):
+    """GRAPHMAT_KERNEL accepts only 'v2u'/'v2'; a typo must raise rather
+    than silently selecting the default kernel during triage."""
+    import pytest
+    from graphmat_tpu.core.runtime import legacy_kernel_env
+    monkeypatch.delenv("GRAPHMAT_KERNEL", raising=False)
+    assert legacy_kernel_env() is False
+    monkeypatch.setenv("GRAPHMAT_KERNEL", "v2")
+    assert legacy_kernel_env() is True
+    monkeypatch.setenv("GRAPHMAT_KERNEL", "v2r")
+    with pytest.raises(ValueError, match="GRAPHMAT_KERNEL"):
+        legacy_kernel_env()
