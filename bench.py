@@ -1,22 +1,31 @@
-"""Headline benchmark: PageRank SpMV throughput (GTEPS) on one chip.
+"""Multi-workload benchmark: the BASELINE.md metric set on one chip.
 
-Runs the reference's headline workload — PageRank iterations over an RMAT
-graph (BASELINE.json: RMAT + reference graphs, target >= 1.5 GTEPS/chip) —
-through the real engine and prints ONE json line:
+Emits one JSON line per workload, then ONE final combined line (the
+driver's record) whose headline metric stays PageRank GTEPS/chip and
+whose ``workloads`` dict carries the full per-workload records:
 
-    {"metric": "pagerank_gteps_per_chip", "value": ..., "unit": "GTEPS",
-     "vs_baseline": value / 1.5, ...}
+* ``pagerank``  — sum kernel, dense frontier, 50 fixed iterations
+  (reference: ``src/PageRank.cpp:82-112``).
+* ``bfs``       — min kernel, ACTIVE_ONLY frontier, until-convergence,
+  chained restarts from 16 sources inside ONE dispatch (Graph500-style
+  TEPS = nnz per BFS / time; the axon tunnel costs ~130 ms per dispatch,
+  so a single 7-iteration BFS would measure host latency, not the chip).
+  Reference: ``src/BFS.cpp:83-97``.
+* ``sssp``      — min kernel WITH the edge-value stream, dense
+  all-vertex relaxation, 50 fixed iterations (the reference's SSSP is
+  all-active Bellman-Ford, ``src/SSSP.cpp:73-79``; fixed-count extra
+  iterations are value no-ops, so distances stay correct).
+* ``sgd``       — K=20 collaborative filtering on the vec2 kernel, the
+  PERF.md 1M-rating protocol (60K users x 20K items), 20 engine
+  iterations per dispatch + RMSE before/after
+  (reference: ``src/SGD.cpp:95-117,170-200``).
 
-The out-degree operand is precomputed on host (the benchmark measures the
-PageRank SpMV iterations; running the Degree program first gives identical
-values but doubles the cold-compile surface — the reference times its
-degree pass separately too, src/PageRank.cpp:82-93).
+Every workload reports median-of-5 with the per-rep list — the axon
+tunnel swings ±15-20% per run, so the BENCH_r* record needs the spread.
 
-Scale/iterations are adjustable via env: GRAPHMAT_BENCH_SCALE (default 20),
-GRAPHMAT_BENCH_ITERS (default 50).  All iterations run inside ONE jitted
-fori_loop dispatch; 50 iterations amortize the axon tunnel's ~130 ms
-per-dispatch round-trip (host latency, not device time) below 3 ms/iter
-while staying in the range a real until-convergence PageRank run uses.
+Env knobs: GRAPHMAT_BENCH_SCALE (default 20), GRAPHMAT_BENCH_ITERS (50),
+GRAPHMAT_BENCH_EDGEFACTOR (16), GRAPHMAT_BENCH_REPS (5),
+GRAPHMAT_BENCH_WORKLOADS (comma list; default all four).
 """
 
 import json
@@ -27,30 +36,61 @@ import traceback
 
 import numpy as np
 
+SCALE = int(os.environ.get("GRAPHMAT_BENCH_SCALE", "20"))
+ITERS = int(os.environ.get("GRAPHMAT_BENCH_ITERS", "50"))
+EDGE_FACTOR = int(os.environ.get("GRAPHMAT_BENCH_EDGEFACTOR", "16"))
+REPS = int(os.environ.get("GRAPHMAT_BENCH_REPS", "5"))
+BFS_SOURCES = int(os.environ.get("GRAPHMAT_BENCH_BFS_SOURCES", "16"))
 
-def run_bench():
-    scale = int(os.environ.get("GRAPHMAT_BENCH_SCALE", "20"))
-    iters = int(os.environ.get("GRAPHMAT_BENCH_ITERS", "50"))
-    edge_factor = int(os.environ.get("GRAPHMAT_BENCH_EDGEFACTOR", "16"))
 
+def _median_reps(run_once, reps=REPS):
+    rep_s = []
+    for _ in range(reps):
+        rep_s.append(run_once())
+    return float(np.median(rep_s)), [round(t, 4) for t in rep_s]
+
+
+def _base_record(metric, value, unit, baseline, config, med, rep_s,
+                 best_value):
+    return {
+        "metric": metric,
+        "value": round(value, 4),
+        "unit": unit,
+        "vs_baseline": round(value / baseline, 4),
+        "config": config,
+        "timings_s": {
+            "measured_run_median": round(med, 4),
+            "measured_runs": rep_s,
+            "best_value": round(best_value, 4),
+        },
+    }
+
+
+def _rmat_graph():
+    """Shared RMAT fixture: (EdgeList, Graph) for pagerank + bfs (unit
+    edge values; sssp rebuilds with random weights)."""
     import jax
-    import jax.numpy as jnp
 
     from graphmat_tpu import Graph
-    from graphmat_tpu.apps.pagerank import (PageRankProgram,
-                                            init_pagerank_graph)
-    from graphmat_tpu.core.runtime import Engine
     from graphmat_tpu.utils.generators import rmat_edgelist
 
     t0 = time.time()
-    e = rmat_edgelist(scale, edge_factor, seed=1)
+    e = rmat_edgelist(SCALE, EDGE_FACTOR, seed=1)
     gen_s = time.time() - t0
-
     t0 = time.time()
     g = Graph(e, build_in_edges=False, permute="degree")
     build_s = time.time() - t0
+    return e, g, gen_s, build_s
 
-    # host degree operand (identical to the Degree program's output)
+
+def bench_pagerank(e, g):
+    import jax
+    import jax.numpy as jnp
+
+    from graphmat_tpu.apps.pagerank import (PageRankProgram,
+                                            init_pagerank_graph)
+    from graphmat_tpu.core.runtime import Engine
+
     n = max(e.m, e.n)
     deg = np.bincount(e.src - 1, minlength=n).astype(np.int32)
 
@@ -65,71 +105,267 @@ def run_bench():
         gvp["degree"] = jnp.asarray(full)
         g.vp = gvp
         g.set_all_active()
-        # complete the one-time state upload BEFORE the timed run: the
-        # device_puts above are async, and through the axon tunnel their
-        # ~65 ms of H2D otherwise lands inside the first timed dispatch
+        # sync the async H2D uploads BEFORE timing (they otherwise land
+        # inside the first timed dispatch, ~65 ms through the tunnel)
         jax.block_until_ready(list(g.vp.values()) + [g.active])
         float(jnp.sum(g.vp["pagerank"][:1]))
 
     setup()
     eng = Engine(PageRankProgram(), g)
     t0 = time.time()
-    eng.run(iterations=iters)  # compile with the same static iter count
+    eng.run(iterations=ITERS)
     warm_s = time.time() - t0
 
-    # median of 5 measured runs, per-rep list recorded — the axon tunnel
-    # swings ±15-20% per run and up to ±20% session-to-session, so the
-    # BENCH_r* record needs the spread, not just one point
-    reps = int(os.environ.get("GRAPHMAT_BENCH_REPS", "5"))
-    rep_s = []
-    for _ in range(reps):
+    def once():
         setup()
         t0 = time.time()
-        eng.run(iterations=iters)
-        rep_s.append(time.time() - t0)
-    run_s = float(np.median(rep_s))
+        eng.run(iterations=ITERS)
+        return time.time() - t0
 
+    med, rep_s = _median_reps(once)
     pr = g.vp_numpy()["pagerank"]
     assert np.isfinite(pr).all(), "non-finite pagerank output"
+    gteps = g.nnz * ITERS / med / 1e9
+    rec = _base_record(
+        "pagerank_gteps_per_chip", gteps, "GTEPS", 1.5,
+        {"graph": f"rmat{SCALE}x{EDGE_FACTOR}", "nnz": int(g.nnz),
+         "iters": ITERS, "kernel": os.environ.get("GRAPHMAT_KERNEL",
+                                                  "v2u")},
+        med, rep_s, g.nnz * ITERS / min(rep_s) / 1e9)
+    rec["timings_s"]["warmup_compile"] = round(warm_s, 2)
+    return rec
 
-    gteps = g.nnz * iters / run_s / 1e9
-    return {
-        "metric": "pagerank_gteps_per_chip",
-        "value": round(gteps, 4),
-        "unit": "GTEPS",
-        "vs_baseline": round(gteps / 1.5, 4),
-        "config": {
-            "graph": f"rmat{scale}x{edge_factor}",
-            "nnz": int(g.nnz),
-            "iters": iters,
-            "backend": jax.default_backend(),
-            "pallas": bool(eng.use_pallas),
-            "kernel": os.environ.get("GRAPHMAT_KERNEL", "v2u"),
-        },
-        "timings_s": {
-            "rmat_gen": round(gen_s, 2),
-            "graph_build": round(build_s, 2),
-            "warmup_compile": round(warm_s, 2),
-            "measured_run_median": round(run_s, 3),
-            "measured_runs": [round(t, 3) for t in rep_s],
-            "best_gteps": round(g.nnz * iters / min(rep_s) / 1e9, 3),
-        },
-    }
+
+def bench_bfs(e, g):
+    """Graph500-style chained BFS restarts: R sources swept sequentially
+    inside ONE jitted dispatch (lax.scan over sources, each an
+    until-convergence lax.while_loop), TEPS = R * nnz / t."""
+    import jax
+    import jax.numpy as jnp
+
+    from graphmat_tpu.apps.bfs import BFSProgram, INF_DEPTH, init_bfs_graph
+    from graphmat_tpu.core.runtime import Engine
+
+    init_bfs_graph(g, 1)     # template vp (ids, INF depths)
+    eng = Engine(BFSProgram(), g)
+    structure = eng._structure()
+    id_plane = g.vp["id"]
+    parent0 = jnp.full(g.n_pad, -1, jnp.int32)
+    iota = jnp.arange(g.n_pad, dtype=jnp.int32)
+    n_pad = g.n_pad
+
+    @jax.jit
+    def bfs_many(structure, sources0):
+        def one(carry, src0):
+            vp = {"depth": jnp.where(iota == src0, 0,
+                                     jnp.int32(INF_DEPTH)),
+                  "parent": parent0, "id": id_plane}
+            active = iota == src0
+            it, _st, vpo, _a, _c = eng._run_conv(
+                structure, jnp.int32(1), vp, active, jnp.int32(128))
+            reached = jnp.sum((vpo["depth"] != INF_DEPTH).astype(
+                jnp.int32))
+            return carry + it, (it, reached)
+        tot, (its, reached) = jax.lax.scan(one, jnp.int32(0), sources0)
+        return tot, its, reached
+
+    # deterministic sources with out-degree > 0 (internal-id space)
+    rng = np.random.default_rng(7)
+    deg_int = np.zeros(g.n_pad, np.int64)
+    odeg = np.bincount(e.src - 1, minlength=g.n)
+    if g.perm is None:
+        deg_int[: g.n] = odeg
+    else:
+        deg_int[g.perm] = odeg
+    cand = np.flatnonzero(deg_int > 0)
+    sources = jnp.asarray(
+        rng.choice(cand, size=BFS_SOURCES,
+                   replace=len(cand) < BFS_SOURCES).astype(np.int32))
+    tot, its, reached = jax.block_until_ready(bfs_many(structure, sources))
+
+    def once():
+        t0 = time.time()
+        jax.block_until_ready(bfs_many(structure, sources))
+        return time.time() - t0
+
+    med, rep_s = _median_reps(once)
+    its_np = np.asarray(its)
+    reached_np = np.asarray(reached)
+    assert (reached_np > 1).all(), "BFS reached nothing from a source"
+    gteps = BFS_SOURCES * g.nnz / med / 1e9
+    return _base_record(
+        "bfs_gteps_per_chip", gteps, "GTEPS", 1.5,
+        {"graph": f"rmat{SCALE}x{EDGE_FACTOR}", "nnz": int(g.nnz),
+         "sources": BFS_SOURCES, "accounting": "graph500: nnz per BFS",
+         "iters_per_bfs": [int(x) for x in its_np],
+         "reached_median": int(np.median(reached_np))},
+        med, rep_s, BFS_SOURCES * g.nnz / min(rep_s) / 1e9)
+
+
+def bench_sssp(e):
+    """min kernel with the edge-value stream: dense all-vertex
+    Bellman-Ford relaxation sweeps, fixed ITERS (the reference's SSSP
+    protocol — extra sweeps past convergence are value no-ops)."""
+    import jax
+    import jax.numpy as jnp
+
+    from graphmat_tpu import Graph
+    from graphmat_tpu.apps.sssp import (INF_DIST, SSSPProgram,
+                                        init_sssp_graph)
+    from graphmat_tpu.core.runtime import Engine
+    from graphmat_tpu.core.types import Activity
+    from graphmat_tpu.io.edgelist import EdgeList
+
+    rng = np.random.default_rng(3)
+    w = rng.integers(1, 256, len(e.src)).astype(np.float64)
+    ew = EdgeList(src=e.src, dst=e.dst, val=w, m=e.m, n=e.n)
+    g = Graph(ew, build_in_edges=False, permute="degree")
+
+    class DenseSSSP(SSSPProgram):
+        activity = Activity.ALL_VERTICES
+
+    def setup():
+        init_sssp_graph(g, 1)
+        g.set_all_active()
+        jax.block_until_ready(list(g.vp.values()) + [g.active])
+
+    setup()
+    eng = Engine(DenseSSSP(), g)
+    eng.run(iterations=ITERS)    # compile + warm
+
+    def once():
+        setup()
+        t0 = time.time()
+        eng.run(iterations=ITERS)
+        return time.time() - t0
+
+    med, rep_s = _median_reps(once)
+    dist = g.vp_numpy()["distance"]
+    assert (dist != INF_DIST).sum() > 1, "SSSP relaxed nothing"
+    gteps = g.nnz * ITERS / med / 1e9
+    return _base_record(
+        "sssp_gteps_per_chip", gteps, "GTEPS", 1.5,
+        {"graph": f"rmat{SCALE}x{EDGE_FACTOR}", "nnz": int(g.nnz),
+         "iters": ITERS, "weights": "uniform int [1,255]",
+         "accounting": "dense relaxation sweeps (uses edge values)",
+         "reached": int((dist != INF_DIST).sum())},
+        med, rep_s, g.nnz * ITERS / min(rep_s) / 1e9)
+
+
+def bench_sgd():
+    """SGD-CF on the vec2 K-wide kernel: the PERF.md 1M-rating protocol
+    through the full engine, plus the BASELINE-named RMSE."""
+    import jax
+
+    from graphmat_tpu import Graph
+    from graphmat_tpu.apps.sgd import (SGDProgram, init_sgd_graph,
+                                       rmse_per_edge)
+    from graphmat_tpu.core.runtime import Engine
+    from graphmat_tpu.io.edgelist import EdgeList
+
+    rng = np.random.default_rng(0)
+    nu, ni, nr = 60000, 20000, 1_000_000
+    K = 20
+    n = nu + ni
+    us = rng.integers(1, nu + 1, nr).astype(np.int64)
+    it = (nu + rng.integers(1, ni + 1, nr)).astype(np.int64)
+    val = rng.integers(1, 6, nr).astype(np.float64)
+    el = EdgeList(src=us, dst=it, val=val, m=n, n=n)
+    g = Graph(el)
+    prog = SGDProgram(k=K)
+
+    sgd_iters = 20
+    init_sgd_graph(g, K)
+    g.set_all_active()
+    rmse_before = rmse_per_edge(g, k=K)
+    eng = Engine(prog, g)
+    # warm with the SAME static iteration count (a different count is a
+    # different executable — the first rep would measure a recompile)
+    eng.run(iterations=sgd_iters)
+
+    def once():
+        init_sgd_graph(g, K)
+        g.set_all_active()
+        jax.block_until_ready(list(g.vp.values()))
+        t0 = time.time()
+        eng.run(iterations=sgd_iters)
+        return time.time() - t0
+
+    med, rep_s = _median_reps(once)
+    rmse_after = rmse_per_edge(g, k=K)
+    assert rmse_after < rmse_before, \
+        f"SGD diverged: {rmse_before} -> {rmse_after}"
+    # each rating updates both endpoints per iteration (ALL_EDGES)
+    mups = 2 * nr * sgd_iters / med / 1e6
+    # self-baseline: round-1 vec2 kernel recorded 146M upd/s (CHANGELOG)
+    return _base_record(
+        "sgd_cf_edge_updates_per_s", mups, "M upd/s", 146.0,
+        {"graph": f"ratings {nu}x{ni}", "nnz": nr, "k": K,
+         "iters": sgd_iters,
+         "rmse_before": round(float(rmse_before), 6),
+         "rmse_after": round(float(rmse_after), 6),
+         "baseline": "round-1 vec2 146M upd/s"},
+        med, rep_s, 2 * nr * sgd_iters / min(rep_s) / 1e6)
 
 
 def main() -> int:
-    try:
-        result = run_bench()
-    except Exception as exc:  # always emit a line for the driver
-        result = {
-            "metric": "pagerank_gteps_per_chip",
-            "value": 0.0,
-            "unit": "GTEPS",
-            "vs_baseline": 0.0,
-            "error": f"{type(exc).__name__}: {exc}",
-        }
-        traceback.print_exc(file=sys.stderr)
-    print(json.dumps(result))
+    sel = os.environ.get("GRAPHMAT_BENCH_WORKLOADS",
+                         "pagerank,bfs,sssp,sgd").split(",")
+    records = {}
+    shared = {}
+
+    def guarded(name, fn):
+        try:
+            records[name] = fn()
+        except Exception as exc:
+            records[name] = {"metric": name, "value": 0.0,
+                            "vs_baseline": 0.0,
+                            "error": f"{type(exc).__name__}: {exc}"}
+            traceback.print_exc(file=sys.stderr)
+        print(json.dumps(records[name]), flush=True)
+
+    e = g = None
+    if any(w in sel for w in ("pagerank", "bfs", "sssp")):
+        try:
+            e, g, gen_s, build_s = _rmat_graph()
+            shared["rmat_gen"] = round(gen_s, 2)
+            shared["graph_build"] = round(build_s, 2)
+        except Exception as exc:
+            for name in ("pagerank", "bfs", "sssp"):
+                if name in sel:
+                    records[name] = {"metric": name, "value": 0.0,
+                                     "vs_baseline": 0.0,
+                                     "error": f"{type(exc).__name__}: "
+                                              f"{exc}"}
+                    print(json.dumps(records[name]), flush=True)
+            traceback.print_exc(file=sys.stderr)
+            sel = [s for s in sel
+                   if s not in ("pagerank", "bfs", "sssp")]
+    if "pagerank" in sel:
+        guarded("pagerank", lambda: bench_pagerank(e, g))
+    if "bfs" in sel:
+        guarded("bfs", lambda: bench_bfs(e, g))
+    if "sssp" in sel:
+        guarded("sssp", lambda: bench_sssp(e))
+    if "sgd" in sel:
+        guarded("sgd", bench_sgd)
+
+    import jax
+    head = records.get("pagerank", {})
+    combined = {
+        "metric": "pagerank_gteps_per_chip",
+        "value": head.get("value", 0.0),
+        "unit": "GTEPS",
+        "vs_baseline": head.get("vs_baseline", 0.0),
+        "config": dict(head.get("config", {}),
+                       backend=jax.default_backend(),
+                       reps=REPS, **shared),
+        "timings_s": head.get("timings_s", {}),
+        "workloads": {k: v for k, v in records.items()},
+    }
+    if "error" in head:
+        combined["error"] = head["error"]
+    print(json.dumps(combined), flush=True)
     return 0
 
 
