@@ -86,13 +86,18 @@ def _make_lda_init_process_v2(k, dtype):
     return proc
 
 
-def _make_lda_process_v2(k, alpha, eta, vocab_size, ndoc, dtype):
+def _make_lda_process_v2(k, alpha, eta, vocab_size, dtype):
+    """The doc/term discrimination rides an ENCODED is_doc flag at lane
+    ``k`` of the receiver's vp block (``encode_vp`` appends it) — the
+    receiver id is in internal (possibly degree-permuted) space, so a
+    ``rid < ndoc`` test would silently mislabel permuted vertices."""
     import jax
 
     def proc(xv, ev, vpr, extra, rid, block_sum):
         lane_k = jax.lax.broadcasted_iota(jnp.int32, xv.shape, 1) % 32
         gn = extra                              # [1, 128], gn tiled per block
-        is_doc = rid < ndoc
+        flag = block_sum(jnp.where(lane_k == k, vpr, 0.0))
+        is_doc = flag > 0.5
         my_off = jnp.where(is_doc, alpha, eta).astype(dtype)
         other_off = jnp.where(is_doc, eta, alpha).astype(dtype)
         denom = gn + vocab_size * (eta - 1.0)
@@ -121,16 +126,22 @@ def _make_lda_ll_process_v2(k, eta, n_k_smoothed, dtype):
     return proc
 
 
-def _make_lda_process(k, alpha, eta, vocab_size, ndoc, dtype):
+def _make_lda_process(k, alpha, eta, vocab_size, dtype):
+    """vec (K-row-tile) variant: operands carry k+1 rows, row ``k`` of
+    ``vpr`` is the encoded is_doc flag (permutation-safe; see the v2
+    variant's docstring)."""
     def proc(xv, ev, vpr, extra, rid):
         gn = extra[0:1, 0:k].reshape(k, 1)
-        is_doc = rid < ndoc                    # [1, e]
+        is_doc = vpr[k: k + 1, :] > 0.5        # [1, e]
         my_off = jnp.where(is_doc, alpha, eta)
         other_off = jnp.where(is_doc, eta, alpha)
         denom = gn + vocab_size * (eta - 1.0)
-        gamma = (vpr + my_off - 1.0) * (xv + other_off - 1.0) / denom
+        gamma = ((vpr[:k] + my_off - 1.0) * (xv[:k] + other_off - 1.0)
+                 / denom)
         gamma = gamma / jnp.sum(gamma, axis=0, keepdims=True)
-        return gamma * ev
+        out = gamma * ev
+        return jnp.concatenate(
+            [out, jnp.zeros_like(out[0: 1])], axis=0)   # k+1 rows out
 
     return proc
 
@@ -202,32 +213,44 @@ class LDAProgram(GraphProgram):
         self.vocab_size = vocab_size
         self.ndoc = ndoc
         self.dtype = dtype
-        self._vec_proc = _make_lda_process(k, alpha, eta, vocab_size, ndoc,
+        self._vec_proc = _make_lda_process(k, alpha, eta, vocab_size,
                                            dtype)
         self._vec2_proc = _make_lda_process_v2(k, alpha, eta, vocab_size,
-                                               ndoc, dtype)
+                                               dtype)
+
+    # The kernel operands carry k+1 columns: column k of the encoded vp
+    # is the is_doc flag, so the doc/term split survives any vertex
+    # permutation (the reference discriminates by id threshold,
+    # src/LDA.cpp:84-147, but its ids are never relabeled; ours can be).
+    def _encode_msg(self, state, msg):
+        return jnp.pad(msg["N"], ((0, 0), (0, 1)))
+
+    def _encode_vp(self, state, vp):
+        return jnp.concatenate(
+            [vp["N"], vp["is_doc"].astype(vp["N"].dtype)[:, None]],
+            axis=1)
 
     def pallas_vec_semiring(self):
         if self.ndoc <= 0:
-            return None  # needs the doc/term id split (no vertex permute)
+            return None  # doc/term split unknown (direct engine use)
         return PallasVecSemiring(
-            k=self.k,
+            k=self.k + 1,
             process=self._vec_proc,
-            encode=lambda state, msg: msg["N"],
-            encode_vp=lambda state, vp: vp["N"],
-            decode=lambda y: y.astype(self.dtype),
+            encode=self._encode_msg,
+            encode_vp=self._encode_vp,
+            decode=lambda y: y[:, : self.k].astype(self.dtype),
             needs_vp=True,
             extra_fn=lambda state: state.reshape(1, -1))
 
     def pallas_vec2_semiring(self):
-        if self.ndoc <= 0 or self.k > 32:
+        if self.ndoc <= 0 or self.k + 1 > 32:
             return None
         return PallasVec2Semiring(
-            k=self.k,
+            k=self.k + 1,
             process=self._vec2_proc,
-            encode=lambda state, msg: msg["N"],
-            encode_vp=lambda state, vp: vp["N"],
-            decode=lambda y: y.astype(self.dtype),
+            encode=self._encode_msg,
+            encode_vp=self._encode_vp,
+            decode=lambda y: y[:, : self.k].astype(self.dtype),
             needs_vp=True,
             extra_fn=lambda state: state.reshape(1, -1))
 
@@ -331,8 +354,13 @@ def run_lda(graph: Graph, ndoc: int, nterms: int, k: int = 20,
     prog = LDAProgram(k, alpha, eta, vocab_size=nterms, ndoc=ndoc,
                       dtype=dtype)
     eng = engine_for(prog, graph)
-    # ldap.calcGlobalN() before the run (:279)
-    global_n = _global_topic_totals(graph.vp, eng.ctx, dtype)
+    # ldap.calcGlobalN() before the run (:279) — computed on host from
+    # the exported (unpermuted, unsharded) properties: ctx collectives
+    # are only legal inside the traced step, and this one-time reduce is
+    # not on the hot path
+    vpn = graph.vp_numpy()
+    global_n = jnp.asarray(
+        vpn["N"][~vpn["is_doc"].astype(bool)].sum(axis=0), dtype)
     eng.run(iterations=iterations, state=global_n)
     global_n = jnp.asarray(eng.final_state)
 

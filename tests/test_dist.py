@@ -247,3 +247,18 @@ def test_dist_degree_permute(mesh):
     np.testing.assert_allclose(g.vp_numpy()["pagerank"], pr_ref,
                                rtol=1e-5, atol=1e-6)
     assert it2 == it_ref
+
+
+def test_dist_lda_permuted(mesh):
+    """LDA on a degree-permuted DistGraph matches the oracle (the vec2
+    tile kernels read is_doc from the encoded vp lane, not the id)."""
+    import jax.numpy as jnp
+    from graphmat_tpu.apps.lda import run_lda
+    from test_ml_apps import bipartite_edges, lda_oracle
+    ndoc, nterms, k = 6, 9, 4
+    e = bipartite_edges(ndoc, nterms, seed=11)
+    expect = lda_oracle(e, ndoc, nterms, k, iters=3)
+    g = DistGraph(e, mesh, permute="degree")
+    assert g.perm is not None
+    N, gN, ll = run_lda(g, ndoc, nterms, k=k, iterations=3)
+    np.testing.assert_allclose(N, expect, rtol=2e-4, atol=2e-4)

@@ -340,3 +340,17 @@ def test_triangles_bucketed_hubs_and_duplicates():
     A[r[keep], s[keep]] = True
     Ai = A.astype(np.int64)
     assert total == int(np.trace(Ai @ Ai @ Ai) // 6)
+
+
+def test_lda_permuted_matches_oracle():
+    """LDA under a degree permutation: the kernel paths must not infer
+    doc/term from the internal id (rid < ndoc breaks once ids are
+    relabeled) — the is_doc flag rides an encoded vp lane instead."""
+    ndoc, nterms, k = 6, 9, 4
+    e = bipartite_edges(ndoc, nterms, seed=11)
+    expect = lda_oracle(e, ndoc, nterms, k, iters=4)
+    g = Graph(e, permute="degree")
+    assert g.perm is not None
+    N, gN, ll = run_lda(g, ndoc, nterms, k=k, iterations=4)
+    np.testing.assert_allclose(N, expect, rtol=2e-4, atol=2e-4)
+    assert np.isfinite(ll)
