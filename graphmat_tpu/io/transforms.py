@@ -120,14 +120,25 @@ def filter_edges(e: EdgeList, predicate) -> EdgeList:
 def randomize_vertex_ids(e: EdgeList, seed: int = 5) -> tuple:
     """Apply a random permutation to vertex ids of a square edge list.
 
-    Analog of ``randomize_edgelist_square`` (``edgelist.h:337-366``), which
-    builds a seeded (srand(5)) random permutation and remaps src/dst.  Returns
+    BIT-PARITY analog of ``randomize_edgelist_square``
+    (``edgelist.h:337-366``): the permutation is the reference's exact
+    ``srand(seed)`` + ``rand() % m`` sequential-swap mapping (glibc
+    TYPE_3 ``rand()`` replicated in ``utils.reference_rng`` /
+    ``native/planner.cpp``), so the remapped edge list is byte-identical
+    to the reference converter's output on the same input.  Returns
     ``(new_edgelist, perm)`` where ``perm[old_1based - 1] = new_1based``.
     """
     if e.m != e.n:
         raise ValueError("randomize_vertex_ids requires a square edge list")
-    rng = np.random.default_rng(seed)
-    perm = rng.permutation(e.m).astype(np.int32) + 1  # 1-based new ids
+    from ..native import load_planner
+    lib = load_planner()
+    if lib is not None and hasattr(lib, "gm_glibc_square_mapping"):
+        mapping = np.empty(e.m, np.int32)
+        lib.gm_glibc_square_mapping(int(e.m), np.uint32(seed), mapping)
+    else:
+        from ..utils.reference_rng import glibc_square_mapping_np
+        mapping = glibc_square_mapping_np(int(e.m), seed).astype(np.int32)
+    perm = mapping + 1                      # 1-based new ids
     src = perm[e.src - 1]
     dst = perm[e.dst - 1]
     return EdgeList(e.m, e.n, src, dst, e.val.copy()), perm

@@ -132,6 +132,10 @@ def load_planner():
                 ctypes.c_int32, ctypes.c_int64, ctypes.c_double,
                 ctypes.c_double, ctypes.c_double, ctypes.c_uint64,
                 ctypes.c_int32, ctypes.c_int32, i32p, i32p, i32p]
+        if hasattr(lib, "gm_glibc_square_mapping"):
+            lib.gm_glibc_square_mapping.restype = None
+            lib.gm_glibc_square_mapping.argtypes = [
+                ctypes.c_int64, ctypes.c_uint32, i32p]
         if hasattr(lib, "gm_parse_text_edges"):
             lib.gm_parse_text_edges.restype = ctypes.c_int64
             lib.gm_parse_text_edges.argtypes = [

@@ -2200,3 +2200,48 @@ void gm_plan2u_eidx(void* handle, int32_t* eidx) {
 void gm_plan2u_destroy(void* handle) { delete static_cast<Plan2u*>(handle); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// glibc-compatible rand() and the reference's seeded square-id permutation
+// (randomize_edgelist_square, edgelist.h:337-366: srand(5); rval[i] =
+// rand() % m; sequential swap mapping[i] <-> mapping[rval[i]]).  The
+// generator replicates glibc's TYPE_3 additive-feedback random()
+// (31-word ring seeded via Park-Miller/Schrage, 310 warm-up outputs
+// discarded) so the produced permutation is byte-identical to the
+// reference binaries on the same input.
+
+extern "C" {
+
+void gm_glibc_square_mapping(int64_t m, uint32_t seed, int32_t* mapping) {
+  uint32_t r[31];
+  long long word = (seed == 0) ? 1 : (long long)seed;
+  r[0] = (uint32_t)word;
+  for (int i = 1; i < 31; ++i) {
+    long long hi = word / 127773, lo = word % 127773;
+    word = 16807 * lo - 2836 * hi;
+    if (word < 0) word += 2147483647;
+    r[i] = (uint32_t)word;
+  }
+  int f = 3, p = 0;
+  for (int i = 0; i < 310; ++i) {
+    r[f] += r[p];
+    if (++f == 31) f = 0;
+    if (++p == 31) p = 0;
+  }
+  std::vector<int64_t> rval(m);
+  for (int64_t i = 0; i < m; ++i) {
+    r[f] += r[p];
+    rval[i] = (int64_t)((r[f] >> 1) % (uint32_t)m);
+    if (++f == 31) f = 0;
+    if (++p == 31) p = 0;
+  }
+  for (int64_t i = 0; i < m; ++i) mapping[i] = (int32_t)i;
+  for (int64_t i = 0; i < m; ++i) {
+    int64_t j = rval[i];
+    int32_t tmp = mapping[i];
+    mapping[i] = mapping[j];
+    mapping[j] = tmp;
+  }
+}
+
+}  // extern "C"

@@ -77,3 +77,56 @@ def rand_r_jnp(seeds, count: int, dtype=None):
         outs.append(r)
     vals = jnp.stack(outs, axis=-1)
     return (vals / RAND_MAX).astype(dtype)
+
+
+def glibc_rand_np(seed: int, n: int) -> np.ndarray:
+    """Bit-exact glibc ``srand(seed)``/``rand()`` sequence (TYPE_3
+    additive-feedback generator, glibc stdlib/random_r.c): 31-word state
+    seeded by a Park-Miller LCG (Schrage's method), 310 warm-up outputs
+    discarded, then ``out = (r[f] += r[p]) >> 1`` over the ring.
+
+    The reference's ``randomize_edgelist_square`` consumes exactly this
+    sequence (``edgelist.h:337-366``: ``srand(5)`` + ``rand() % m``), so
+    replicating it makes vertex-id randomization byte-identical to the
+    reference binaries.  Sequential by construction (the additive ring
+    has a lag-3 dependency); the native planner carries the fast C
+    version (``gm_glibc_square_mapping``).
+    """
+    r = np.zeros(31, np.uint32)
+    word = np.int64(seed if seed != 0 else 1)
+    r[0] = np.uint32(word)
+    for i in range(1, 31):
+        hi, lo = word // 127773, word % 127773
+        word = 16807 * lo - 2836 * hi
+        if word < 0:
+            word += 2147483647
+        r[i] = np.uint32(word)
+    rl = r.tolist()   # python ints: fast wrap-free loop, mask to 32 bits
+    f, p = 3, 0
+    for _ in range(310):
+        rl[f] = (rl[f] + rl[p]) & 0xFFFFFFFF
+        f = (f + 1) % 31
+        p = (p + 1) % 31
+    out = np.empty(n, np.int64)
+    for i in range(n):
+        v = (rl[f] + rl[p]) & 0xFFFFFFFF
+        rl[f] = v
+        out[i] = v >> 1
+        f = (f + 1) % 31
+        p = (p + 1) % 31
+    return out
+
+
+def glibc_square_mapping_np(m: int, seed: int = 5) -> np.ndarray:
+    """The reference's seeded id permutation (``edgelist.h:337-366``):
+    ``rval[i] = rand() % m`` then sequential swap
+    ``mapping[i] <-> mapping[rval[i]]``.  Returns mapping[m] (0-based:
+    old id i maps to mapping[i])."""
+    rval = (glibc_rand_np(seed, m) % m).astype(np.int64)
+    mapping = np.arange(m, dtype=np.int64)
+    ml = mapping.tolist()
+    rl = rval.tolist()
+    for i in range(m):
+        j = rl[i]
+        ml[i], ml[j] = ml[j], ml[i]
+    return np.asarray(ml, np.int64)

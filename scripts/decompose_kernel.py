@@ -33,6 +33,56 @@ def main():
     senders0, receivers0, vals = g._host_edges["dst"]
     nnz = len(senders0)
 
+    if mode in ("usum", "umin"):
+        from graphmat_tpu.ops.pallas_spmv2u import _spmv2u_call
+        t0 = time.time()
+        plan = g.pallas_plan2u("dst")
+        print(f"plan build {time.time() - t0:.1f}s nc={plan.nc} "
+              f"fill={plan.fill:.3f} wr={plan.wr} h={plan.h} "
+              f"segs={len(plan.splits)}", flush=True)
+        arrays = (plan.kb, plan.blkid, plan.pk, plan.po, plan.val)
+        static = (plan.h, plan.wr, plan.nb, plan.nc, plan.n_pad,
+                  plan.classes, plan.rows, plan.splits)
+        kind = "sum" if mode == "usum" else "min"
+
+        def timed(debug):
+            @jax.jit
+            def chain(arrays, x):
+                def one(x, _):
+                    y = _spmv2u_call(arrays, static, x, kind,
+                                     _identity_process, False, debug=debug)
+                    ypad = jnp.pad(y, (0, plan.n_send_pad - y.shape[0])) \
+                        if y.shape[0] < plan.n_send_pad \
+                        else y[: plan.n_send_pad]
+                    return ypad * 0.99 + 0.01, 0.0
+                out, _ = jax.lax.scan(one, x, None, length=reps)
+                return out
+
+            x0 = jnp.ones(plan.n_send_pad, jnp.float32)
+            float(chain(arrays, x0)[0])
+            best = np.inf
+            for trial in range(4):
+                t0 = time.perf_counter()
+                float(chain(arrays, x0)[0])
+                dt = (time.perf_counter() - t0) / reps
+                if trial:
+                    best = min(best, dt)
+                print(f"  {debug or 'full'} trial {trial}: "
+                      f"{dt * 1e3:.2f} ms/iter", flush=True)
+            return best
+
+        full = timed(None)
+        nog = timed("nogather")
+        nos = timed("noscatter")
+        print(f"full      {full*1e3:6.2f} ms/iter "
+              f"({nnz/full/1e9:.2f} GTEPS)")
+        print(f"nogather  {nog*1e3:6.2f} ms/iter  "
+              f"-> gather ~{(full-nog)*1e3:.2f} ms")
+        print(f"noscatter {nos*1e3:6.2f} ms/iter  "
+              f"-> out-route ~{(full-nos)*1e3:.2f} ms")
+        print(f"residual (streams+fixed) ~{(nog+nos-full)*1e3:.2f} ms")
+        return
+
     if mode == "mm":
         plan = build_spmv2m_plan(senders0, receivers0, vals, g.n_pad,
                                  n_recv=g.n_pad)

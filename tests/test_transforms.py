@@ -80,3 +80,34 @@ def test_randomize_direction_preserves_pairs():
     a = {frozenset((s, d)) for s, d in zip(e.src, e.dst)}
     b = {frozenset((s, d)) for s, d in zip(r.src, r.dst)}
     assert a == b
+
+
+def test_randomize_vertex_ids_glibc_bit_parity():
+    """The id permutation must be byte-identical to the reference's
+    srand(5)+rand()%m sequential swap (edgelist.h:337-366).  Ground
+    truth below was produced by C code calling the real glibc
+    srand/rand (see utils/reference_rng.py glibc_rand_np docstring)."""
+    import numpy as np
+    from graphmat_tpu.io.transforms import randomize_vertex_ids
+    from graphmat_tpu.utils.reference_rng import (glibc_rand_np,
+                                                  glibc_square_mapping_np)
+    # raw rand() sequence after srand(5)
+    expect_seq = [590011675, 99788765, 2131925610, 171864072, 317159276,
+                  171035632, 602511920, 963050649, 1069979073, 1919854381]
+    np.testing.assert_array_equal(glibc_rand_np(5, 10), expect_seq)
+    # m=8 mapping from the same C run
+    np.testing.assert_array_equal(glibc_square_mapping_np(8),
+                                  [6, 7, 2, 3, 4, 0, 1, 5])
+    # m=1000 mapping FNV-1a hash from the C run
+    m1000 = glibc_square_mapping_np(1000)
+    h = 1469598103934665603
+    for v in m1000:
+        h = ((h ^ int(v)) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    assert h == 10847347724954123681
+    assert m1000[:5].tolist() == [228, 765, 249, 998, 276]
+    # the native C path (when available) must agree with the python one
+    from graphmat_tpu import edgelist_from_arrays
+    e = edgelist_from_arrays([1, 2, 3], [2, 3, 1], m=1000, n=1000)
+    out, perm = randomize_vertex_ids(e, seed=5)
+    np.testing.assert_array_equal(perm, m1000 + 1)
+    np.testing.assert_array_equal(out.src, perm[e.src - 1])
