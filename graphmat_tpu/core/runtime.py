@@ -230,10 +230,10 @@ class Engine:
                         p.valp, p.rcwt), p.got_static)
                 for recv, p in self._plans.items()}
         elif self.pallas_version == 3:
+            from ..ops.pallas_spmv2u import plan_call_args
             use_ev = semiring.uses_edge_value
             self._plan_args = {
-                recv: ((p.kb, p.blkid, p.pk, p.po,
-                        p.val if use_ev else None), p.got_static)
+                recv: (plan_call_args(p, use_val=use_ev)[0], p.got_static)
                 for recv, p in self._plans.items()}
         elif self.pallas_version == 2 and semiring is not None \
                 and semiring.reduce_kind != "sum":
@@ -385,9 +385,8 @@ class Engine:
             plan = self._plans[recv]
             plan_arrays, got_static = plans[recv]
             if v3:
-                plan_static = (plan.h, plan.wr, plan.nb, plan.nc,
-                               plan.n_pad, plan.classes, plan.rows,
-                               plan.splits)
+                from ..ops.pallas_spmv2u import plan_call_args
+                plan_static = plan_call_args(plan)[1]
             elif v2:
                 plan_static = (plan.h, plan.wr, plan.nb, plan.nc,
                                plan.n_pad, plan.classes, plan.rows)

@@ -1,0 +1,260 @@
+"""Hypersparse operand compaction — the DCSC doubly-compressed analog.
+
+The reference's default tile format stores only NON-EMPTY columns
+precisely because 2D tiling makes tiles hypersparse
+(``/root/reference/include/GMDP/matrices/DCSCTile.h:70-76``).  The v2u
+layout's analogous wall (measured, PERF.md round 3): at RMAT-23 the
+gather phase costs 30.2 of 41.5 ms/iter because every (receiver-block,
+sender-window) cell re-walks and re-DMAs its W-row window of the
+operand — ~nb full passes over x2 per iteration — while the cells
+themselves average ~2000 edges (fill 0.458).
+
+Fix, in three parts:
+
+* **Divert** edges in sparse cells (below ``divert_min`` edges per
+  coarse window) out of the direct window path.  Receiver blocks are
+  grouped into SUPER-BLOCKS of ``bpsb`` blocks; each super-block gets a
+  COMPACTED operand region holding the x values of the distinct senders
+  its diverted edges touch, sorted by sender id.
+
+* **Auxiliary gather kernel** (this module): each iteration, one cheap
+  Pallas pass walks x2 windows ONCE PER SUPER-BLOCK (not once per
+  block) and writes the compact regions — a pure routed gather, no
+  accumulator, no out-routing.  Total operand traffic drops from
+  ``nb x |x2|`` to ``nsb x |x2| + O(E_diverted)``.
+
+* **Virtual senders**: a diverted edge's sender id is rewritten to
+  ``h*128 + compact_position`` and the main v2u plan is built over the
+  EXTENDED operand ``concat(x2, aux(x2))`` — the main kernel needs no
+  changes; its window classes now see DENSE cells (a block's diverted
+  senders occupy 1/bpsb of its super-block's compact region instead of
+  1/nb of all of x2), recovering fill and killing the re-read.
+
+Pad entries (group alignment) gather row 0 — their values are garbage
+but no main-plan slot ever references a pad position.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_spmv2 import LANE, VMEM_X2_MAX_ROWS
+
+__all__ = ["CompactAux", "divert_stragglers", "aux_gather"]
+
+SUBR = 32              # rows per sub-window (matches the v2u granularity)
+KB_SAME = 1 << 22      # sub reuses the previous sub's window (skip DMA)
+# defaults (see divert_stragglers docstring for the cost model)
+DIVERT_MIN = 6000
+BPSB = 32
+W_DIV = 2048
+W_AUX = 1024
+H_COMPACT_MIN = 32768  # x2 rows below which compaction is off by default
+
+
+@dataclass
+class CompactAux:
+    """Aux gather plan: ``out[pos] = x2[src_row(pos), src_lane(pos)]``."""
+    h: int                # SOURCE x2 rows (original operand)
+    hc: int               # compact rows produced (multiple of rows)
+    W: int                # aux window rows (aligned)
+    naux: int             # grid chunks
+    rows: int             # rows per chunk (128)
+    n_entries: int        # real (non-pad) compact entries
+    kb: Any               # i32[naux * S]: base>>3 | KB_SAME
+    pk: Any               # i32[naux, rows, 128]: rel_row<<7 | lane
+
+
+def _build_aux(src_of_pos: np.ndarray, h: int, W: int,
+               rows: int, n_entries: int) -> CompactAux:
+    """Pack the position->source map into aux chunks.  ``src_of_pos``
+    must be grouped so every SUBR-row run lies in one aligned W-row
+    source window (the caller pads groups to SUBR*LANE entries)."""
+    total = len(src_of_pos)
+    assert total % (rows * LANE) == 0
+    hc = total // LANE
+    naux = hc // rows
+    S = rows // SUBR
+    srow = (src_of_pos >> 7).astype(np.int64)
+    slane = (src_of_pos & (LANE - 1)).astype(np.int32)
+
+    sub_first = srow[:: SUBR * LANE]                  # [naux * S]
+    base = (sub_first // W) * W
+    base = np.minimum(base, max(h - W, 0))
+    # window-purity check (cheap, catches layout bugs loudly)
+    sub_max = srow.reshape(-1, SUBR * LANE).max(axis=1)
+    assert (sub_max < base + W).all(), "aux sub spans two source windows"
+    kb = (base >> 3).astype(np.uint32)
+    same = np.zeros(len(kb), bool)
+    same[1:] = base[1:] == base[:-1]
+    kb = (kb | np.where(same, np.uint32(KB_SAME), 0)).view(np.int32)
+
+    rel = srow - np.repeat(base, SUBR * LANE)
+    pk = ((rel.astype(np.int32) << 7) | slane).reshape(naux, rows, LANE)
+    return CompactAux(h=h, hc=hc, W=W, naux=naux, rows=rows,
+                      n_entries=n_entries, kb=np.ascontiguousarray(kb),
+                      pk=np.ascontiguousarray(pk))
+
+
+def divert_stragglers(s: np.ndarray, r: np.ndarray, n_recv_pad: int,
+                      wr: int, h: int, hub: int,
+                      divert_min: int = DIVERT_MIN, bpsb: int = BPSB,
+                      w_div: int = W_DIV, w_aux: int = W_AUX,
+                      rows: int = 128):
+    """Rewrite straggler senders to virtual compact positions.
+
+    Returns ``(s_new, aux, h_ext)``; ``aux is None`` when nothing
+    diverts.  Cost model for ``divert_min``: a (block, w_div-window)
+    cell on the direct path costs one ``w_div x 512 B`` window DMA per
+    iteration; a diverted edge costs ~4 B in the aux write + ~4 B read
+    per block of its super-block (bpsb) — break-even near
+    ``w_div*512 / (4*(bpsb+3)) ~ 7500`` edges/cell; below that the
+    compact path wins.  Hub senders (id < hub) never divert (their
+    gather reads the VMEM head mirror, no DMA).
+    """
+    e = len(s)
+    if e == 0:
+        return s, None, h
+    s = np.asarray(s, np.int64)
+    blk = np.asarray(r, np.int64) // wr
+    nb = max(n_recv_pad // wr, 1)
+    nwin = -(-h // w_div)
+    cell = blk * nwin + (s >> 7) // w_div
+    cnt = np.bincount(cell, minlength=nb * nwin)
+    div = (s >= hub) & (cnt[cell] < divert_min)
+    ndiv = int(div.sum())
+    if ndiv == 0:
+        return s, None, h
+
+    # unique (super-block, sender) pairs, sorted sb-major / sender-asc
+    sb = blk[div] // bpsb
+    key = (sb << 34) | s[div]
+    uk, inv = np.unique(key, return_inverse=True)
+    usb = uk >> 34
+    usrc = uk & ((1 << 34) - 1)
+    # group = (sb, aligned w_aux source window); pad each group to a
+    # SUBR*LANE multiple so every aux sub is window-pure
+    gkey = (usb << 20) | (usrc >> 7) // w_aux
+    gb = np.r_[0, np.flatnonzero(gkey[1:] != gkey[:-1]) + 1, len(uk)]
+    gsize = np.diff(gb)
+    unit = SUBR * LANE
+    padded = -(-gsize // unit) * unit
+    goff = np.r_[0, np.cumsum(padded)]
+    total = int(goff[-1])
+    chunk_unit = rows * LANE
+    total_pad = -(-total // chunk_unit) * chunk_unit
+
+    # position of each unique entry = its group offset + rank in group
+    grp_of_u = np.repeat(np.arange(len(gsize)), gsize)
+    rank = np.arange(len(uk)) - np.repeat(gb[:-1], gsize)
+    pos_of_u = goff[grp_of_u] + rank
+
+    src_of_pos = np.zeros(total_pad, np.int64)   # pads gather row 0
+    src_of_pos[pos_of_u] = usrc
+    # pad entries inside a group must stay within the group's window:
+    # point them at the group's first source instead of global row 0
+    pad_mask = np.ones(total_pad, bool)
+    pad_mask[pos_of_u] = False
+    first_src = np.repeat(usrc[gb[:-1]], padded)
+    if total_pad > total:
+        first_src = np.r_[first_src,
+                          np.zeros(total_pad - total, np.int64)]
+    src_of_pos[pad_mask] = first_src[pad_mask]
+
+    aux = _build_aux(src_of_pos, h, w_aux, rows, len(uk))
+    s_new = s.copy()
+    s_new[div] = h * LANE + pos_of_u[inv]
+    h_ext = h + aux.hc
+    return s_new, aux, h_ext
+
+
+# ------------------------------------------------------------------ kernel
+
+def _make_aux_kernel(W: int, x2_hbm: bool, rows: int):
+    ntiles = rows // 8
+    S = rows // SUBR
+    stiles = ntiles // S
+
+    def kernel(kb_ref, pk_ref, x2_ref, out_ref, wscr_ref, *dma_sem):
+        i = pl.program_id(0)
+        for sI in range(S):
+            kbw = kb_ref[i * S + sI]
+            base = pl.multiple_of((kbw & ((1 << 22) - 1)) << 3, 8)
+            same = (kbw & KB_SAME) != 0
+            # the aux grid has no sparse skip: the previous sub always
+            # executed, so the chain bit alone gates the window load
+            skip = jnp.logical_and(same, jnp.logical_or(sI > 0, i > 0))
+
+            @pl.when(jnp.logical_not(skip))
+            def _():
+                if x2_hbm:
+                    dma = pltpu.make_async_copy(
+                        x2_ref.at[pl.ds(base, W), :],
+                        wscr_ref.at[0:W, :], dma_sem[0])
+                    dma.start()
+                    dma.wait()
+                else:
+                    wscr_ref[0:W, :] = x2_ref[pl.ds(base, W), :]
+
+            for k in range(stiles):
+                t = sI * stiles + k
+                u = jax.lax.bitcast_convert_type(
+                    pk_ref[0, 8 * t: 8 * t + 8, :], jnp.uint32)
+                rel = (u >> 7).astype(jnp.int32)
+                lane = (u & (LANE - 1)).astype(jnp.int32)
+                sub = rel & 7
+                gsel = rel >> 3
+                xv = jnp.zeros((8, LANE), jnp.float32)
+                for g in range(W // 8):
+                    tbl = wscr_ref[8 * g: 8 * g + 8, :]
+                    got = jnp.take_along_axis(tbl, sub, axis=0)
+                    xv = jnp.where(gsel == g, got, xv)
+                xv = jnp.take_along_axis(xv, lane, axis=1)
+                out_ref[0, 8 * t: 8 * t + 8, :] = xv
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("aux_static", "interpret",
+                                              "x2_hbm"))
+def _aux_call(aux_arrays, aux_static, x2, interpret, x2_hbm=None):
+    h, hc, W, naux, rows = aux_static
+    kb, pk = aux_arrays
+    if x2_hbm is None:
+        x2_hbm = h > VMEM_X2_MAX_ROWS and not interpret
+    kernel = _make_aux_kernel(W, x2_hbm, rows)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(naux,),
+        in_specs=[pl.BlockSpec((1, rows, LANE), lambda i, kbv: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=(pltpu.ANY if x2_hbm
+                                             else pltpu.VMEM))],
+        out_specs=pl.BlockSpec((1, rows, LANE), lambda i, kbv: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((W, LANE), jnp.float32)]
+        + ([pltpu.SemaphoreType.DMA(())] if x2_hbm else []),
+    )
+    out = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((naux, rows, LANE), jnp.float32),
+        interpret=interpret,
+    )(kb, pk, x2)
+    return out.reshape(hc, LANE)
+
+
+def aux_gather(aux: CompactAux, x2, interpret: bool = False):
+    """Produce the compact operand rows: ``[hc, 128]`` f32, bit-exact
+    copies of the selected x2 entries (pad rows carry garbage that no
+    main-plan slot references)."""
+    arrays = (jnp.asarray(aux.kb), jnp.asarray(aux.pk))
+    static = (aux.h, aux.hc, aux.W, aux.naux, aux.rows)
+    return _aux_call(arrays, static, x2, interpret)

@@ -99,7 +99,7 @@ NC_SEG = 24000
 class Spmv2uPlan:
     n_pad: int
     n_send_pad: int
-    h: int
+    h: int                # EXTENDED operand rows (h_src + aux.hc)
     wr: int
     nb: int
     nc: int
@@ -116,6 +116,8 @@ class Spmv2uPlan:
     got_static: Any
     eidx: Any = None      # host i32[nc,rows,128] slot -> edge index
     splits: tuple = ()    # ((c0, b0), ...) grid segments (SMEM budget)
+    aux: Any = None       # CompactAux: hypersparse compaction (pallas_compact)
+    h_src: int = 0        # source operand rows (= h when aux is None)
 
 
 def _compute_splits(blkid_np, nb, nc_seg=NC_SEG):
@@ -304,11 +306,21 @@ def build_spmv2u_plan(senders0: np.ndarray, receivers0: np.ndarray,
                       wr: int = 4096, hub: int = 2048,
                       windows=(160, 256, 1024, 2048),
                       cell_min: int = 4000, rows: int = 128,
-                      rowmode_min: int = ROWMODE_MIN_U) -> Spmv2uPlan:
-    """Pack a 0-based COO edge list into the v2u routed/out-gather layout."""
+                      rowmode_min: int = ROWMODE_MIN_U,
+                      compact: Any = "auto",
+                      compact_kw: dict | None = None) -> Spmv2uPlan:
+    """Pack a 0-based COO edge list into the v2u routed/out-gather layout.
+
+    ``compact``: hypersparse operand compaction (the DCSC analog,
+    ``ops/pallas_compact.py``) — ``"auto"`` enables it beyond
+    ``H_COMPACT_MIN`` source rows (overridable via ``GRAPHMAT_COMPACT``
+    =0/1), ``True``/``False`` force.  Diverted straggler edges gather
+    from per-super-block compacted operand rows appended after the real
+    operand; the kernel itself is unchanged."""
     if n_recv is None:
         n_recv = n
     h = max(_round_up(_round_up(n, LANE) // LANE, LANE), LANE)
+    h_src = h
     n_send_pad = h * LANE
     n_pad = max(_round_up(n_recv, wr), wr)
     nb = n_pad // wr
@@ -321,6 +333,20 @@ def build_spmv2u_plan(senders0: np.ndarray, receivers0: np.ndarray,
     r = np.asarray(receivers0, np.int64)
     v = np.asarray(vals, np.float32)
     hub = int(min(hub, 16 * LANE))
+
+    from .pallas_compact import H_COMPACT_MIN, divert_stragglers
+    import os
+    env_c = os.environ.get("GRAPHMAT_COMPACT")
+    if env_c is not None:
+        compact = env_c not in ("0", "")
+    if compact == "auto":
+        compact = h_src >= H_COMPACT_MIN
+    aux = None
+    if compact and e > 0:
+        ckw = dict(compact_kw or {})
+        ckw.setdefault("w_aux", min(1024, h_src))
+        s, aux, h = divert_stragglers(s, r, n_pad, wr, h_src, hub,
+                                      rows=rows, **ckw)
     norm_windows = sorted({int(min(w, h)) for w in windows}) or [min(2048, h)]
     assert max(norm_windows) <= 2048
 
@@ -329,7 +355,8 @@ def build_spmv2u_plan(senders0: np.ndarray, receivers0: np.ndarray,
     if (lib is not None and e > 0 and hasattr(lib, "gm_plan2u_create")):
         return _build_plan2u_native(
             lib, s, r, v, e, h, wr, nb, hub, norm_windows, cell_min,
-            n_pad, n_send_pad, receivers0, rows, rowmode_min)
+            n_pad, n_send_pad, receivers0, rows, rowmode_min,
+            aux=aux, h_src=h_src)
 
     rblk = r // wr
     kind, cellk, basew, gidx = _classify(s, r, rblk, h, nb, wr, hub,
@@ -404,12 +431,13 @@ def build_spmv2u_plan(senders0: np.ndarray, receivers0: np.ndarray,
         po=chunks_po,
         val=chunks_val,
         got_static=jnp.asarray(got),
-        eidx=chunks_idx)))
+        eidx=chunks_idx,
+        aux=aux, h_src=h_src)))
 
 
 def _build_plan2u_native(lib, s, r, v, e, h, wr, nb, hub, windows,
                          cell_min, n_pad, n_send_pad, receivers0,
-                         rows, rowmode_min):
+                         rows, rowmode_min, aux=None, h_src=None):
     """C++/OpenMP v2u plan build (graphmat_tpu/native/planner.cpp)."""
     import ctypes
 
@@ -444,7 +472,8 @@ def _build_plan2u_native(lib, s, r, v, e, h, wr, nb, hub, windows,
         classes=tuple(int(w) for w in windows), rows=rows,
         splits=_compute_splits(blkid, nb),
         kb=kb, blkid=blkid, pk=pk, po=po, val=val,
-        got_static=jnp.asarray(got), eidx=eidx)))
+        got_static=jnp.asarray(got), eidx=eidx,
+        aux=aux, h_src=(h_src if h_src is not None else h))))
 
 
 def _maybe_validate_u(plan):
@@ -716,15 +745,31 @@ def _spmv2u_call(plan_arrays, plan_static, x, reduce_kind, process,
                  want_got=False):
     h, wr, nb, nc, n_pad, classes, rows = plan_static[:7]
     splits = plan_static[7] if len(plan_static) > 7 else ()
-    kb, blkid, pk, po, val = plan_arrays
+    h_src = plan_static[8] if len(plan_static) > 8 else h
+    aux_static = plan_static[9] if len(plan_static) > 9 else None
+    kb, blkid, pk, po, val = plan_arrays[:5]
     use_val = val is not None
     G = wr // LANE
     GA = 2 * G if want_got else G
     S = max(rows // SUBR, 1)
-    x2 = x.reshape(h, LANE)
+    x2 = x.reshape(h_src, LANE)
+    if aux_static is not None:
+        # hypersparse compaction: materialize the virtual compact rows
+        # (one cheap gather pass per super-block) and extend the operand
+        from .pallas_compact import _aux_call
+        xc = _aux_call(plan_arrays[5:7], aux_static, x2, interpret)
+        x2 = jnp.concatenate([x2, xc], axis=0)
     sparse = sent is not None
-    if sparse and sent.shape[0] < h * LANE:
-        sent = jnp.pad(sent, (0, h * LANE - sent.shape[0]))
+    if sparse:
+        if sent.shape[0] < h_src * LANE:
+            sent = jnp.pad(sent, (0, h_src * LANE - sent.shape[0]))
+        if h > h_src:
+            # virtual rows are conservatively ALWAYS active: inactive
+            # senders' values were already masked to the ⊕-identity
+            # upstream, so only chunk skipping is foregone
+            sent = jnp.concatenate(
+                [sent[: h_src * LANE],
+                 jnp.ones((h - h_src) * LANE, sent.dtype)])
 
     if x2_hbm is None:
         x2_hbm = h > VMEM_X2_MAX_ROWS and not interpret
@@ -816,6 +861,27 @@ def refresh_plan2u_vals(plan, new_vals) -> bool:
     return True
 
 
+def plan_call_args(plan: Spmv2uPlan, use_val: bool = True):
+    """(plan_arrays, plan_static) for :func:`_spmv2u_call`, including the
+    compaction aux arrays when the plan carries them."""
+    aux = plan.aux
+    h_src = plan.h_src or plan.h
+    if aux is not None:
+        if not isinstance(aux.kb, jnp.ndarray):   # one-time device upload
+            aux.kb = jnp.asarray(aux.kb)
+            aux.pk = jnp.asarray(aux.pk)
+        arrays = (plan.kb, plan.blkid, plan.pk, plan.po,
+                  plan.val if use_val else None, aux.kb, aux.pk)
+        aux_static = (aux.h, aux.hc, aux.W, aux.naux, aux.rows)
+    else:
+        arrays = (plan.kb, plan.blkid, plan.pk, plan.po,
+                  plan.val if use_val else None)
+        aux_static = None
+    static = (plan.h, plan.wr, plan.nb, plan.nc, plan.n_pad,
+              plan.classes, plan.rows, plan.splits, h_src, aux_static)
+    return arrays, static
+
+
 def spmv2u(plan: Spmv2uPlan, x, reduce_kind: str = "sum",
            process: Optional[Callable] = None, interpret: bool = False,
            sent=None, with_got: bool = False):
@@ -832,9 +898,7 @@ def spmv2u(plan: Spmv2uPlan, x, reduce_kind: str = "sum",
     if x.shape[0] < plan.n_send_pad:
         x = jnp.pad(x, (0, plan.n_send_pad - x.shape[0]))
     x = x[: plan.n_send_pad].astype(jnp.float32)
-    plan_arrays = (plan.kb, plan.blkid, plan.pk, plan.po, plan.val)
-    plan_static = (plan.h, plan.wr, plan.nb, plan.nc, plan.n_pad,
-                   plan.classes, plan.rows, plan.splits)
+    plan_arrays, plan_static = plan_call_args(plan)
     if with_got:
         assert reduce_kind == "sum", "with_got rides the sum layout"
         assert sent is not None, "with_got requires the sent mask"

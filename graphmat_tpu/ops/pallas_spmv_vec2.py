@@ -370,7 +370,11 @@ def _split_bf16(x, n_splits):
 
 def _make_vec2_kernel(process: Callable, wr: int, wy: int, rows: int,
                       classes, n_splits: int, has_extra: bool,
-                      interpret: bool = False, c0: int = 0):
+                      interpret: bool = False, c0: int = 0,
+                      debug: str | None = None):
+    """``debug`` (ablation knobs, perf decomposition only — results are
+    wrong): 'nogather' skips the sender window walk, 'novp' skips the
+    receiver-vector gather, 'noscatter' skips the scatter matmul."""
     ntiles = rows // 8
     wmax = max(classes)
 
@@ -442,9 +446,12 @@ def _make_vec2_kernel(process: Callable, wr: int, wy: int, rows: int,
                 return tuple(xvs)
             return inner
 
-        branches = [sender_branch(W) for W in classes]
-        xvs = list(jax.lax.switch(kind_ref[i], branches))
-        xv = jnp.concatenate(xvs, axis=0)              # [rows, 128]
+        if debug == "nogather":
+            xv = jnp.full((rows, LANE), 1.0, jnp.float32)
+        else:
+            branches = [sender_branch(W) for W in classes]
+            xvs = list(jax.lax.switch(kind_ref[i], branches))
+            xv = jnp.concatenate(xvs, axis=0)          # [rows, 128]
 
         # ---- receiver-vector gather: per-chunk WYK-row window ----
         rb = pl.multiple_of(rbase_ref[i], 8)
@@ -462,16 +469,19 @@ def _make_vec2_kernel(process: Callable, wr: int, wy: int, rows: int,
         # rcf is block-local; rb is a global VP row base
         blk_rb = rb - jnp.int32(blk_ref[i]) * (wr // 4)
         idxv = (rcf >> 2) - blk_rb                      # [rows,128]
-        vpr_tiles = []
-        for t in range(ntiles):
-            iv = idxv[8 * t: 8 * t + 8, :]
-            q = jnp.zeros((8, LANE), jnp.float32)
-            for g in range(wy // 8):
-                got = jnp.take_along_axis(vscr_ref[8 * g: 8 * g + 8, :],
-                                          iv & 7, axis=0)
-                q = jnp.where((iv >> 3) == g, got, q)
-            vpr_tiles.append(q)
-        vpr = jnp.concatenate(vpr_tiles, axis=0)        # [rows, 128]
+        if debug == "novp":
+            vpr = jnp.full((rows, LANE), 1.0, jnp.float32)
+        else:
+            vpr_tiles = []
+            for t in range(ntiles):
+                iv = idxv[8 * t: 8 * t + 8, :]
+                q = jnp.zeros((8, LANE), jnp.float32)
+                for g in range(wy // 8):
+                    got = jnp.take_along_axis(
+                        vscr_ref[8 * g: 8 * g + 8, :], iv & 7, axis=0)
+                    q = jnp.where((iv >> 3) == g, got, q)
+                vpr_tiles.append(q)
+            vpr = jnp.concatenate(vpr_tiles, axis=0)    # [rows, 128]
 
         # ---- process (per 32-lane edge blocks) ----
         rid = jnp.int32(blk_ref[i]) * wr + rcf          # global receiver id
@@ -503,22 +513,28 @@ def _make_vec2_kernel(process: Callable, wr: int, wy: int, rows: int,
         # Rows of P are grouped by lane-block; block b's copy keeps only
         # its own 32 lanes, so oh_all @ P sums each block's edges into its
         # own lane range in one [WYK, 4*rows] x [4*rows, 128] contraction.
-        lane_blk = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE),
-                                            1) // KPAD
-        p_blocks = [jnp.where(lane_blk == b, p, 0.0) for b in range(SLOTS)]
-        P = jnp.concatenate(p_blocks, axis=0)            # [4*rows, 128]
-        rcw_flat = rcwt_ref[0, pl.ds(gc % 8, 1), 0:SLOTS * rows]
-        iota_wy = jax.lax.broadcasted_iota(jnp.int32, (wy, SLOTS * rows),
-                                           0)
-        oh_all = (iota_wy == rcw_flat).astype(jnp.bfloat16)
-        contrib = None
-        for part in _split_bf16(P, n_splits):
-            t = jax.lax.dot_general(oh_all, part, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            contrib = t if contrib is None else contrib + t
-        # accumulate into the block accumulator at the receiver window
-        cur = acc_ref[pl.ds(blk_rb, wy), :]
-        acc_ref[pl.ds(blk_rb, wy), :] = cur + contrib
+        if debug == "noscatter":
+            cur = acc_ref[pl.ds(blk_rb, wy), :]
+            acc_ref[pl.ds(blk_rb, wy), :] = cur + p[0:wy, :]
+        else:
+            lane_blk = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE),
+                                                1) // KPAD
+            p_blocks = [jnp.where(lane_blk == b, p, 0.0)
+                        for b in range(SLOTS)]
+            P = jnp.concatenate(p_blocks, axis=0)        # [4*rows, 128]
+            rcw_flat = rcwt_ref[0, pl.ds(gc % 8, 1), 0:SLOTS * rows]
+            iota_wy = jax.lax.broadcasted_iota(jnp.int32,
+                                               (wy, SLOTS * rows), 0)
+            oh_all = (iota_wy == rcw_flat).astype(jnp.bfloat16)
+            contrib = None
+            for part in _split_bf16(P, n_splits):
+                t = jax.lax.dot_general(oh_all, part,
+                                        (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                contrib = t if contrib is None else contrib + t
+            # accumulate into the block accumulator at the receiver window
+            cur = acc_ref[pl.ds(blk_rb, wy), :]
+            acc_ref[pl.ds(blk_rb, wy), :] = cur + contrib
 
         # flush only on the block's last chunk (blkid nondecreasing; an
         # unconditional copy is 512 KB per chunk — measured +13% kernel
@@ -536,9 +552,9 @@ def _make_vec2_kernel(process: Callable, wr: int, wy: int, rows: int,
 
 @functools.partial(jax.jit, static_argnames=("plan_static", "process",
                                               "n_splits", "interpret",
-                                              "has_extra"))
+                                              "has_extra", "debug"))
 def _spmv_vec2_call(plan_arrays, plan_static, x, vp, extra, process,
-                    n_splits, interpret, has_extra):
+                    n_splits, interpret, has_extra, debug=None):
     if len(plan_static) > 9:
         segs = plan_static[9]
         base_static = plan_static[:9]
@@ -553,23 +569,24 @@ def _spmv_vec2_call(plan_arrays, plan_static, x, vp, extra, process,
                               (b1 - b0) * wr, rows, wy, classes)
                 outs.append(_spmv_vec2_seg(sub, seg_static, x, vp, extra,
                                            process, n_splits, interpret,
-                                           has_extra, b0, c0))
+                                           has_extra, b0, c0, debug))
             y = jnp.concatenate(outs, axis=0)
             return y[: n_pad]
         plan_static = base_static
     return _spmv_vec2_seg(plan_arrays, plan_static, x, vp, extra, process,
-                          n_splits, interpret, has_extra, 0, 0)
+                          n_splits, interpret, has_extra, 0, 0, debug)
 
 
 def _spmv_vec2_seg(plan_arrays, plan_static, x, vp, extra, process,
-                   n_splits, interpret, has_extra, b0=0, c0=0):
+                   n_splits, interpret, has_extra, b0=0, c0=0,
+                   debug=None):
     hs, hr, wr, nb, nc, n_pad, rows, wy, classes = plan_static
     kindid, blkid, sbase, rbase, pk, valp, rcwt = plan_arrays
     x4 = x.reshape(hs, LANE)
     vp4 = vp.reshape(hr, LANE)
 
     kernel = _make_vec2_kernel(process, wr, wy, rows, classes, n_splits,
-                               has_extra, interpret, c0)
+                               has_extra, interpret, c0, debug)
     wmax = max(classes)
     pk_spec = pl.BlockSpec((1, rows, LANE),
                            lambda i, *_: ((c0 + i) // 32, 0, 0),

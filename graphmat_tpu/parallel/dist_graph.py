@@ -380,7 +380,11 @@ class DistGraph:
             raise ValueError(f"no host tiles for receiver={receiver}")
         from ..ops.pallas_spmv2u import build_spmv2u_plan
         R, C, S = self.R, self.C, self.S
-        plans = [build_spmv2u_plan(s, r, v, R * S, wr=wr, n_recv=C * S)
+        # compact=False: each tile holds ~1/(R*C) of the edges (below the
+        # hypersparse-compaction payoff) and pad_stack cannot stack
+        # per-tile aux plans
+        plans = [build_spmv2u_plan(s, r, v, R * S, wr=wr, n_recv=C * S,
+                                   compact=False)
                  for (s, r, v) in self._host_tiles[receiver]]
         # segmented plans store kb/pk/po/val as per-segment tuples, which
         # pad_stack below cannot stack — fail here with the real reason

@@ -72,41 +72,54 @@ def main():
 
     # plan arrays flow as jit ARGUMENTS — closure capture would inline
     # them as constants (hundreds of MB at MovieLens-25M scale)
-    @jax.jit
-    def chain(arrays, lv):
-        def pad32(a, target_rows):
-            a = jnp.pad(a, ((0, target_rows - a.shape[0]), (0, KPAD - K)))
-            return a.reshape(-1)
+    def make_chain(debug):
+        @jax.jit
+        def chain(arrays, lv):
+            def pad32(a, target_rows):
+                a = jnp.pad(a, ((0, target_rows - a.shape[0]),
+                                (0, KPAD - K)))
+                return a.reshape(-1)
 
-        def one_iter(lv, _):
-            total = jnp.zeros((npad0, KPAD), jnp.float32)
-            for arr, static, spad in zip(arrays, statics, spads):
-                xw = pad32(lv, spad)
-                vw = pad32(lv, static[5])
-                y = _spmv_vec2_call(arr, static, xw, vw, None, proc,
-                                    2, False, False)
-                total = total + y[: npad0]
-            new_lv = lv + 3.5e-7 * (-0.001 * lv
-                                    + total[: lv.shape[0], :K])
-            return new_lv, 0.0
+            def one_iter(lv, _):
+                total = jnp.zeros((npad0, KPAD), jnp.float32)
+                for arr, static, spad in zip(arrays, statics, spads):
+                    xw = pad32(lv, spad)
+                    vw = pad32(lv, static[5])
+                    y = _spmv_vec2_call(arr, static, xw, vw, None, proc,
+                                        2, False, False, debug)
+                    total = total + y[: npad0]
+                new_lv = lv + 3.5e-7 * (-0.001 * lv
+                                        + total[: lv.shape[0], :K])
+                return new_lv, 0.0
 
-        out, _ = jax.lax.scan(one_iter, lv, None, length=reps)
-        return out
+            out, _ = jax.lax.scan(one_iter, lv, None, length=reps)
+            return out
+        return chain
 
-    r = chain(arrays0, lv)
-    float(r[0, 0])  # compile + warm
-    best = np.inf
-    for trial in range(4):
-        t0 = time.perf_counter()
+    def timed_chain(debug):
+        chain = make_chain(debug)
         r = chain(arrays0, lv)
-        float(r[0, 0])
-        dt = (time.perf_counter() - t0) / reps
-        if trial:
-            best = min(best, dt)
-        print(f"kernel chain trial {trial}: {dt * 1e3:.2f} ms/iter",
-              flush=True)
+        float(r[0, 0])  # compile + warm
+        best = np.inf
+        for trial in range(4):
+            t0 = time.perf_counter()
+            r = chain(arrays0, lv)
+            float(r[0, 0])
+            dt = (time.perf_counter() - t0) / reps
+            if trial:
+                best = min(best, dt)
+            print(f"kernel chain [{debug or 'full'}] trial {trial}: "
+                  f"{dt * 1e3:.2f} ms/iter", flush=True)
+        return best
+
+    best = timed_chain(None)
     print(f"KERNEL: {best * 1e3:.2f} ms/iter = "
           f"{2 * e / best / 1e6:.1f}M edge-updates/s", flush=True)
+    if os.environ.get("SGD_DECOMPOSE"):
+        for dbg in ("nogather", "novp", "noscatter"):
+            b = timed_chain(dbg)
+            print(f"  {dbg}: {b * 1e3:.2f} ms/iter "
+                  f"-> phase ~{(best - b) * 1e3:.2f} ms", flush=True)
 
     # ---------------- engine end-to-end ----------------
     eng.run(iterations=2)   # compile + warm

