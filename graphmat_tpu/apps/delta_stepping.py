@@ -122,7 +122,11 @@ def run_delta_stepping_dist(edges: EdgeList, delta: int, source1: int,
     heavy = filter_edges(edges, lambda s, d, v: v > delta)
 
     g = DistGraph(light, mesh, build_in_edges=False, seg_align=seg_align)
-    g2 = DistGraph(heavy, mesh, build_in_edges=False, seg_align=seg_align)
+    # the heavy graph MUST share g's vertex permutation (auto-permute
+    # would derive a different one from its own degree distribution and
+    # silently misalign the shared vertex properties)
+    g2 = DistGraph(heavy, mesh, build_in_edges=False, seg_align=seg_align,
+                   permute=g.perm if g.perm is not None else False)
     g.init_vertexproperty(distance=np.int32(INF_DIST),
                           bucket=np.int32(INF_BUCKET))
     g2.share_vertex_property(g)

@@ -262,3 +262,28 @@ def test_dist_lda_permuted(mesh):
     assert g.perm is not None
     N, gN, ll = run_lda(g, ndoc, nterms, k=k, iterations=3)
     np.testing.assert_allclose(N, expect, rtol=2e-4, atol=2e-4)
+
+
+def test_dist_auto_permute_bounds_tile_skew(mesh):
+    """Power-law default (segment-strided degree permute): tile edge
+    counts stay within 2x the mean, so one hub tile no longer sets the
+    padded memory of all R*C tiles."""
+    from graphmat_tpu.utils.generators import rmat_edgelist
+    e = rmat_edgelist(11, 8, seed=3)
+    g = DistGraph(e, mesh)                     # permute="auto" default
+    assert g.perm is not None, "skewed RMAT should trigger the permute"
+    tiles = g._host_tiles["dst"]
+    cnt = np.array([len(s) for (s, r, v) in tiles], float)
+    assert cnt.max() <= 2.0 * cnt.mean(), (cnt.max(), cnt.mean())
+    # un-permuted natural layout violates the bound (the hazard exists)
+    g0 = DistGraph(e, mesh, permute=False)
+    cnt0 = np.array([len(s) for (s, r, v) in g0._host_tiles["dst"]],
+                    float)
+    assert cnt0.max() > 2.0 * cnt0.mean()
+    # results match the single-device engine through the permute
+    from graphmat_tpu import Graph
+    from graphmat_tpu.apps.pagerank import run_pagerank
+    pr_d, it_d = run_pagerank(g)
+    pr_s, it_s = run_pagerank(Graph(e))
+    np.testing.assert_allclose(np.asarray(pr_d), np.asarray(pr_s),
+                               rtol=2e-4, atol=2e-5)
