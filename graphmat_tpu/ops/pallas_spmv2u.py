@@ -579,16 +579,18 @@ def _make_kernel_u(reduce_kind: str, process: Callable, wr: int, h: int,
                     def inner():
                         base = pl.multiple_of(base_v, 8)
 
-                        @pl.when(jnp.logical_not(skip_load))
-                        def _():
-                            if x2_hbm:
-                                dma = pltpu.make_async_copy(
-                                    x2_ref.at[pl.ds(base, W), :],
-                                    wscr_ref.at[0:W, :], dma_sem[0])
-                                dma.start()
-                                dma.wait()
-                            else:
-                                wscr_ref[0:W, :] = x2_ref[pl.ds(base, W), :]
+                        if debug != "nodma":   # ablation: walk w/o loads
+                            @pl.when(jnp.logical_not(skip_load))
+                            def _():
+                                if x2_hbm:
+                                    dma = pltpu.make_async_copy(
+                                        x2_ref.at[pl.ds(base, W), :],
+                                        wscr_ref.at[0:W, :], dma_sem[0])
+                                    dma.start()
+                                    dma.wait()
+                                else:
+                                    wscr_ref[0:W, :] = \
+                                        x2_ref[pl.ds(base, W), :]
                         return gather_from(
                             lambda g: wscr_ref[8 * g: 8 * g + 8, :], W // 8)
                     return inner

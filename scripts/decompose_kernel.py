@@ -45,6 +45,32 @@ def main():
         arrays, static = plan_call_args(plan)
         kind = "sum" if mode == "usum" else "min"
 
+        # host-side plan composition: per-class sub counts, fresh-window
+        # DMA bytes, and granule-walk steps — identifies whether the
+        # gather phase is DMA- or walk-bound before touching the device
+        kb = (np.concatenate([np.asarray(k) for k in plan.kb])
+              if isinstance(plan.kb, tuple) else np.asarray(plan.kb))
+        kbu = kb.view(np.uint32)
+        kd = (kbu >> 24) & 15
+        same = (kbu & (1 << 22)) != 0
+        names = ["hub"] + [f"W{w}" for w in plan.classes]
+        wlens = [16] + list(plan.classes)
+        tot_dma = tot_steps = 0
+        for k, (nm, W) in enumerate(zip(names, wlens)):
+            m = kd == k
+            fresh = int((m & ~same).sum()) if k else 0
+            dma = fresh * W * 512
+            steps = int(m.sum()) * (W // 8)
+            tot_dma += dma
+            tot_steps += steps
+            print(f"  class {nm:>6}: subs={int(m.sum()):7d} "
+                  f"fresh_dma={fresh:7d} ({dma/1e9:6.2f} GB) "
+                  f"walk={steps/1e6:7.1f}M granule-steps", flush=True)
+        print(f"  TOTAL window DMA {tot_dma/1e9:.2f} GB/iter, "
+              f"walk {tot_steps/1e6:.1f}M granule-steps/iter", flush=True)
+        if os.environ.get("SWEEP_STATS_ONLY"):
+            return
+
         def timed(debug):
             @jax.jit
             def chain(arrays, x):
@@ -73,14 +99,14 @@ def main():
 
         full = timed(None)
         nog = timed("nogather")
-        nos = timed("noscatter")
+        nod = timed("nodma")
         print(f"full      {full*1e3:6.2f} ms/iter "
               f"({nnz/full/1e9:.2f} GTEPS)")
         print(f"nogather  {nog*1e3:6.2f} ms/iter  "
               f"-> gather ~{(full-nog)*1e3:.2f} ms")
-        print(f"noscatter {nos*1e3:6.2f} ms/iter  "
-              f"-> out-route ~{(full-nos)*1e3:.2f} ms")
-        print(f"residual (streams+fixed) ~{(nog+nos-full)*1e3:.2f} ms")
+        print(f"nodma     {nod*1e3:6.2f} ms/iter  "
+              f"-> window DMA ~{(full-nod)*1e3:.2f} ms, "
+              f"walk+route ~{(nod-nog)*1e3:.2f} ms")
         return
 
     if mode == "mm":

@@ -63,8 +63,11 @@ def main() -> int:
         g = DistGraph(e, mesh, permute="degree")
         g.init_vertexproperty(pagerank=np.float32(0.3), degree=np.int32(0))
         g.set_all_active()
-        DistEngine(DegreeProgram(), g).run(iterations=1)
-        eng = DistEngine(PageRankProgram(), g)
+        # use_pallas=True: force the shipping Pallas tile kernels even on
+        # CPU (interpret mode) so the measured dataflow is the production
+        # one — the default would drop to the XLA segment path off-TPU
+        DistEngine(DegreeProgram(), g, use_pallas=True).run(iterations=1)
+        eng = DistEngine(PageRankProgram(), g, use_pallas=True)
         eng.run(iterations=args.iters)  # warm-up/compile
         best = float("inf")
         for _ in range(3):
