@@ -85,10 +85,13 @@ ROWMODE_MIN_U = 129     # in-cell receiver degree that triggers row-mode
 OUT_K = 2               # slots per (row, out-lane)
 SUBR = 32               # rows per sub-window (fill granularity)
 # kb packed scalar: bits [0,22) base>>3; bit 22 same-window-as-pred;
-# bit 23 pred-is-in-previous-chunk; bits [24,28) kind
+# bit 23 pred-is-in-previous-chunk; bits [24,28) kind; bit 29
+# dense-pipeline freshness (sub must DMA its window — set when the
+# ping-pong buffer for its position parity doesn't already hold it)
 KB_SAME = 1 << 22
 KB_PREV = 1 << 23
 KB_KIND_SHIFT = 24
+KB_PIPE = 1 << 29
 # SMEM holds the scalar-prefetch arrays within a 1 MB budget; beyond
 # this many chunks the grid splits into multiple pallas_calls at block
 # boundaries (see _compute_splits)
@@ -151,7 +154,7 @@ def _apply_splits(plan):
     the host.  Per-segment blkid is stored already rebased to the
     segment's first block."""
     if len(plan.splits) <= 1:
-        plan.kb = jnp.asarray(plan.kb)
+        plan.kb = jnp.asarray(_add_pipeline_bits(plan.kb))
         plan.blkid = jnp.asarray(plan.blkid)
         plan.pk = jnp.asarray(plan.pk)
         plan.po = jnp.asarray(plan.po)
@@ -167,7 +170,9 @@ def _apply_splits(plan):
     pk = np.asarray(plan.pk)
     po = np.asarray(plan.po)
     val = np.asarray(plan.val)
-    plan.kb = tuple(jnp.asarray(kb[c0 * S:c1 * S])
+    # pipeline freshness per SEGMENT (each pallas_call starts with cold
+    # buffers)
+    plan.kb = tuple(jnp.asarray(_add_pipeline_bits(kb[c0 * S:c1 * S]))
                     for (c0, b0, c1) in bounds)
     plan.blkid = tuple(jnp.asarray(blk[c0:c1] - b0)
                        for (c0, b0, c1) in bounds)
@@ -175,6 +180,29 @@ def _apply_splits(plan):
     plan.po = tuple(jnp.asarray(po[c0:c1]) for (c0, b0, c1) in bounds)
     plan.val = tuple(jnp.asarray(val[c0:c1]) for (c0, b0, c1) in bounds)
     return plan
+
+
+def _add_pipeline_bits(kb_np: np.ndarray) -> np.ndarray:
+    """Set the KB_PIPE freshness bit for the dense double-buffered
+    window pipeline: window subs alternate two wscr buffers by POSITION
+    parity (static offsets), so a sub skips its DMA only when the
+    buffer for its parity already holds its window (hub subs are
+    transparent).  Measured motivation (PERF round 3): the synchronous
+    per-sub window DMA cost 21 of 45.8 ms at RMAT-23 — one-sub-ahead
+    issue overlaps it with the granule walk."""
+    kb = np.asarray(kb_np).view(np.uint32).copy()
+    last = [None, None]
+    for j in range(len(kb)):
+        w = int(kb[j])
+        kd = (w >> KB_KIND_SHIFT) & 15
+        if kd == KIND_HUB:
+            continue
+        key = (kd, w & ((1 << 22) - 1))
+        b = j & 1
+        if last[b] != key:
+            kb[j] = np.uint32(w | KB_PIPE)
+            last[b] = key
+    return kb.view(np.int32)
 
 
 def _pack_kb(subs, S):
@@ -488,12 +516,14 @@ def _maybe_validate_u(plan):
 
 def _make_kernel_u(reduce_kind: str, process: Callable, wr: int, h: int,
                    classes, debug=None, x2_hbm=False, rows=128,
-                   sparse=False, use_val=True, want_got=False):
+                   sparse=False, use_val=True, want_got=False,
+                   pipeline=False):
     G = wr // LANE
     wmax = max(classes)
     ntiles = rows // 8
     S = max(rows // SUBR, 1)
     stiles = ntiles // S          # tiles per sub-window
+    moff = 2 * wmax if pipeline else wmax   # hub-mirror scratch offset
     is_sum = reduce_kind == "sum"
     ident = np.float32(0.0 if is_sum
                        else (np.inf if reduce_kind == "min" else -np.inf))
@@ -539,7 +569,7 @@ def _make_kernel_u(reduce_kind: str, process: Callable, wr: int, h: int,
             @pl.when(i == 0)
             def _():
                 dma0 = pltpu.make_async_copy(
-                    x2_ref.at[0:16, :], wscr_ref.at[wmax:wmax + 16, :],
+                    x2_ref.at[0:16, :], wscr_ref.at[moff:moff + 16, :],
                     dma_sem[0])
                 dma0.start()
                 dma0.wait()
@@ -556,7 +586,7 @@ def _make_kernel_u(reduce_kind: str, process: Callable, wr: int, h: int,
             subs = [ix & 7 for ix in hi2s]
             gsels = [ix >> 3 for ix in hi2s]
 
-            def gather_sub(tsel, kind_v, base_v, skip_load):
+            def gather_sub(tsel, kind_v, base_v, skip_load, boff=None):
                 def gather_from(tbl_for_g, ngran):
                     xvs = [jnp.zeros((8, LANE), jnp.float32)
                            for _ in tsel]
@@ -570,8 +600,8 @@ def _make_kernel_u(reduce_kind: str, process: Callable, wr: int, h: int,
                 def hub_branch():
                     def tbl(g):
                         if x2_hbm:
-                            return wscr_ref[wmax + 8 * g:
-                                            wmax + 8 * g + 8, :]
+                            return wscr_ref[moff + 8 * g:
+                                            moff + 8 * g + 8, :]
                         return x2_ref[8 * g: 8 * g + 8, :]
                     return gather_from(tbl, HUB_GRANULES2)
 
@@ -579,6 +609,13 @@ def _make_kernel_u(reduce_kind: str, process: Callable, wr: int, h: int,
                     def inner():
                         base = pl.multiple_of(base_v, 8)
 
+                        if boff is not None:
+                            # pipeline mode: window already DMA'd into
+                            # the ping-pong buffer at static boff
+                            return gather_from(
+                                lambda g: wscr_ref[boff + 8 * g:
+                                                   boff + 8 * g + 8, :],
+                                W // 8)
                         if debug != "nodma":   # ablation: walk w/o loads
                             @pl.when(jnp.logical_not(skip_load))
                             def _():
@@ -599,9 +636,73 @@ def _make_kernel_u(reduce_kind: str, process: Callable, wr: int, h: int,
                                            for W in classes]
                 return list(jax.lax.switch(kind_v, branches))
 
+            def win_dma_op(kind_t, base_t, boff_t, sem, pred, start):
+                """Issue (or wait) the window DMA for a sub with traced
+                class ``kind_t`` into the static-offset ping-pong
+                buffer.  Issue and wait sites build identical copy
+                descriptors against the same semaphore."""
+                def noop():
+                    pass
+
+                def mk(W):
+                    def go():
+                        @pl.when(pred)
+                        def _():
+                            dma = pltpu.make_async_copy(
+                                x2_ref.at[pl.ds(
+                                    pl.multiple_of(base_t, 8), W), :],
+                                wscr_ref.at[pl.ds(boff_t, W), :], sem)
+                            if start:
+                                dma.start()
+                            else:
+                                dma.wait()
+                    return go
+                jax.lax.switch(kind_t, [noop] + [mk(W) for W in classes])
+
             if debug == "nogather":
                 xvs = [jnp.full((8, LANE), 1.0, jnp.float32)
                        for _ in range(ntiles)]
+            elif pipeline:
+                # dense double-buffered pipeline: window subs alternate
+                # two wscr buffers by position parity; each sub issues
+                # the NEXT sub's DMA before walking its own window, so
+                # the transfer overlaps the granule walk (PERF round 3:
+                # the synchronous DMA cost 21 of 45.8 ms at RMAT-23)
+                nsub_tot = pl.num_programs(0) * S
+                xvs = []
+                for sI in range(S):
+                    j = i * S + sI
+                    kbw = kb_ref[j]
+                    kind_v = (kbw >> KB_KIND_SHIFT) & 15
+                    base_v = (kbw & ((1 << 22) - 1)) << 3
+                    fresh = (kbw & KB_PIPE) != 0
+                    boff = (sI & 1) * wmax
+                    if sI == 0:
+                        # the grid's very first sub has no issuer
+                        win_dma_op(kind_v, base_v, boff, dma_sem[0],
+                                   jnp.logical_and(fresh, i == 0),
+                                   start=True)
+                    # one-ahead issue for the next sub
+                    if sI < S - 1:
+                        kbn = kb_ref[j + 1]
+                        predn = (kbn & KB_PIPE) != 0
+                    else:
+                        jn = jnp.minimum(j + 1, nsub_tot - 1)
+                        kbn = kb_ref[jn]
+                        predn = jnp.logical_and(
+                            (kbn & KB_PIPE) != 0,
+                            i < pl.num_programs(0) - 1)
+                    kindn = (kbn >> KB_KIND_SHIFT) & 15
+                    basen = (kbn & ((1 << 22) - 1)) << 3
+                    win_dma_op(kindn, basen, ((sI + 1) & 1) * wmax,
+                               dma_sem[(sI + 1) & 1], predn, start=True)
+                    win_dma_op(kind_v, base_v, boff, dma_sem[sI & 1],
+                               fresh, start=False)
+                    xvs += gather_sub(
+                        list(range(sI * stiles, (sI + 1) * stiles)),
+                        kind_v, base_v, jnp.bool_(True), boff=boff)
+                xvs = [jnp.take_along_axis(xvs[t], slos[t], axis=1)
+                       for t in range(ntiles)]
             else:
                 # per-sub window chain: the kb same/prev bits encode the
                 # plan-time chain (hub subs transparent); the cross-chunk
@@ -775,8 +876,14 @@ def _spmv2u_call(plan_arrays, plan_static, x, reduce_kind, process,
 
     if x2_hbm is None:
         x2_hbm = h > VMEM_X2_MAX_ROWS and not interpret
+    # dense double-buffered window pipeline: needs the HBM operand path,
+    # an even sub count (static ping-pong parity), and no sparse chunk
+    # skip (skipped chunks would break the one-ahead issue invariant)
+    pipeline = bool(x2_hbm and not sparse and rows // SUBR >= 2
+                    and (rows // SUBR) % 2 == 0 and debug is None)
     kernel = _make_kernel_u(reduce_kind, process, wr, h, classes, debug,
-                            x2_hbm, rows, sparse, use_val, want_got)
+                            x2_hbm, rows, sparse, use_val, want_got,
+                            pipeline=pipeline)
     wmax = max(classes) if classes else 8
     if sparse:
         nmap = lambda i, kbv, bk, a, eff_: (eff_[i], 0, 0)
@@ -788,11 +895,14 @@ def _spmv2u_call(plan_arrays, plan_static, x, reduce_kind, process,
                               memory_space=pltpu.VMEM)
     x2_spec = pl.BlockSpec(memory_space=(pltpu.ANY if x2_hbm
                                          else pltpu.VMEM))
+    wscr_rows = ((2 * wmax + 16) if pipeline
+                 else wmax + (16 if x2_hbm else 0))
     scratch = [pltpu.VMEM((GA, LANE), jnp.float32),
-               pltpu.VMEM((wmax + (16 if x2_hbm else 0), LANE),
-                          jnp.float32)]
+               pltpu.VMEM((wscr_rows, LANE), jnp.float32)]
     if x2_hbm:
         scratch.append(pltpu.SemaphoreType.DMA(()))
+        if pipeline:
+            scratch.append(pltpu.SemaphoreType.DMA(()))
 
     segs = splits if len(splits) > 1 else ((0, 0),)
     bounds = [(segs[k][0], segs[k][1],

@@ -404,3 +404,35 @@ def test_divert_stragglers_layout_invariants():
     lane = pk[pos] & 127
     src = (base[sub] + rel) * 128 + lane
     np.testing.assert_array_equal(src, s[div])
+
+
+@pytest.mark.parametrize("kind", ["sum", "min"])
+@pytest.mark.parametrize("compact", [False, True])
+def test_spmv2u_window_pipeline_matches_sync(kind, compact):
+    """Dense double-buffered window pipeline (x2_hbm + quad chunks):
+    must be bit-identical to the synchronous chain path."""
+    from graphmat_tpu.ops.pallas_spmv2u import (_identity_process,
+                                                _spmv2u_call,
+                                                plan_call_args)
+    n, e = 2500, 30000
+    s, r, v = _rand_graph(n, e, seed=31, skew=True)
+    kw = dict(wr=512, windows=(16, 64), cell_min=64, rows=128, hub=128)
+    if compact:
+        kw.update(compact=True,
+                  compact_kw=dict(divert_min=40, bpsb=2, w_div=64,
+                                  w_aux=16))
+    else:
+        kw.update(compact=False)
+    plan = build_spmv2u_plan(s, r, v, n, **kw)
+    assert compact == (plan.aux is not None)
+    arrays, static = plan_call_args(plan)
+    x = np.arange(n, dtype=np.float32) * 0.125 + 1.0
+    xp = np.zeros(plan.n_send_pad, np.float32)
+    xp[:n] = x
+    y_sync = np.asarray(_spmv2u_call(
+        arrays, static, jnp.asarray(xp), kind, _identity_process, True,
+        x2_hbm=False))
+    y_pipe = np.asarray(_spmv2u_call(
+        arrays, static, jnp.asarray(xp), kind, _identity_process, True,
+        x2_hbm=True))
+    np.testing.assert_array_equal(y_sync, y_pipe)
