@@ -154,7 +154,8 @@ def _apply_splits(plan):
     the host.  Per-segment blkid is stored already rebased to the
     segment's first block."""
     if len(plan.splits) <= 1:
-        plan.kb = jnp.asarray(_add_pipeline_bits(plan.kb))
+        plan.kb = jnp.asarray(_add_pipeline_bits(
+            plan.kb, max(plan.rows // SUBR, 1)))
         plan.blkid = jnp.asarray(plan.blkid)
         plan.pk = jnp.asarray(plan.pk)
         plan.po = jnp.asarray(plan.po)
@@ -172,7 +173,7 @@ def _apply_splits(plan):
     val = np.asarray(plan.val)
     # pipeline freshness per SEGMENT (each pallas_call starts with cold
     # buffers)
-    plan.kb = tuple(jnp.asarray(_add_pipeline_bits(kb[c0 * S:c1 * S]))
+    plan.kb = tuple(jnp.asarray(_add_pipeline_bits(kb[c0 * S:c1 * S], S))
                     for (c0, b0, c1) in bounds)
     plan.blkid = tuple(jnp.asarray(blk[c0:c1] - b0)
                        for (c0, b0, c1) in bounds)
@@ -182,23 +183,24 @@ def _apply_splits(plan):
     return plan
 
 
-def _add_pipeline_bits(kb_np: np.ndarray) -> np.ndarray:
-    """Set the KB_PIPE freshness bit for the dense double-buffered
-    window pipeline: window subs alternate two wscr buffers by POSITION
-    parity (static offsets), so a sub skips its DMA only when the
-    buffer for its parity already holds its window (hub subs are
+def _add_pipeline_bits(kb_np: np.ndarray, nbuf: int) -> np.ndarray:
+    """Set the KB_PIPE freshness bit for the dense pipelined window
+    loads: window subs rotate over ``nbuf`` wscr buffers by POSITION
+    (buffer = sub-in-chunk index, a static offset), so a sub skips its
+    DMA only when its buffer already holds its window (hub subs are
     transparent).  Measured motivation (PERF round 3): the synchronous
-    per-sub window DMA cost 21 of 45.8 ms at RMAT-23 — one-sub-ahead
-    issue overlaps it with the granule walk."""
+    per-sub window DMA cost 21 of 45.8 ms at RMAT-23; with nbuf buffers
+    the issue runs nbuf-1 subs ahead, keeping several transfers in
+    flight to saturate HBM bandwidth under the granule walk."""
     kb = np.asarray(kb_np).view(np.uint32).copy()
-    last = [None, None]
+    last = [None] * nbuf
     for j in range(len(kb)):
         w = int(kb[j])
         kd = (w >> KB_KIND_SHIFT) & 15
         if kd == KIND_HUB:
             continue
         key = (kd, w & ((1 << 22) - 1))
-        b = j & 1
+        b = j % nbuf
         if last[b] != key:
             kb[j] = np.uint32(w | KB_PIPE)
             last[b] = key
@@ -523,7 +525,7 @@ def _make_kernel_u(reduce_kind: str, process: Callable, wr: int, h: int,
     ntiles = rows // 8
     S = max(rows // SUBR, 1)
     stiles = ntiles // S          # tiles per sub-window
-    moff = 2 * wmax if pipeline else wmax   # hub-mirror scratch offset
+    moff = S * wmax if pipeline else wmax   # hub-mirror scratch offset
     is_sum = reduce_kind == "sum"
     ident = np.float32(0.0 if is_sum
                        else (np.inf if reduce_kind == "min" else -np.inf))
@@ -663,11 +665,14 @@ def _make_kernel_u(reduce_kind: str, process: Callable, wr: int, h: int,
                 xvs = [jnp.full((8, LANE), 1.0, jnp.float32)
                        for _ in range(ntiles)]
             elif pipeline:
-                # dense double-buffered pipeline: window subs alternate
-                # two wscr buffers by position parity; each sub issues
-                # the NEXT sub's DMA before walking its own window, so
-                # the transfer overlaps the granule walk (PERF round 3:
-                # the synchronous DMA cost 21 of 45.8 ms at RMAT-23)
+                # dense pipelined window loads: S wscr buffers, buffer =
+                # sub position (static offset); each sub issues the DMA
+                # for the sub S-1 ahead, keeping up to S-1 transfers in
+                # flight so HBM bandwidth saturates under the granule
+                # walk (PERF round 3: the synchronous DMA cost 21 of
+                # 45.8 ms at RMAT-23; one-ahead recovered only ~3 ms —
+                # per-sub walks are shorter than a 1 MB transfer)
+                L = S - 1
                 nsub_tot = pl.num_programs(0) * S
                 xvs = []
                 for sI in range(S):
@@ -676,27 +681,30 @@ def _make_kernel_u(reduce_kind: str, process: Callable, wr: int, h: int,
                     kind_v = (kbw >> KB_KIND_SHIFT) & 15
                     base_v = (kbw & ((1 << 22) - 1)) << 3
                     fresh = (kbw & KB_PIPE) != 0
-                    boff = (sI & 1) * wmax
-                    if sI == 0:
-                        # the grid's very first sub has no issuer
-                        win_dma_op(kind_v, base_v, boff, dma_sem[0],
+                    boff = sI * wmax
+                    if sI < L:
+                        # the grid's first L subs have no issuer
+                        win_dma_op(kind_v, base_v, boff, dma_sem[sI],
                                    jnp.logical_and(fresh, i == 0),
                                    start=True)
-                    # one-ahead issue for the next sub
-                    if sI < S - 1:
-                        kbn = kb_ref[j + 1]
+                    # issue the sub L ahead (same chunk when sI == 0,
+                    # else chunk i+1); its buffer's previous reader was
+                    # sub j-1, already walked
+                    sT = (sI + L) % S
+                    if sI == 0 and L < S:
+                        kbn = kb_ref[j + L]
                         predn = (kbn & KB_PIPE) != 0
                     else:
-                        jn = jnp.minimum(j + 1, nsub_tot - 1)
+                        jn = jnp.minimum(j + L, nsub_tot - 1)
                         kbn = kb_ref[jn]
                         predn = jnp.logical_and(
                             (kbn & KB_PIPE) != 0,
                             i < pl.num_programs(0) - 1)
                     kindn = (kbn >> KB_KIND_SHIFT) & 15
                     basen = (kbn & ((1 << 22) - 1)) << 3
-                    win_dma_op(kindn, basen, ((sI + 1) & 1) * wmax,
-                               dma_sem[(sI + 1) & 1], predn, start=True)
-                    win_dma_op(kind_v, base_v, boff, dma_sem[sI & 1],
+                    win_dma_op(kindn, basen, sT * wmax, dma_sem[sT],
+                               predn, start=True)
+                    win_dma_op(kind_v, base_v, boff, dma_sem[sI],
                                fresh, start=False)
                     xvs += gather_sub(
                         list(range(sI * stiles, (sI + 1) * stiles)),
@@ -895,13 +903,14 @@ def _spmv2u_call(plan_arrays, plan_static, x, reduce_kind, process,
                               memory_space=pltpu.VMEM)
     x2_spec = pl.BlockSpec(memory_space=(pltpu.ANY if x2_hbm
                                          else pltpu.VMEM))
-    wscr_rows = ((2 * wmax + 16) if pipeline
+    nbuf = S if pipeline else 0
+    wscr_rows = ((nbuf * wmax + 16) if pipeline
                  else wmax + (16 if x2_hbm else 0))
     scratch = [pltpu.VMEM((GA, LANE), jnp.float32),
                pltpu.VMEM((wscr_rows, LANE), jnp.float32)]
     if x2_hbm:
         scratch.append(pltpu.SemaphoreType.DMA(()))
-        if pipeline:
+        for _ in range(max(nbuf - 1, 0)):
             scratch.append(pltpu.SemaphoreType.DMA(()))
 
     segs = splits if len(splits) > 1 else ((0, 0),)
