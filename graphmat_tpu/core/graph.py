@@ -366,7 +366,11 @@ class Graph:
                         f"GRAPHMAT_WR={wr!r} invalid: must be a positive "
                         f"multiple of 128 and <= {(1 << RCF_BITS) - 1}")
             else:
-                wr = 8192 if self.n_pad > (1 << 23) else 4096
+                # >= 2^23 receivers: halving nb halves BOTH hypersparse
+                # re-read terms (aux operand passes AND per-block compact
+                # re-reads) — measured at RMAT-23: 42.7 -> 26.2 ms/iter
+                # with compaction + the pipelined loads (PERF round 3)
+                wr = 8192 if self.n_pad >= (1 << 23) else 4096
         key = ("v2u", receiver, wr)
         if key not in self._pallas_plans:
             if receiver not in self._host_edges:

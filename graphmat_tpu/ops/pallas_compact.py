@@ -57,7 +57,10 @@ DIVERT_MIN = 6000
 BPSB = 32
 W_DIV = 2048
 W_AUX = 1024
-H_COMPACT_MIN = 32768  # x2 rows below which compaction is off by default
+# x2 rows below which compaction is off by default: same-session A/B
+# showed a win already at RMAT-20 (8192 rows, VMEM operand): 2.54 ->
+# 2.44 ms/iter via slot fill 0.658 -> 0.680 (PERF round 3)
+H_COMPACT_MIN = 8192
 
 
 @dataclass
