@@ -51,6 +51,7 @@ KPAD = 32                # lanes per edge slot
 SLOTS = LANE // KPAD     # 4 edge slots per row
 NC_SEG_MAX = 50_000      # chunks per pallas call (1 MB SMEM prefetch cap)
 WYK = 32                 # per-chunk receiver-window rows (vp gather span)
+GC = 4                   # chunks per grid step (fixed-cost amortization)
 
 
 def _round_up(x, m):
@@ -236,15 +237,21 @@ def build_spmv_vec2_plan(senders0, receivers0, vals, n,
         np.stack([c["val"] for c in chunks]),
         np.stack([c["rcf"] for c in chunks]),
         np.stack([c["rcwt"][0] for c in chunks]), rows)
+    kindid_np = np.array([c["kind"] for c in chunks], np.int32)
+    sbase_np = np.array([c["sbase"] for c in chunks], np.int32)
+    rbase_np = np.array([c["rbase"] for c in chunks], np.int32)
+    (kindid_np, blkid_np, sbase_np, rbase_np, pk, valp, rcwt,
+     nc) = _align_chunk_groups(kindid_np, blkid_np, sbase_np, rbase_np,
+                               pk, valp, rcwt, nc, rows, wr)
     return _maybe_validate(SpmvVec2Plan(
         n_pad=n_pad, n_send_pad=n_send_pad, hs=hs, hr=hr, wr=wr, nb=nb,
         nc=nc, rows=rows, wy=WYK, nnz=e,
         fill=e / max(nc * rows * SLOTS, 1), classes=tuple(windows),
         segs=_segments(blkid_np, nb),
-        kindid=jnp.asarray(np.array([c["kind"] for c in chunks], np.int32)),
+        kindid=jnp.asarray(kindid_np),
         blkid=jnp.asarray(blkid_np),
-        sbase=jnp.asarray(np.array([c["sbase"] for c in chunks], np.int32)),
-        rbase=jnp.asarray(np.array([c["rbase"] for c in chunks], np.int32)),
+        sbase=jnp.asarray(sbase_np),
+        rbase=jnp.asarray(rbase_np),
         pk=jnp.asarray(pk), valp=jnp.asarray(valp),
         rcwt=jnp.asarray(rcwt),
         got_static=jnp.asarray(got)))
@@ -280,6 +287,9 @@ def _build_planv_native(lib, s, r, v, e, hs, hr, wr, nb, windows,
         lib.gm_planv_destroy(handle)
     got = np.zeros(n_pad, bool)
     got[np.unique(np.asarray(receivers0))] = True
+    (kindid, blkid, sbase, rbase, pk, valp, rcwt2,
+     nc) = _align_chunk_groups(kindid, blkid, sbase, rbase, pk, valp,
+                               rcwt2, nc, rows, wr)
     return _maybe_validate(SpmvVec2Plan(
         n_pad=n_pad, n_send_pad=n_send_pad, hs=hs, hr=hr, wr=wr, nb=nb,
         nc=nc, rows=rows, wy=WYK, nnz=e,
@@ -331,6 +341,71 @@ def _compact_planes(idxs, val, rcf, rcwt_row0, rows):
         rw = np.concatenate([rw, np.full((pad8, LANE), 127, np.int32)])
     rcwt = rw.reshape(nr8, 8, LANE).astype(np.int32)
     return pk, valp, rcwt
+
+
+def _align_chunk_groups(kindid, blkid, sbase, rbase, pk, valp, rcwt,
+                        nc, rows, wr):
+    """Insert inert pad chunks so every receiver block's chunk count is
+    a multiple of GC — the kernel then runs GC chunks per grid step
+    (one accumulator block per step), quartering the ~0.35 µs/chunk
+    fixed pipeline cost that dominates the vec2 residual (PERF round 3:
+    10.5 of 20.3 ms on the SGD 1M protocol at 29.8K chunks)."""
+    counts = np.bincount(blkid, minlength=int(blkid.max()) + 1 if nc
+                         else 1)
+    pads = (-counts) % GC
+    if nc % GC == 0 and pads.sum() == 0:
+        return kindid, blkid, sbase, rbase, pk, valp, rcwt, nc
+    # decode packed planes back to per-chunk narrow rows
+    ntile = pk.shape[0]
+    npk_n = (pk.reshape(ntile, rows, 32, SLOTS).transpose(0, 2, 1, 3)
+             .reshape(ntile * 32, rows, SLOTS))[:nc]
+    nval_n = (valp.reshape(ntile, rows, 32, SLOTS).transpose(0, 2, 1, 3)
+              .reshape(ntile * 32, rows, SLOTS))[:nc]
+    nr8 = rcwt.shape[0]
+    rw_n = rcwt.reshape(nr8 * 8, LANE)[:nc]
+
+    nc2 = int(nc + pads.sum())
+    starts_old = np.r_[0, np.cumsum(counts)]
+    starts_new = np.r_[0, np.cumsum(counts + pads)]
+    new_of_old = (np.arange(nc)
+                  + (starts_new[:-1] - starts_old[:-1])[blkid])
+    kind2 = np.zeros(nc2, np.int32)
+    blk2 = np.zeros(nc2, np.int32)
+    sb2 = np.zeros(nc2, np.int32)
+    rb2 = np.zeros(nc2, np.int32)
+    # pad defaults: block's own base window, smallest class, no slots
+    for b in np.flatnonzero(counts + pads):
+        blk2[starts_new[b]: starts_new[b + 1]] = b
+        rb2[starts_new[b]: starts_new[b + 1]] = b * (wr // 4)
+    kind2[new_of_old] = kindid
+    blk2[new_of_old] = blkid
+    sb2[new_of_old] = sbase
+    rb2[new_of_old] = rbase
+    pk2 = np.full((nc2, rows, SLOTS),
+                  np.int32(wr), np.int32)       # rcf = wr -> masked
+    val2 = np.zeros((nc2, rows, SLOTS), np.float32)
+    rw2 = np.full((nc2, LANE), 127, np.int32)
+    pk2[new_of_old] = npk_n
+    val2[new_of_old] = nval_n
+    rw2[new_of_old] = rw_n
+    # re-encode the packed tile layouts
+    npk2 = -(-nc2 // 32)
+    padt = npk2 * 32 - nc2
+    if padt:
+        pk2 = np.concatenate(
+            [pk2, np.zeros((padt, rows, SLOTS), np.int32)])
+        val2 = np.concatenate(
+            [val2, np.zeros((padt, rows, SLOTS), np.float32)])
+    pk2 = (pk2.reshape(npk2, 32, rows, SLOTS).transpose(0, 2, 1, 3)
+           .reshape(npk2, rows, LANE))
+    val2 = (val2.reshape(npk2, 32, rows, SLOTS).transpose(0, 2, 1, 3)
+            .reshape(npk2, rows, LANE))
+    nr82 = -(-nc2 // 8)
+    pad8 = nr82 * 8 - nc2
+    if pad8:
+        rw2 = np.concatenate([rw2, np.full((pad8, LANE), 127, np.int32)])
+    rcwt2 = rw2.reshape(nr82, 8, LANE)
+    return kind2, blk2, sb2, rb2, pk2, val2, rcwt2, nc2
 
 
 def _segments(blkid: np.ndarray, nb: int, nc_max: int | None = None):
@@ -386,106 +461,18 @@ def _make_vec2_kernel(process: Callable, wr: int, wy: int, rows: int,
         y_ref, acc_ref, wscr_ref, vscr_ref, dma_sem = (
             rest[0], rest[1], rest[2], rest[3], rest[4])
         i = pl.program_id(0)
+        # GC chunks per grid step, all in ONE receiver block (the plan
+        # pads each block's chunk count to a GC multiple), so the
+        # first/flush checks and accumulator handoff run once per step
+        jc0 = i * GC
         first = jnp.logical_or(
-            i == 0, blk_ref[i] != blk_ref[jnp.maximum(i - 1, 0)])
+            i == 0, blk_ref[jc0] != blk_ref[jnp.maximum(jc0 - 1, 0)])
 
         @pl.when(first)
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        # unpack the compact planes: 32 chunks per tile, lanes
-        # (chunk % 32) * 4 + slot-block; broadcast to 32-lane blocks
-        gc = c0 + i                       # global chunk id
-        off32 = (gc % 32) * SLOTS
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
-        bigidx = off32 + lane_i // KPAD   # [rows, 128]
-        pkb = jnp.take_along_axis(pk_ref[0], bigidx, axis=1)
-        idxs_full = pkb >> RCF_BITS
-        rcf = pkb & ((1 << RCF_BITS) - 1)
-        ev = jnp.take_along_axis(valp_ref[0], bigidx, axis=1)
-
-        idx_tiles = [idxs_full[8 * t: 8 * t + 8, :] for t in range(ntiles)]
-        subs = [(t >> 2) & 7 for t in idx_tiles]
-        # fused (granule, rotation) key: one compare per (g, c) pass
-        keys = [((t >> 5) << 2) | (t & 3) for t in idx_tiles]
-
-        # ---- sender gather: DMA window, then 4 rotated copies ----
-        prev = jnp.maximum(i - 1, 0)
-        same_win = jnp.logical_and(
-            i > 0, jnp.logical_and(kind_ref[i] == kind_ref[prev],
-                                   sbase_ref[i] == sbase_ref[prev]))
-
-        def sender_branch(W):
-            def inner():
-                sb = pl.multiple_of(sbase_ref[i], 8)
-
-                @pl.when(jnp.logical_not(same_win))
-                def _():
-                    if interpret:
-                        wscr_ref[0:W, :] = x4_ref[pl.ds(sb, W), :]
-                    else:
-                        dma = pltpu.make_async_copy(
-                            x4_ref.at[pl.ds(sb, W), :],
-                            wscr_ref.at[0:W, :], dma_sem)
-                        dma.start()
-                        dma.wait()
-                    cur = wscr_ref[0:W, :]
-                    for cidx in range(1, 4):
-                        cur = pltpu.roll(cur, KPAD, 1)
-                        wscr_ref[pl.ds(cidx * wmax, W), :] = cur
-                xvs = [jnp.zeros((8, LANE), jnp.float32)
-                       for _ in range(ntiles)]
-                for g in range(W // 8):
-                    for cidx in range(4):
-                        tbl = wscr_ref[cidx * wmax + 8 * g:
-                                       cidx * wmax + 8 * g + 8, :]
-                        kk = (g << 2) | cidx
-                        for t in range(ntiles):
-                            got = jnp.take_along_axis(tbl, subs[t], axis=0)
-                            xvs[t] = jnp.where(keys[t] == kk, got, xvs[t])
-                return tuple(xvs)
-            return inner
-
-        if debug == "nogather":
-            xv = jnp.full((rows, LANE), 1.0, jnp.float32)
-        else:
-            branches = [sender_branch(W) for W in classes]
-            xvs = list(jax.lax.switch(kind_ref[i], branches))
-            xv = jnp.concatenate(xvs, axis=0)          # [rows, 128]
-
-        # ---- receiver-vector gather: per-chunk WYK-row window ----
-        rb = pl.multiple_of(rbase_ref[i], 8)
-        same_vwin = jnp.logical_and(i > 0, rbase_ref[i] == rbase_ref[prev])
-
-        @pl.when(jnp.logical_not(same_vwin))
-        def _():
-            if interpret:
-                vscr_ref[:] = vp4_ref[pl.ds(rb, wy), :]
-            else:
-                dma_v = pltpu.make_async_copy(
-                    vp4_ref.at[pl.ds(rb, wy), :], vscr_ref, dma_sem)
-                dma_v.start()
-                dma_v.wait()
-        # rcf is block-local; rb is a global VP row base
-        blk_rb = rb - jnp.int32(blk_ref[i]) * (wr // 4)
-        idxv = (rcf >> 2) - blk_rb                      # [rows,128]
-        if debug == "novp":
-            vpr = jnp.full((rows, LANE), 1.0, jnp.float32)
-        else:
-            vpr_tiles = []
-            for t in range(ntiles):
-                iv = idxv[8 * t: 8 * t + 8, :]
-                q = jnp.zeros((8, LANE), jnp.float32)
-                for g in range(wy // 8):
-                    got = jnp.take_along_axis(
-                        vscr_ref[8 * g: 8 * g + 8, :], iv & 7, axis=0)
-                    q = jnp.where((iv >> 3) == g, got, q)
-                vpr_tiles.append(q)
-            vpr = jnp.concatenate(vpr_tiles, axis=0)    # [rows, 128]
-
-        # ---- process (per 32-lane edge blocks) ----
-        rid = jnp.int32(blk_ref[i]) * wr + rcf          # global receiver id
-
         ones_blk = (jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
                     // KPAD == jax.lax.broadcasted_iota(
                         jnp.int32, (LANE, LANE), 1) // KPAD
@@ -504,24 +491,118 @@ def _make_vec2_kernel(process: Callable, wr: int, wy: int, rows: int,
                 out = out + t[k * rows:(k + 1) * rows]
             return out
 
-        extra = extra_ref[0:1, :] if has_extra else None
-        p = process(xv, ev, vpr, extra, rid, block_sum)
-        p = p.astype(jnp.float32)
-        p = jnp.where(rcf < wr, p, 0.0)                 # mask pads
+        def one_chunk(k):
+            jc = jc0 + k                  # segment-local chunk id
+            gc = c0 + jc                  # global chunk id
+            # unpack the compact planes: 32 chunks per tile, lanes
+            # (chunk % 32) * 4 + slot-block; broadcast to 32-lane blocks
+            off32 = (gc % 32) * SLOTS
+            bigidx = off32 + lane_i // KPAD   # [rows, 128]
+            pkb = jnp.take_along_axis(pk_ref[0], bigidx, axis=1)
+            idxs_full = pkb >> RCF_BITS
+            rcf = pkb & ((1 << RCF_BITS) - 1)
+            ev = jnp.take_along_axis(valp_ref[0], bigidx, axis=1)
 
-        # ---- scatter: one batched matmul over a block-diagonal layout.
-        # Rows of P are grouped by lane-block; block b's copy keeps only
-        # its own 32 lanes, so oh_all @ P sums each block's edges into its
-        # own lane range in one [WYK, 4*rows] x [4*rows, 128] contraction.
-        if debug == "noscatter":
-            cur = acc_ref[pl.ds(blk_rb, wy), :]
-            acc_ref[pl.ds(blk_rb, wy), :] = cur + p[0:wy, :]
-        else:
-            lane_blk = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE),
-                                                1) // KPAD
+            idx_tiles = [idxs_full[8 * t: 8 * t + 8, :]
+                         for t in range(ntiles)]
+            subs = [(t >> 2) & 7 for t in idx_tiles]
+            # fused (granule, rotation) key: one compare per (g, c) pass
+            keys = [((t >> 5) << 2) | (t & 3) for t in idx_tiles]
+
+            # ---- sender gather: DMA window, then 4 rotated copies ----
+            prev = jnp.maximum(jc - 1, 0)
+            same_win = jnp.logical_and(
+                jc > 0, jnp.logical_and(kind_ref[jc] == kind_ref[prev],
+                                        sbase_ref[jc] == sbase_ref[prev]))
+
+            def sender_branch(W):
+                def inner():
+                    sb = pl.multiple_of(sbase_ref[jc], 8)
+
+                    @pl.when(jnp.logical_not(same_win))
+                    def _():
+                        if interpret:
+                            wscr_ref[0:W, :] = x4_ref[pl.ds(sb, W), :]
+                        else:
+                            dma = pltpu.make_async_copy(
+                                x4_ref.at[pl.ds(sb, W), :],
+                                wscr_ref.at[0:W, :], dma_sem)
+                            dma.start()
+                            dma.wait()
+                        cur = wscr_ref[0:W, :]
+                        for cidx in range(1, 4):
+                            cur = pltpu.roll(cur, KPAD, 1)
+                            wscr_ref[pl.ds(cidx * wmax, W), :] = cur
+                    xvs = [jnp.zeros((8, LANE), jnp.float32)
+                           for _ in range(ntiles)]
+                    for g in range(W // 8):
+                        for cidx in range(4):
+                            tbl = wscr_ref[cidx * wmax + 8 * g:
+                                           cidx * wmax + 8 * g + 8, :]
+                            kk = (g << 2) | cidx
+                            for t in range(ntiles):
+                                got = jnp.take_along_axis(tbl, subs[t],
+                                                          axis=0)
+                                xvs[t] = jnp.where(keys[t] == kk, got,
+                                                   xvs[t])
+                    return tuple(xvs)
+                return inner
+
+            if debug == "nogather":
+                xv = jnp.full((rows, LANE), 1.0, jnp.float32)
+            else:
+                branches = [sender_branch(W) for W in classes]
+                xvs = list(jax.lax.switch(kind_ref[jc], branches))
+                xv = jnp.concatenate(xvs, axis=0)      # [rows, 128]
+
+            # ---- receiver-vector gather: per-chunk WYK-row window ----
+            rb = pl.multiple_of(rbase_ref[jc], 8)
+            same_vwin = jnp.logical_and(
+                jc > 0, rbase_ref[jc] == rbase_ref[prev])
+
+            @pl.when(jnp.logical_not(same_vwin))
+            def _():
+                if interpret:
+                    vscr_ref[:] = vp4_ref[pl.ds(rb, wy), :]
+                else:
+                    dma_v = pltpu.make_async_copy(
+                        vp4_ref.at[pl.ds(rb, wy), :], vscr_ref, dma_sem)
+                    dma_v.start()
+                    dma_v.wait()
+            # rcf is block-local; rb is a global VP row base
+            blk_rb = rb - jnp.int32(blk_ref[jc]) * (wr // 4)
+            idxv = (rcf >> 2) - blk_rb                  # [rows,128]
+            if debug == "novp":
+                vpr = jnp.full((rows, LANE), 1.0, jnp.float32)
+            else:
+                vpr_tiles = []
+                for t in range(ntiles):
+                    iv = idxv[8 * t: 8 * t + 8, :]
+                    q = jnp.zeros((8, LANE), jnp.float32)
+                    for g in range(wy // 8):
+                        got = jnp.take_along_axis(
+                            vscr_ref[8 * g: 8 * g + 8, :], iv & 7, axis=0)
+                        q = jnp.where((iv >> 3) == g, got, q)
+                    vpr_tiles.append(q)
+                vpr = jnp.concatenate(vpr_tiles, axis=0)  # [rows, 128]
+
+            # ---- process (per 32-lane edge blocks) ----
+            rid = jnp.int32(blk_ref[jc]) * wr + rcf     # global recv id
+
+            extra = extra_ref[0:1, :] if has_extra else None
+            p = process(xv, ev, vpr, extra, rid, block_sum)
+            p = p.astype(jnp.float32)
+            p = jnp.where(rcf < wr, p, 0.0)             # mask pads
+
+            # ---- scatter: one batched matmul, block-diagonal layout
+            if debug == "noscatter":
+                cur = acc_ref[pl.ds(blk_rb, wy), :]
+                acc_ref[pl.ds(blk_rb, wy), :] = cur + p[0:wy, :]
+                return
+            lane_blk = lane_i // KPAD
             p_blocks = [jnp.where(lane_blk == b, p, 0.0)
                         for b in range(SLOTS)]
-            P = jnp.concatenate(p_blocks, axis=0)        # [4*rows, 128]
+            P = jnp.concatenate(p_blocks, axis=0)       # [4*rows, 128]
             rcw_flat = rcwt_ref[0, pl.ds(gc % 8, 1), 0:SLOTS * rows]
             iota_wy = jax.lax.broadcasted_iota(jnp.int32,
                                                (wy, SLOTS * rows), 0)
@@ -532,16 +613,19 @@ def _make_vec2_kernel(process: Callable, wr: int, wy: int, rows: int,
                                         (((1,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
                 contrib = t if contrib is None else contrib + t
-            # accumulate into the block accumulator at the receiver window
             cur = acc_ref[pl.ds(blk_rb, wy), :]
             acc_ref[pl.ds(blk_rb, wy), :] = cur + contrib
 
-        # flush only on the block's last chunk (blkid nondecreasing; an
+        for k in range(GC):
+            one_chunk(k)
+
+        # flush only on the block's last step (blkid nondecreasing; an
         # unconditional copy is 512 KB per chunk — measured +13% kernel
         # time on SGD-CF)
         npr = pl.num_programs(0)
-        nxt = jnp.minimum(i + 1, npr - 1)
-        last = jnp.logical_or(i == npr - 1, blk_ref[nxt] != blk_ref[i])
+        nxt = jnp.minimum(jc0 + GC, npr * GC - 1)
+        last = jnp.logical_or(i == npr - 1,
+                              blk_ref[nxt] != blk_ref[jc0])
 
         @pl.when(last)
         def _():
@@ -588,11 +672,15 @@ def _spmv_vec2_seg(plan_arrays, plan_static, x, vp, extra, process,
     kernel = _make_vec2_kernel(process, wr, wy, rows, classes, n_splits,
                                has_extra, interpret, c0, debug)
     wmax = max(classes)
+    assert nc % GC == 0 and c0 % GC == 0, \
+        "vec2 plans must be GC-aligned (see _align_chunk_groups)"
+    # a step's GC chunks share one pk tile (GC | 32) and one rcwt tile
+    # ((c0 + i*GC) % 8 in {0, 4})
     pk_spec = pl.BlockSpec((1, rows, LANE),
-                           lambda i, *_: ((c0 + i) // 32, 0, 0),
+                           lambda i, *_: ((c0 + i * GC) // 32, 0, 0),
                            memory_space=pltpu.VMEM)
     rcwt_spec = pl.BlockSpec((1, 8, LANE),
-                             lambda i, *_: ((c0 + i) // 8, 0, 0),
+                             lambda i, *_: ((c0 + i * GC) // 8, 0, 0),
                              memory_space=pltpu.VMEM)
     any_spec = pl.BlockSpec(memory_space=(pltpu.VMEM if interpret
                                           else pltpu.ANY))
@@ -603,11 +691,11 @@ def _spmv_vec2_seg(plan_arrays, plan_static, x, vp, extra, process,
         operands.append(extra.reshape(1, LANE))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(nc,),
+        grid=(nc // GC,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, wr // 4, LANE),
                                lambda i, kind, blk, sb, rb:
-                               (blk[i] - b0, 0, 0),
+                               (blk[i * GC] - b0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((wr // 4, LANE), jnp.float32),
                         pltpu.VMEM((4 * wmax, LANE), jnp.float32),
