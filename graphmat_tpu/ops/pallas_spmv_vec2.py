@@ -243,6 +243,7 @@ def build_spmv_vec2_plan(senders0, receivers0, vals, n,
     (kindid_np, blkid_np, sbase_np, rbase_np, pk, valp, rcwt,
      nc) = _align_chunk_groups(kindid_np, blkid_np, sbase_np, rbase_np,
                                pk, valp, rcwt, nc, rows, wr)
+    rcwt = _encode_range_scatter(rcwt, nc, rows)
     return _maybe_validate(SpmvVec2Plan(
         n_pad=n_pad, n_send_pad=n_send_pad, hs=hs, hr=hr, wr=wr, nb=nb,
         nc=nc, rows=rows, wy=WYK, nnz=e,
@@ -290,6 +291,7 @@ def _build_planv_native(lib, s, r, v, e, hs, hr, wr, nb, windows,
     (kindid, blkid, sbase, rbase, pk, valp, rcwt2,
      nc) = _align_chunk_groups(kindid, blkid, sbase, rbase, pk, valp,
                                rcwt2, nc, rows, wr)
+    rcwt2 = _encode_range_scatter(rcwt2, nc, rows)
     return _maybe_validate(SpmvVec2Plan(
         n_pad=n_pad, n_send_pad=n_send_pad, hs=hs, hr=hr, wr=wr, nb=nb,
         nc=nc, rows=rows, wy=WYK, nnz=e,
@@ -406,6 +408,33 @@ def _align_chunk_groups(kindid, blkid, sbase, rbase, pk, valp, rcwt,
         rw2 = np.concatenate([rw2, np.full((pad8, LANE), 127, np.int32)])
     rcwt2 = rw2.reshape(nr82, 8, LANE)
     return kind2, blk2, sb2, rb2, pk2, val2, rcwt2, nc2
+
+
+def _encode_range_scatter(rcwt, nc, rows):
+    """Re-encode the per-chunk receiver-row plane (lane ``b*rows + i``
+    -> wy row, 127 = empty) as per-(wy-row, block) SLOT-ROW RANGES
+    (lane ``b*32 + w`` -> ``lo | hi1 << 6``): within each lane-block
+    queue the walk appends receiver-sorted, so a receiver's slots are a
+    contiguous row run — the kernel then scatters with one sublane
+    prefix-sum and two takes instead of a bf16 one-hot matmul (exact
+    f32, and ~2.5 ms cheaper on the SGD 1M protocol)."""
+    assert rows == WYK == 32, "range scatter assumes rows == WYK == 32"
+    nr8 = rcwt.shape[0]
+    rcw_n = rcwt.reshape(nr8 * 8, LANE)[:nc]
+    seq = rcw_n.reshape(nc, SLOTS, rows)        # [nc, b, i] wy rows
+    w = np.arange(32, dtype=np.int32)
+    enc = np.empty((nc, SLOTS, 32), np.int32)
+    step = 4096                                 # bound temp memory
+    for c0_ in range(0, nc, step):
+        sl = seq[c0_: c0_ + step, :, :, None]
+        lo = (sl < w).sum(axis=2, dtype=np.int32)
+        hi1 = (sl <= w).sum(axis=2, dtype=np.int32)
+        enc[c0_: c0_ + step] = lo | (hi1 << 6)
+    rw2 = enc.reshape(nc, LANE)
+    pad8 = nr8 * 8 - nc
+    if pad8:
+        rw2 = np.concatenate([rw2, np.zeros((pad8, LANE), np.int32)])
+    return rw2.reshape(nr8, 8, LANE)
 
 
 def _segments(blkid: np.ndarray, nb: int, nc_max: int | None = None):
@@ -594,25 +623,36 @@ def _make_vec2_kernel(process: Callable, wr: int, wy: int, rows: int,
             p = p.astype(jnp.float32)
             p = jnp.where(rcf < wr, p, 0.0)             # mask pads
 
-            # ---- scatter: one batched matmul, block-diagonal layout
+            # ---- scatter: sublane prefix-sum + range takes.  Column
+            # lane of p already belongs to its slot-block, and each
+            # receiver's slots form a contiguous row run within the
+            # block queue (receiver-sorted walk) — so per (wy-row,
+            # block) the contribution is an EXACT f32 difference of two
+            # exclusive-prefix rows (replaces the bf16 one-hot matmul;
+            # same-session A/B on the SGD 1M protocol in PERF.md).
             if debug == "noscatter":
                 cur = acc_ref[pl.ds(blk_rb, wy), :]
                 acc_ref[pl.ds(blk_rb, wy), :] = cur + p[0:wy, :]
                 return
-            lane_blk = lane_i // KPAD
-            p_blocks = [jnp.where(lane_blk == b, p, 0.0)
-                        for b in range(SLOTS)]
-            P = jnp.concatenate(p_blocks, axis=0)       # [4*rows, 128]
-            rcw_flat = rcwt_ref[0, pl.ds(gc % 8, 1), 0:SLOTS * rows]
-            iota_wy = jax.lax.broadcasted_iota(jnp.int32,
-                                               (wy, SLOTS * rows), 0)
-            oh_all = (iota_wy == rcw_flat).astype(jnp.bfloat16)
-            contrib = None
-            for part in _split_bf16(P, n_splits):
-                t = jax.lax.dot_general(oh_all, part,
-                                        (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-                contrib = t if contrib is None else contrib + t
+            csum = p
+            sh = 1
+            while sh < rows:
+                csum = csum + jnp.concatenate(
+                    [jnp.zeros((sh, LANE), jnp.float32), csum[:-sh]],
+                    axis=0)
+                sh *= 2
+            # E[7 + t] = sum p[0..t-1] (exclusive prefix), t in [0, 32]
+            E = jnp.concatenate(
+                [jnp.zeros((8, LANE), jnp.float32), csum], axis=0)
+            renc = jnp.broadcast_to(
+                rcwt_ref[0, pl.ds(gc % 8, 1), :], (wy, LANE))
+            wrow = jax.lax.broadcasted_iota(jnp.int32, (wy, LANE), 0)
+            encv = jnp.take_along_axis(
+                renc, (lane_i[0:wy] & np.int32(~31)) | wrow, axis=1)
+            lo = encv & 63
+            hi1 = (encv >> 6) & 63
+            contrib = (jnp.take_along_axis(E, 7 + hi1, axis=0)
+                       - jnp.take_along_axis(E, 7 + lo, axis=0))
             cur = acc_ref[pl.ds(blk_rb, wy), :]
             acc_ref[pl.ds(blk_rb, wy), :] = cur + contrib
 

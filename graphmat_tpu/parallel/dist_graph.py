@@ -526,7 +526,9 @@ class DistGraph:
                                      (nb - 1) * wr_eff // 4), sh),
             jax.device_put(pad_to("pk", npk, 0), sh),
             jax.device_put(pad_to("valp", npk, 0), sh),
-            jax.device_put(pad_to("rcwt", nr8, 127), sh),
+            # 0 = (lo=0, hi1=0): an EMPTY slot range under the
+            # range-scatter encoding — pad chunks contribute nothing
+            jax.device_put(pad_to("rcwt", nr8, 0), sh),
         )
         got = np.stack([np.asarray(p.got_static) for p in plans])
         got_d = jax.device_put(got, sh)

@@ -176,10 +176,21 @@ def validate_planv(plan) -> None:
            + (lane // 4)[None, None, :])
     real = int(((rcf < plan.wr) & (cid < plan.nc)).sum())
     assert real == plan.nnz, f"slot conservation {real} != {plan.nnz}"
+    # range-scatter encoding: lane b*32 + w holds lo | hi1 << 6 — slot
+    # rows [lo, hi1) of block b's queue feed (wy-row w); ranges must be
+    # well-formed and together consume exactly the real slots
     rcwt = np.asarray(plan.rcwt)
+    lo = rcwt & 63
+    hi1 = (rcwt >> 6) & 63
     assert rcwt.min() >= 0, "negative rcwt"
-    assert ((rcwt < WYK) | (rcwt == 127)).all(), \
-        "rcwt outside the WYK window"
+    assert (lo <= hi1).all() and hi1.max(initial=0) <= WYK, \
+        "malformed slot range"
+    nr8 = rcwt.shape[0]
+    cid8 = (np.arange(nr8)[:, None, None] * 8
+            + np.arange(8)[None, :, None])
+    span = np.where(cid8 < plan.nc, hi1 - lo, 0)
+    assert int(span.sum()) == plan.nnz, \
+        f"range coverage {int(span.sum())} != {plan.nnz}"
 
 
 def assert_all_finite(name: str, arr) -> None:
