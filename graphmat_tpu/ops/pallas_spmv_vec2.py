@@ -634,16 +634,13 @@ def _make_vec2_kernel(process: Callable, wr: int, wy: int, rows: int,
                 cur = acc_ref[pl.ds(blk_rb, wy), :]
                 acc_ref[pl.ds(blk_rb, wy), :] = cur + p[0:wy, :]
                 return
-            csum = p
+            csum = p                      # inclusive prefix over rows
             sh = 1
             while sh < rows:
                 csum = csum + jnp.concatenate(
                     [jnp.zeros((sh, LANE), jnp.float32), csum[:-sh]],
                     axis=0)
                 sh *= 2
-            # E[7 + t] = sum p[0..t-1] (exclusive prefix), t in [0, 32]
-            E = jnp.concatenate(
-                [jnp.zeros((8, LANE), jnp.float32), csum], axis=0)
             renc = jnp.broadcast_to(
                 rcwt_ref[0, pl.ds(gc % 8, 1), :], (wy, LANE))
             wrow = jax.lax.broadcasted_iota(jnp.int32, (wy, LANE), 0)
@@ -651,8 +648,26 @@ def _make_vec2_kernel(process: Callable, wr: int, wy: int, rows: int,
                 renc, (lane_i[0:wy] & np.int32(~31)) | wrow, axis=1)
             lo = encv & 63
             hi1 = (encv >> 6) & 63
-            contrib = (jnp.take_along_axis(E, 7 + hi1, axis=0)
-                       - jnp.take_along_axis(E, 7 + lo, axis=0))
+
+            def pref(t):                  # sum p[0..t-1], t in [0, 32]
+                # cross-sublane gather decomposed into 8-row granules
+                # (Mosaic's gather only spans one granule)
+                tm = jnp.maximum(t - 1, 0)
+                tiles = []
+                for to in range(wy // 8):
+                    tt = tm[8 * to: 8 * to + 8, :]
+                    sub = tt & 7
+                    gsel = tt >> 3
+                    q = jnp.zeros((8, LANE), jnp.float32)
+                    for g in range(rows // 8):
+                        got = jnp.take_along_axis(
+                            csum[8 * g: 8 * g + 8, :], sub, axis=0)
+                        q = jnp.where(gsel == g, got, q)
+                    tiles.append(q)
+                out = jnp.concatenate(tiles, axis=0)
+                return jnp.where(t > 0, out, 0.0)
+
+            contrib = pref(hi1) - pref(lo)
             cur = acc_ref[pl.ds(blk_rb, wy), :]
             acc_ref[pl.ds(blk_rb, wy), :] = cur + contrib
 
