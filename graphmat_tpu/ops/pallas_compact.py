@@ -143,36 +143,60 @@ def divert_stragglers(s: np.ndarray, r: np.ndarray, n_recv_pad: int,
     uk, inv = np.unique(key, return_inverse=True)
     usb = uk >> 34
     usrc = uk & ((1 << 34) - 1)
-    # group = (sb, aligned w_aux source window); pad each group to a
-    # SUBR*LANE multiple so every aux sub is window-pure
+    # group = (sb, aligned w_aux source window).  The layout is
+    # LANE-PURE: an entry sits at the LANE OF ITS SOURCE (src & 127), so
+    # the aux gather is a per-lane granule take with NO lane routing —
+    # a routed layout would need v2u-style registration discipline
+    # (one gather row per (row, lane)); without it, position p silently
+    # reads the row registered by whichever entry owns p's source lane
+    # (the round-3 corruption bug: lane-identity test layouts masked it).
+    # Per (group, lane) entries stack vertically; groups pad to SUBR-row
+    # multiples, so every sub is window-pure.
     gkey = (usb << 20) | (usrc >> 7) // w_aux
     gb = np.r_[0, np.flatnonzero(gkey[1:] != gkey[:-1]) + 1, len(uk)]
     gsize = np.diff(gb)
-    unit = SUBR * LANE
-    padded = -(-gsize // unit) * unit
-    goff = np.r_[0, np.cumsum(padded)]
+    grp_of_u = np.repeat(np.arange(len(gsize)), gsize)
+    lane_u = (usrc & (LANE - 1)).astype(np.int64)
+    # rank within (group, lane): entries are (grp, src)-sorted, so sort
+    # by (grp, lane) stably and count runs
+    order2 = np.lexsort((lane_u, grp_of_u))
+    gl = grp_of_u[order2] * LANE + lane_u[order2]
+    runb = np.r_[0, np.flatnonzero(gl[1:] != gl[:-1]) + 1, len(uk)]
+    rank_sorted = np.arange(len(uk)) - np.repeat(runb[:-1],
+                                                 np.diff(runb))
+    rank = np.empty(len(uk), np.int64)
+    rank[order2] = rank_sorted
+    # group rows = max lane occupancy, padded to a SUBR multiple
+    gl_cnt = np.zeros(len(gsize) * LANE, np.int64)
+    np.add.at(gl_cnt, grp_of_u * LANE + lane_u, 1)
+    grows = -(-gl_cnt.reshape(-1, LANE).max(axis=1) // SUBR) * SUBR
+    grows = np.maximum(grows, SUBR)
+    goff = np.r_[0, np.cumsum(grows * LANE)]
     total = int(goff[-1])
     chunk_unit = rows * LANE
     total_pad = -(-total // chunk_unit) * chunk_unit
 
-    # position of each unique entry = its group offset + rank in group
-    grp_of_u = np.repeat(np.arange(len(gsize)), gsize)
-    rank = np.arange(len(uk)) - np.repeat(gb[:-1], gsize)
-    pos_of_u = goff[grp_of_u] + rank
+    pos_of_u = goff[grp_of_u] + rank * LANE + lane_u
 
-    src_of_pos = np.zeros(total_pad, np.int64)   # pads gather row 0
+    src_of_pos = np.zeros(total_pad, np.int64)
     src_of_pos[pos_of_u] = usrc
-    # pad entries inside a group must stay within the group's window:
-    # point them at the group's first source instead of global row 0
+    # pad entries must stay within their group's window AND keep the
+    # lane-pure invariant: point them at (group base row, own lane)
     pad_mask = np.ones(total_pad, bool)
     pad_mask[pos_of_u] = False
-    first_src = np.repeat(usrc[gb[:-1]], padded)
+    gfirst_row = ((usrc[gb[:-1]] >> 7) // w_aux) * w_aux
+    base_of_pos = np.repeat(gfirst_row, grows * LANE)
     if total_pad > total:
-        first_src = np.r_[first_src,
-                          np.zeros(total_pad - total, np.int64)]
-    src_of_pos[pad_mask] = first_src[pad_mask]
+        base_of_pos = np.r_[base_of_pos,
+                            np.zeros(total_pad - total, np.int64)]
+    lane_of_pos = np.arange(total_pad, dtype=np.int64) & (LANE - 1)
+    src_of_pos[pad_mask] = (base_of_pos[pad_mask] * LANE
+                            + lane_of_pos[pad_mask])
 
     aux = _build_aux(src_of_pos, h, w_aux, rows, len(uk))
+    # lane-purity invariant: every position's source lane is its own
+    assert (src_of_pos & (LANE - 1) == lane_of_pos).all(), \
+        "compact layout lost lane purity"
     s_new = s.copy()
     s_new[div] = h * LANE + pos_of_u[inv]
     h_ext = h + aux.hc
@@ -212,15 +236,16 @@ def _make_aux_kernel(W: int, x2_hbm: bool, rows: int):
                 u = jax.lax.bitcast_convert_type(
                     pk_ref[0, 8 * t: 8 * t + 8, :], jnp.uint32)
                 rel = (u >> 7).astype(jnp.int32)
-                lane = (u & (LANE - 1)).astype(jnp.int32)
                 sub = rel & 7
                 gsel = rel >> 3
+                # LANE-PURE layout: each position's source sits at its
+                # own lane, so the gather is a per-lane granule take —
+                # no lane routing (see divert_stragglers)
                 xv = jnp.zeros((8, LANE), jnp.float32)
                 for g in range(W // 8):
                     tbl = wscr_ref[8 * g: 8 * g + 8, :]
                     got = jnp.take_along_axis(tbl, sub, axis=0)
                     xv = jnp.where(gsel == g, got, xv)
-                xv = jnp.take_along_axis(xv, lane, axis=1)
                 out_ref[0, 8 * t: 8 * t + 8, :] = xv
 
     return kernel

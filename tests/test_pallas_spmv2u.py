@@ -436,3 +436,36 @@ def test_spmv2u_window_pipeline_matches_sync(kind, compact):
         arrays, static, jnp.asarray(xp), kind, _identity_process, True,
         x2_hbm=True))
     np.testing.assert_array_equal(y_sync, y_pipe)
+
+
+@pytest.mark.parametrize("kind", ["sum", "min"])
+def test_spmv2u_compaction_scattered_senders(kind):
+    """Regression for the round-3 aux corruption: compact groups whose
+    sender sets are NOT near-consecutive (lane map far from identity).
+    The original routed aux gather silently read the row of whichever
+    position owned a source's lane; the lane-pure layout makes the
+    gather self-addressed."""
+    rng = np.random.default_rng(77)
+    n = 6000
+    e = 9000
+    # scattered senders: stride-multiplied ids so src & 127 is unrelated
+    # to position order within a compact group
+    s = (rng.integers(0, n // 13, e) * 13 +
+         rng.integers(0, 13, e)) % n
+    r = rng.integers(0, n, e)
+    v = rng.normal(size=e).astype(np.float32)
+    plan = build_spmv2u_plan(
+        s.astype(np.int64), r.astype(np.int64), v, n, wr=256,
+        windows=(16, 64), cell_min=64, rows=32, hub=64, compact=True,
+        compact_kw=dict(divert_min=10_000, bpsb=2, w_div=64, w_aux=16))
+    assert plan.aux is not None
+    x = rng.random(n).astype(np.float32) + 0.5
+    xp = np.zeros(plan.n_send_pad, np.float32)
+    xp[:n] = x
+    if kind == "min":
+        xp[n:] = 1e30
+    y = np.asarray(spmv2u(plan, jnp.asarray(xp), kind,
+                          process=lambda a, b: a, interpret=True))[:n]
+    ref = _oracle(s, r, v, x, n, kind, lambda a, b: a)
+    m = np.isfinite(ref)
+    np.testing.assert_allclose(y[m], ref[m], rtol=1e-5, atol=1e-5)
