@@ -875,12 +875,22 @@ def _spmv2u_call(plan_arrays, plan_static, x, reduce_kind, process,
         if sent.shape[0] < h_src * LANE:
             sent = jnp.pad(sent, (0, h_src * LANE - sent.shape[0]))
         if h > h_src:
-            # virtual rows are conservatively ALWAYS active: inactive
-            # senders' values were already masked to the ⊕-identity
-            # upstream, so only chunk skipping is foregone
+            # virtual-row activity = the aux gather applied to the sent
+            # mask itself (a position is active iff its source is), so
+            # frontier chunk skipping keeps working for diverted edges
+            # (id-local frontiers — the road/mesh class — stay
+            # compacted in virtual space because entries are
+            # sender-sorted per group).  Any superset would also be
+            # CORRECT (inactive senders' values are identity-filled
+            # upstream); this is the exact mask at the cost of one
+            # extra aux pass per direction.
+            from .pallas_compact import _aux_call
+            sentf = (sent[: h_src * LANE].astype(jnp.float32)
+                     .reshape(h_src, LANE))
+            sc = _aux_call(plan_arrays[5:7], aux_static, sentf,
+                           interpret)
             sent = jnp.concatenate(
-                [sent[: h_src * LANE],
-                 jnp.ones((h - h_src) * LANE, sent.dtype)])
+                [sent[: h_src * LANE], sc.reshape(-1) > 0])
 
     if x2_hbm is None:
         x2_hbm = h > VMEM_X2_MAX_ROWS and not interpret
