@@ -205,6 +205,17 @@ class Graph:
         (``Graph.h:301-305``)."""
         if other.n_pad != self.n_pad:
             raise ValueError("shareVertexProperty requires matching padded size")
+        same_perm = ((self.perm is None and other.perm is None)
+                     or (self.perm is not None and other.perm is not None
+                         and np.array_equal(self.perm, other.perm)))
+        if not same_perm:
+            # two permute="degree" graphs over different edge subsets
+            # (e.g. DeltaStepping's light/heavy split) derive different
+            # permutations — sharing would silently misalign properties
+            raise ValueError(
+                "shareVertexProperty requires the same vertex permutation "
+                "on both graphs; build the second graph with "
+                "permute=first.perm (or permute=False on both)")
         self._vpref = other._vpref
 
     def _idx(self, vid1: int) -> int:

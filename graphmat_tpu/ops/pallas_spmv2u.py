@@ -367,7 +367,11 @@ def build_spmv2u_plan(senders0: np.ndarray, receivers0: np.ndarray,
     from .pallas_compact import H_COMPACT_MIN, divert_stragglers
     import os
     env_c = os.environ.get("GRAPHMAT_COMPACT")
-    if env_c is not None:
+    if env_c is not None and compact == "auto":
+        # the env knob only resolves the "auto" default: an explicit
+        # True/False caller (e.g. dist tile builds, whose stacked plans
+        # manage aux planes themselves) must not be silently rewritten —
+        # that used to surface later as a cryptic reshape-size mismatch
         compact = env_c not in ("0", "")
     if compact == "auto":
         compact = h_src >= H_COMPACT_MIN

@@ -627,9 +627,13 @@ def _make_vec2_kernel(process: Callable, wr: int, wy: int, rows: int,
             # lane of p already belongs to its slot-block, and each
             # receiver's slots form a contiguous row run within the
             # block queue (receiver-sorted walk) — so per (wy-row,
-            # block) the contribution is an EXACT f32 difference of two
-            # exclusive-prefix rows (replaces the bf16 one-hot matmul;
-            # same-session A/B on the SGD 1M protocol in PERF.md).
+            # block) the contribution is pref(hi1) - pref(lo), a
+            # difference of two f32 running prefix sums.  This is exact
+            # relative to the bf16 one-hot matmul it replaced (no 2^-17
+            # split error), but NOT exact summation: a small-magnitude
+            # receiver range following large-magnitude slots cancels
+            # (error ~ eps * max |prefix| over the run — bounded by the
+            # <=rows-slot run length; same-session A/B in PERF.md).
             if debug == "noscatter":
                 cur = acc_ref[pl.ds(blk_rb, wy), :]
                 acc_ref[pl.ds(blk_rb, wy), :] = cur + p[0:wy, :]

@@ -46,11 +46,17 @@ def save_sharded_state(graph, path: str) -> None:
     ckptr = _ckptr()
     ckptr.save(path, _state_of(graph), force=True)
     ckptr.wait_until_finished()
+    if jax.process_index() != 0:
+        return   # orbax coordinates the main save; the sidecar is host-0's
     perm = getattr(graph, "perm", None)
-    np.savez(path + ".layout.npz",
+    # temp-file + rename: a reader (or a crashed writer) must never see a
+    # torn zip — the layout-aware restore depends on this file parsing
+    tmp = path + ".layout.tmp.npz"   # np.savez appends .npz otherwise
+    np.savez(tmp,
              n=np.int64(graph.n), n_pad=np.int64(graph.n_pad),
              perm=(np.asarray(perm, np.int64) if perm is not None
                    else np.zeros(0, np.int64)))
+    os.replace(tmp, path + ".layout.npz")
 
 
 def load_sharded_state(graph, path: str) -> None:

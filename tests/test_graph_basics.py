@@ -72,6 +72,28 @@ def test_share_vertex_property():
     assert g1.get_vertexproperty(3)["x"] == np.float32(7.0)
 
 
+def test_share_vertex_property_rejects_mismatched_perm():
+    """Two permute='degree' graphs over different edge subsets derive
+    different permutations — sharing must fail loudly, and succeed when
+    the second graph reuses the first one's perm (ADVICE r3)."""
+    from graphmat_tpu.io.edgelist import EdgeList
+    e = random_edgelist(60, 4, seed=42)
+    half = EdgeList(src=e.src[::2], dst=e.dst[::2],
+                    val=e.val[::2] if e.val is not None else None,
+                    m=e.m, n=e.n)
+    g1 = Graph(e, permute="degree")
+    g2 = Graph(half, permute="degree")
+    g1.init_vertexproperty(x=np.float32(0))
+    if g1.perm is not None and g2.perm is not None \
+            and not np.array_equal(g1.perm, g2.perm):
+        with pytest.raises(ValueError, match="permutation"):
+            g2.share_vertex_property(g1)
+    g3 = Graph(half, permute=g1.perm if g1.perm is not None else False)
+    g3.share_vertex_property(g1)
+    g1.set_vertexproperty(2, x=5.0)
+    assert g3.get_vertexproperty(2)["x"] == np.float32(5.0)
+
+
 @pytest.mark.parametrize("mode", ["degree", True])
 def test_vertex_permutation_transparent(mode):
     """Graph(permute=...) must be invisible through the public API."""
