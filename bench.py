@@ -19,6 +19,12 @@ whose ``workloads`` dict carries the full per-workload records:
   PERF.md 1M-rating protocol (60K users x 20K items), 20 engine
   iterations per dispatch + RMSE before/after
   (reference: ``src/SGD.cpp:95-117,170-200``).
+* ``lda``       — K=20 topic model on the vec2 kernel, 1M tokens over a
+  30K x 10K doc-term matrix, 10 iterations + log-likelihood trajectory
+  (reference: ``src/LDA.cpp:263-345``).
+* ``tc``        — TriangleCounting, degree-bucketed scalable path on the
+  shared RMAT graph, undirected edges/s
+  (reference: ``src/TriangleCounting.cpp:114-156``).
 
 Every workload reports median-of-5 with the per-rep list — the axon
 tunnel swings ±15-20% per run, so the BENCH_r* record needs the spread.
@@ -40,7 +46,7 @@ SCALE = int(os.environ.get("GRAPHMAT_BENCH_SCALE", "20"))
 ITERS = int(os.environ.get("GRAPHMAT_BENCH_ITERS", "50"))
 EDGE_FACTOR = int(os.environ.get("GRAPHMAT_BENCH_EDGEFACTOR", "16"))
 REPS = int(os.environ.get("GRAPHMAT_BENCH_REPS", "5"))
-BFS_SOURCES = int(os.environ.get("GRAPHMAT_BENCH_BFS_SOURCES", "16"))
+BFS_SOURCES = int(os.environ.get("GRAPHMAT_BENCH_BFS_SOURCES", "64"))
 
 
 def _median_reps(run_once, reps=REPS):
@@ -139,7 +145,18 @@ def bench_pagerank(e, g):
 def bench_bfs(e, g):
     """Graph500-style chained BFS restarts: R sources swept sequentially
     inside ONE jitted dispatch (lax.scan over sources, each an
-    until-convergence lax.while_loop), TEPS = R * nnz / t."""
+    until-convergence lax.while_loop).
+
+    Graph500 compliance (spec 2.1.4/5): 64 distinct search keys sampled
+    uniformly from vertices with degree >= 1, and each search's edge
+    count m_k is the number of input edges within the TRAVERSED
+    COMPONENT (sum of out-degrees over reached vertices), not the whole
+    graph's nnz — so a source that lands in a tiny component contributes
+    its tiny m_k, not an inflated full-graph count.  Documented
+    deviation: the spec's harmonic-mean TEPS needs per-search times,
+    which a single chained device dispatch cannot observe (each separate
+    dispatch costs ~130 ms of tunnel latency, 3x a whole BFS) — we
+    report aggregate TEPS = sum(m_k) / total time."""
     import jax
     import jax.numpy as jnp
 
@@ -152,7 +169,15 @@ def bench_bfs(e, g):
     id_plane = g.vp["id"]
     parent0 = jnp.full(g.n_pad, -1, jnp.int32)
     iota = jnp.arange(g.n_pad, dtype=jnp.int32)
-    n_pad = g.n_pad
+
+    # out-degree plane in internal order (for per-component edge counts)
+    deg_int = np.zeros(g.n_pad, np.int64)
+    odeg = np.bincount(e.src - 1, minlength=g.n)
+    if g.perm is None:
+        deg_int[: g.n] = odeg
+    else:
+        deg_int[g.perm] = odeg
+    deg_plane = jnp.asarray(deg_int.astype(np.int64))
 
     @jax.jit
     def bfs_many(structure, sources0):
@@ -163,25 +188,22 @@ def bench_bfs(e, g):
             active = iota == src0
             it, _st, vpo, _a, _c = eng._run_conv(
                 structure, jnp.int32(1), vp, active, jnp.int32(128))
-            reached = jnp.sum((vpo["depth"] != INF_DEPTH).astype(
-                jnp.int32))
-            return carry + it, (it, reached)
-        tot, (its, reached) = jax.lax.scan(one, jnp.int32(0), sources0)
-        return tot, its, reached
+            reach_mask = vpo["depth"] != INF_DEPTH
+            reached = jnp.sum(reach_mask.astype(jnp.int32))
+            m_k = jnp.sum(jnp.where(reach_mask, deg_plane, 0))
+            return carry + it, (it, reached, m_k)
+        tot, (its, reached, m_ks) = jax.lax.scan(one, jnp.int32(0),
+                                                 sources0)
+        return tot, its, reached, m_ks
 
-    # deterministic sources with out-degree > 0 (internal-id space)
+    # Graph500 kernel-2 sampling: distinct keys, degree >= 1, uniform
     rng = np.random.default_rng(7)
-    deg_int = np.zeros(g.n_pad, np.int64)
-    odeg = np.bincount(e.src - 1, minlength=g.n)
-    if g.perm is None:
-        deg_int[: g.n] = odeg
-    else:
-        deg_int[g.perm] = odeg
-    cand = np.flatnonzero(deg_int > 0)
+    cand = np.flatnonzero(np.asarray(deg_int) > 0)
     sources = jnp.asarray(
         rng.choice(cand, size=BFS_SOURCES,
                    replace=len(cand) < BFS_SOURCES).astype(np.int32))
-    tot, its, reached = jax.block_until_ready(bfs_many(structure, sources))
+    tot, its, reached, m_ks = jax.block_until_ready(
+        bfs_many(structure, sources))
 
     def once():
         t0 = time.time()
@@ -191,15 +213,21 @@ def bench_bfs(e, g):
     med, rep_s = _median_reps(once)
     its_np = np.asarray(its)
     reached_np = np.asarray(reached)
+    m_np = np.asarray(m_ks, np.float64)
     assert (reached_np > 1).all(), "BFS reached nothing from a source"
-    gteps = BFS_SOURCES * g.nnz / med / 1e9
+    gteps = float(m_np.sum()) / med / 1e9
     return _base_record(
         "bfs_gteps_per_chip", gteps, "GTEPS", 1.5,
         {"graph": f"rmat{SCALE}x{EDGE_FACTOR}", "nnz": int(g.nnz),
-         "sources": BFS_SOURCES, "accounting": "graph500: nnz per BFS",
+         "sources": BFS_SOURCES,
+         "accounting": "graph500: sum of traversed-component edge "
+                       "counts / total time (aggregate TEPS; harmonic "
+                       "mean needs per-search host timing — see "
+                       "docstring)",
          "iters_per_bfs": [int(x) for x in its_np],
+         "component_medges": [round(float(x) / 1e6, 2) for x in m_np],
          "reached_median": int(np.median(reached_np))},
-        med, rep_s, BFS_SOURCES * g.nnz / min(rep_s) / 1e9)
+        med, rep_s, float(m_np.sum()) / min(rep_s) / 1e9)
 
 
 def bench_sssp(e):
@@ -265,6 +293,8 @@ def bench_sgd():
 
     rng = np.random.default_rng(0)
     nu, ni, nr = 60000, 20000, 1_000_000
+    if os.environ.get("GRAPHMAT_BENCH_SMALL"):   # CPU smoke-test sizes
+        nu, ni, nr = 600, 200, 5000
     K = 20
     n = nu + ni
     us = rng.integers(1, nu + 1, nr).astype(np.int64)
@@ -297,20 +327,139 @@ def bench_sgd():
         f"SGD diverged: {rmse_before} -> {rmse_after}"
     # each rating updates both endpoints per iteration (ALL_EDGES)
     mups = 2 * nr * sgd_iters / med / 1e6
-    # self-baseline: round-1 vec2 kernel recorded 146M upd/s (CHANGELOG)
+    # self-baseline: 92.9 M upd/s — the round-3 SAME-SESSION measurement
+    # of the pre-rework vec2 kernel (PERF.md round 3a/3c; the 146M
+    # CHANGELOG figure was a one-off fast-tunnel session the same code
+    # later measured at 91-97M, so it is not a defensible baseline)
     return _base_record(
-        "sgd_cf_edge_updates_per_s", mups, "M upd/s", 146.0,
+        "sgd_cf_edge_updates_per_s", mups, "M upd/s", 92.9,
         {"graph": f"ratings {nu}x{ni}", "nnz": nr, "k": K,
          "iters": sgd_iters,
          "rmse_before": round(float(rmse_before), 6),
          "rmse_after": round(float(rmse_after), 6),
-         "baseline": "round-1 vec2 146M upd/s"},
+         "baseline": "round-3 same-session pre-rework vec2: 92.9M upd/s"},
         med, rep_s, 2 * nr * sgd_iters / min(rep_s) / 1e6)
+
+
+def bench_lda():
+    """LDA (collapsed variational analog) on the vec2 K-wide kernel:
+    tokens/s over a synthetic doc-term matrix + the log-likelihood
+    trajectory (reference: ``src/LDA.cpp:263-345``, which times the main
+    iteration loop and prints the total log-likelihood)."""
+    import jax
+    import jax.numpy as jnp
+
+    from graphmat_tpu import Graph
+    from graphmat_tpu.apps.lda import (LDAInitProgram, LDALLProgram,
+                                       LDAProgram)
+    from graphmat_tpu.core.runtime import Engine
+    from graphmat_tpu.io.edgelist import EdgeList
+
+    rng = np.random.default_rng(11)
+    ndoc, nterms, ntok = 30000, 10000, 1_000_000
+    if os.environ.get("GRAPHMAT_BENCH_SMALL"):   # CPU smoke-test sizes
+        ndoc, nterms, ntok = 300, 100, 5000
+    K = 20
+    n = ndoc + nterms
+    docs = rng.integers(1, ndoc + 1, ntok).astype(np.int64)
+    terms = (ndoc + rng.integers(1, nterms + 1, ntok)).astype(np.int64)
+    # token counts follow a zipf-ish distribution like real corpora
+    cnt = np.minimum(rng.zipf(2.0, ntok), 50).astype(np.float64)
+    el = EdgeList(src=docs, dst=terms, val=cnt, m=n, n=n)
+    g = Graph(el)
+    lda_iters = 10
+
+    def loglik(global_n):
+        eng_ll = Engine(LDALLProgram(jnp.asarray(global_n), 5.0, nterms,
+                                     K), g)
+        eng_ll.run(iterations=1)
+        return float(g.vp_numpy()["token_loglik"].sum())
+
+    def setup():
+        is_doc = np.zeros(n, bool)
+        is_doc[:ndoc] = True
+        g.init_vertexproperty(N=np.zeros((n, K), np.float32),
+                              is_doc=is_doc,
+                              token_loglik=np.array(0, np.float32))
+        Engine(LDAInitProgram(K), g).run(iterations=1)
+        vpn = g.vp_numpy()
+        gn = jnp.asarray(
+            vpn["N"][~vpn["is_doc"].astype(bool)].sum(axis=0), jnp.float32)
+        g.set_all_active()
+        jax.block_until_ready(list(g.vp.values()))
+        return gn
+
+    gn0 = setup()
+    prog = LDAProgram(K, 1.0, 5.0, vocab_size=nterms, ndoc=ndoc)
+    eng = Engine(prog, g)
+    eng.run(iterations=lda_iters, state=gn0)   # compile + warm
+    ll_init = loglik(gn0)
+
+    def once():
+        gn = setup()
+        t0 = time.time()
+        eng.run(iterations=lda_iters, state=gn)
+        return time.time() - t0
+
+    med, rep_s = _median_reps(once)
+    gn_final = np.asarray(eng.final_state)
+    ll_final = loglik(gn_final)
+    assert np.isfinite(ll_final), "non-finite LDA log-likelihood"
+    # the trajectory is recorded, not asserted monotone: on topic-free
+    # random data the multiplicative update can dip slightly (the oracle
+    # tests in tests/test_ml_apps.py own correctness)
+    # each token is touched in both directions per iteration (ALL_EDGES)
+    mtoks = 2 * ntok * lda_iters / med / 1e6
+    # self-baseline pinned from this round's first same-session TPU
+    # measurement (see PERF.md round 4) — LDA had no BENCH record before
+    return _base_record(
+        "lda_token_updates_per_s", mtoks, "M tok/s", 95.0,
+        {"graph": f"docterm {ndoc}x{nterms}", "nnz": ntok, "k": K,
+         "iters": lda_iters,
+         "loglik_init": round(ll_init, 1),
+         "loglik_final": round(ll_final, 1),
+         "baseline": "round-4 initial same-session pin: 95 M tok/s"},
+        med, rep_s, 2 * ntok * lda_iters / min(rep_s) / 1e6)
+
+
+def bench_tc(e, g):
+    """TriangleCounting (degree-bucketed scalable path) — edges/s on the
+    shared RMAT graph (reference: ``src/TriangleCounting.cpp:114-156``).
+    Host prep (orient/bucket) is part of the measured time: the
+    reference's timed section likewise includes its matrix munging."""
+    from graphmat_tpu.ops.triangles import count_triangles_bucketed
+
+    und = np.unique(np.stack([np.minimum(e.src, e.dst),
+                              np.maximum(e.src, e.dst)]), axis=1)
+    s0 = (und[0] - 1).astype(np.int64)
+    r0 = (und[1] - 1).astype(np.int64)
+    keep = s0 != r0
+    s0, r0 = s0[keep], r0[keep]
+
+    tri, total = count_triangles_bucketed(s0, r0, g.n)   # warm compile
+
+    def once():
+        t0 = time.time()
+        _, tot = count_triangles_bucketed(s0, r0, g.n)
+        assert tot == total
+        return time.time() - t0
+
+    reps = min(REPS, 3)   # ~15 s each; 3 reps bounds the spread
+    med, rep_s = _median_reps(once, reps=reps)
+    assert total > 0, "no triangles on an RMAT graph"
+    medges = len(s0) / med / 1e6
+    return _base_record(
+        "tc_edges_per_s", medges, "M edges/s", 1.0,
+        {"graph": f"rmat{SCALE}x{EDGE_FACTOR} undirected",
+         "m_undirected": int(len(s0)), "triangles": int(total),
+         "baseline": "1 M edges/s nominal (round-1 PERF: RMAT-20 "
+                     "~15 s end-to-end incl. host prep + tunnel)"},
+        med, rep_s, len(s0) / min(rep_s) / 1e6)
 
 
 def main() -> int:
     sel = os.environ.get("GRAPHMAT_BENCH_WORKLOADS",
-                         "pagerank,bfs,sssp,sgd").split(",")
+                         "pagerank,bfs,sssp,sgd,lda,tc").split(",")
     records = {}
     shared = {}
 
@@ -325,13 +474,13 @@ def main() -> int:
         print(json.dumps(records[name]), flush=True)
 
     e = g = None
-    if any(w in sel for w in ("pagerank", "bfs", "sssp")):
+    if any(w in sel for w in ("pagerank", "bfs", "sssp", "tc")):
         try:
             e, g, gen_s, build_s = _rmat_graph()
             shared["rmat_gen"] = round(gen_s, 2)
             shared["graph_build"] = round(build_s, 2)
         except Exception as exc:
-            for name in ("pagerank", "bfs", "sssp"):
+            for name in ("pagerank", "bfs", "sssp", "tc"):
                 if name in sel:
                     records[name] = {"metric": name, "value": 0.0,
                                      "vs_baseline": 0.0,
@@ -340,7 +489,7 @@ def main() -> int:
                     print(json.dumps(records[name]), flush=True)
             traceback.print_exc(file=sys.stderr)
             sel = [s for s in sel
-                   if s not in ("pagerank", "bfs", "sssp")]
+                   if s not in ("pagerank", "bfs", "sssp", "tc")]
     if "pagerank" in sel:
         guarded("pagerank", lambda: bench_pagerank(e, g))
     if "bfs" in sel:
@@ -349,6 +498,10 @@ def main() -> int:
         guarded("sssp", lambda: bench_sssp(e))
     if "sgd" in sel:
         guarded("sgd", bench_sgd)
+    if "lda" in sel:
+        guarded("lda", bench_lda)
+    if "tc" in sel and g is not None:
+        guarded("tc", lambda: bench_tc(e, g))
 
     import jax
     head = records.get("pagerank", {})
