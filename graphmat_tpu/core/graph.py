@@ -382,7 +382,16 @@ class Graph:
                 # re-reads) — measured at RMAT-23: 42.7 -> 26.2 ms/iter
                 # with compaction + the pipelined loads (PERF round 3)
                 wr = 8192 if self.n_pad >= (1 << 23) else 4096
-        key = ("v2u", receiver, wr)
+        import os
+        rows = 128
+        env_rows = os.environ.get("GRAPHMAT_ROWS")
+        if env_rows:
+            rows = int(env_rows)
+            if rows % 32 != 0 or not 0 < rows <= 256:
+                raise ValueError(
+                    f"GRAPHMAT_ROWS={rows!r} invalid: must be a positive "
+                    "multiple of 32 and <= 256")
+        key = ("v2u", receiver, wr, rows)
         if key not in self._pallas_plans:
             if receiver not in self._host_edges:
                 raise ValueError(f"no host edges for receiver={receiver}")
@@ -390,7 +399,7 @@ class Graph:
             senders0, receivers0, vals = self._host_edges[receiver]
             self._pallas_plans[key] = build_spmv2u_plan(
                 senders0, receivers0, vals, self.n_pad,
-                n_recv=self.n_pad, wr=wr)
+                n_recv=self.n_pad, wr=wr, rows=rows)
         return self._pallas_plans[key]
 
     def pallas_plan_vec2(self, receiver: str, wr: int = 4096):

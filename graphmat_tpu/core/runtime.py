@@ -117,6 +117,11 @@ def _direction_receivers(order: Direction):
 
 def _where_tree(mask, new_tree, old_tree):
     def one(new, old):
+        if new is old:
+            # apply() returned the plane untouched (e.g. BFS's id
+            # plane): skip the select — one fewer [n_pad] op per
+            # iteration inside the convergence loop
+            return old
         m = mask.reshape(mask.shape + (1,) * (new.ndim - mask.ndim))
         return jnp.where(m, new, old)
     return tree_util.tree_map(one, new_tree, old_tree)

@@ -74,6 +74,14 @@ class CompactAux:
     n_entries: int        # real (non-pad) compact entries
     kb: Any               # i32[naux * S]: base>>3 | KB_SAME
     pk: Any               # i32[naux, rows, 128]: rel_row<<7 | lane
+    # per-COMPACT-ROW real-entry source-row range [vlo, vhi): the sparse
+    # path derives virtual-row activity as a prefix-sum range test over
+    # the source row-activity — a tight superset of the exact per-lane
+    # activity that replaces a whole aux Pallas pass per direction per
+    # iteration (~0.4 ms/BFS-level measured, PERF round 4).  All-pad
+    # rows carry vlo == vhi == 0 (never active).
+    vlo: Any = None       # i32[hc]
+    vhi: Any = None       # i32[hc]
 
 
 def _build_aux(src_of_pos: np.ndarray, h: int, W: int,
@@ -197,6 +205,17 @@ def divert_stragglers(s: np.ndarray, r: np.ndarray, n_recv_pad: int,
     # lane-purity invariant: every position's source lane is its own
     assert (src_of_pos & (LANE - 1) == lane_of_pos).all(), \
         "compact layout lost lane purity"
+    # per-compact-row [vlo, vhi) real-entry source-row ranges (pads
+    # excluded so all-pad rows are never active)
+    srow_mat = (src_of_pos >> 7).reshape(-1, LANE)
+    real_mat = (~pad_mask).reshape(-1, LANE)
+    vlo = np.where(real_mat, srow_mat, h).min(axis=1)
+    vhi = np.where(real_mat, srow_mat, -1).max(axis=1) + 1
+    empty = vhi <= vlo
+    vlo[empty] = 0
+    vhi[empty] = 0
+    aux.vlo = vlo.astype(np.int32)
+    aux.vhi = vhi.astype(np.int32)
     s_new = s.copy()
     s_new[div] = h * LANE + pos_of_u[inv]
     h_ext = h + aux.hc

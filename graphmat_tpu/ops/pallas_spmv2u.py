@@ -91,6 +91,7 @@ SUBR = 32               # rows per sub-window (fill granularity)
 KB_SAME = 1 << 22
 KB_PREV = 1 << 23
 KB_KIND_SHIFT = 24
+KB_PAD = 1 << 28      # sub is all-pad slots: never activates its chunk
 KB_PIPE = 1 << 29
 # SMEM holds the scalar-prefetch arrays within a 1 MB budget; beyond
 # this many chunks the grid splits into multiple pallas_calls at block
@@ -121,6 +122,8 @@ class Spmv2uPlan:
     splits: tuple = ()    # ((c0, b0), ...) grid segments (SMEM budget)
     aux: Any = None       # CompactAux: hypersparse compaction (pallas_compact)
     h_src: int = 0        # source operand rows (= h when aux is None)
+    act_lo: Any = None    # i32[nc*S] per-sub activity gather-range start
+    act_hi: Any = None    # i32[nc*S] per-sub activity gather-range end
 
 
 def _compute_splits(blkid_np, nb, nc_seg=NC_SEG):
@@ -146,6 +149,41 @@ def _compute_splits(blkid_np, nb, nc_seg=NC_SEG):
     return tuple(starts)
 
 
+def _mark_pad_subs(plan):
+    """Set KB_PAD on subs whose slots are ALL pads (block-tail pads,
+    empty-block coverage): they contribute the exact identity, so the
+    sparse activity test must never let them activate a chunk.  Without
+    this, pads — emitted as cheap HUB subs — made every chunk active
+    whenever any x2 row in [0, 16) was (measured: a single-hub frontier
+    paid the FULL kernel, 2.28 vs 2.34 ms dense at RMAT-20; PERF r4).
+
+    Also precomputes the per-sub gather-range index pair
+    ``(act_lo, act_hi)`` the sparse activity test uses: sub j is active
+    iff any x2 row in ``[act_lo[j], act_hi[j])`` is (pad subs get the
+    empty range).  Folding the kind/base decode + pad mask to plan time
+    turns the per-iteration activity test into two prefix-sum takes —
+    the decode chain was ~6 extra XLA launches per direction per
+    iteration inside the BFS while_loop (PERF round 4)."""
+    kb = np.asarray(plan.kb).view(np.uint32).copy()
+    pk = np.asarray(plan.pk)
+    S = max(plan.rows // SUBR, 1)
+    empty = (pk.reshape(plan.nc * S, SUBR * LANE)
+             == plan.wr).all(axis=1)
+    kb[empty] |= np.uint32(KB_PAD)
+    plan.kb = kb.view(np.int32)
+    wtab = np.array([16] + list(plan.classes), np.int64)
+    kd = (kb >> KB_KIND_SHIFT) & 15
+    bs = ((kb & ((1 << 22) - 1)) << 3).astype(np.int64)
+    lo = np.where(kd == 0, 0, bs)
+    hi = np.minimum(lo + wtab[kd], plan.h)
+    pad = (kb & np.uint32(KB_PAD)) != 0
+    lo[pad] = 0
+    hi[pad] = 0
+    plan.act_lo = lo.astype(np.int32)
+    plan.act_hi = hi.astype(np.int32)
+    return plan
+
+
 def _apply_splits(plan):
     """Finalize a freshly built plan: upload the (numpy) planes to
     device, split per grid segment first when the grid must split (SMEM
@@ -153,6 +191,7 @@ def _apply_splits(plan):
     every iteration (and double peak HBM), so the split happens once on
     the host.  Per-segment blkid is stored already rebased to the
     segment's first block."""
+    plan = _mark_pad_subs(plan)
     if len(plan.splits) <= 1:
         plan.kb = jnp.asarray(_add_pipeline_bits(
             plan.kb, max(plan.rows // SUBR, 1)))
@@ -160,6 +199,8 @@ def _apply_splits(plan):
         plan.pk = jnp.asarray(plan.pk)
         plan.po = jnp.asarray(plan.po)
         plan.val = jnp.asarray(plan.val)
+        plan.act_lo = jnp.asarray(plan.act_lo)
+        plan.act_hi = jnp.asarray(plan.act_hi)
         return plan
     S = max(plan.rows // SUBR, 1)
     segs = plan.splits
@@ -180,6 +221,12 @@ def _apply_splits(plan):
     plan.pk = tuple(jnp.asarray(pk[c0:c1]) for (c0, b0, c1) in bounds)
     plan.po = tuple(jnp.asarray(po[c0:c1]) for (c0, b0, c1) in bounds)
     plan.val = tuple(jnp.asarray(val[c0:c1]) for (c0, b0, c1) in bounds)
+    alo = np.asarray(plan.act_lo)
+    ahi = np.asarray(plan.act_hi)
+    plan.act_lo = tuple(jnp.asarray(alo[c0 * S:c1 * S])
+                        for (c0, b0, c1) in bounds)
+    plan.act_hi = tuple(jnp.asarray(ahi[c0 * S:c1 * S])
+                        for (c0, b0, c1) in bounds)
     return plan
 
 
@@ -832,19 +879,16 @@ def _make_kernel_u(reduce_kind: str, process: Callable, wr: int, h: int,
     return kernel
 
 
-def _chunk_activity_u(sent, kb, classes, h, nc, S):
-    """Per-chunk frontier activity + effective-block routing for the kb
-    sub-window format: a chunk is active iff any sender in ANY of its
-    subs' gather ranges is (hub subs read x2 rows [0, 16))."""
-    rowact = jnp.any(sent.reshape(h, LANE), axis=1).astype(jnp.int32)
-    pref = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(rowact)])
-    wlen = jnp.asarray(np.array([16] + list(classes), np.int64),
-                       dtype=jnp.int32)
-    kd = (kb >> KB_KIND_SHIFT) & 15
-    bs = (kb & ((1 << 22) - 1)) << 3
-    L = jnp.take(wlen, kd)
-    b = jnp.where(kd == 0, 0, bs)
-    sub_act = (pref[jnp.minimum(b + L, h)] - pref[b]) > 0
+def _chunk_activity_u(pref, act_lo, act_hi, nc, S):
+    """Per-chunk frontier activity + effective-block routing: a chunk is
+    active iff any x2 row in any of its subs' plan-precomputed gather
+    ranges ``[act_lo, act_hi)`` is active.  ``pref`` is the inclusive
+    row-activity prefix sum with a leading zero (int32[h+1], virtual
+    compact rows included when the plan carries them).  Pad subs carry
+    the empty range (plan build), so this is two takes + a compare —
+    the kind/base decode that used to run here per iteration is folded
+    to plan time (PERF round 4)."""
+    sub_act = (jnp.take(pref, act_hi) - jnp.take(pref, act_lo)) > 0
     cact = jnp.any(sub_act.reshape(nc, S), axis=1)
     idxs = jnp.arange(nc, dtype=jnp.int32)
     eff = jax.lax.cummax(jnp.where(cact, idxs, -1))
@@ -864,37 +908,59 @@ def _spmv2u_call(plan_arrays, plan_static, x, reduce_kind, process,
     aux_static = plan_static[9] if len(plan_static) > 9 else None
     kb, blkid, pk, po, val = plan_arrays[:5]
     use_val = val is not None
+    n_base = 9 if len(plan_static) > 9 and plan_static[9] is not None \
+        else 5
+    act_pair = (plan_arrays[n_base:n_base + 2]
+                if len(plan_arrays) > n_base + 1 else None)
     G = wr // LANE
     GA = 2 * G if want_got else G
     S = max(rows // SUBR, 1)
     x2 = x.reshape(h_src, LANE)
+    sparse = sent is not None
+    pref = None
+    vact = None
+    if sparse:
+        if sent.shape[0] < h_src * LANE:
+            sent = jnp.pad(sent, (0, h_src * LANE - sent.shape[0]))
+        rowact = jnp.any(sent[: h_src * LANE].reshape(h_src, LANE),
+                         axis=1).astype(jnp.int32)
+        pref = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                jnp.cumsum(rowact)])
+        if h > h_src:
+            # virtual-row activity: each compact row carries its real
+            # entries' source-row range [vlo, vhi) (host-precomputed),
+            # so activity is one prefix-range test over the source
+            # row-activity — a tight superset of the exact per-lane
+            # mask (supersets are CORRECT: inactive senders' values are
+            # identity-filled upstream).  This replaced an exact aux
+            # Pallas pass per direction per iteration (PERF round 4).
+            vlo, vhi = plan_arrays[7], plan_arrays[8]
+            vact = (jnp.take(pref, vhi) - jnp.take(pref, vlo)) > 0
+            # extend the prefix over the virtual rows: pref_ext[h_src+j]
+            # = pref[h_src] + (# active virtual rows < j)
+            pref = jnp.concatenate(
+                [pref, pref[-1] + jnp.cumsum(vact.astype(jnp.int32))])
     if aux_static is not None:
         # hypersparse compaction: materialize the virtual compact rows
         # (one cheap gather pass per super-block) and extend the operand
         from .pallas_compact import _aux_call
-        xc = _aux_call(plan_arrays[5:7], aux_static, x2, interpret)
+        hc = aux_static[1]
+        if vact is not None:
+            # sparse levels where NO diverted sender is active (BFS
+            # whisker tails) skip the aux pass entirely: inactive
+            # compact rows are never gathered by an ACTIVE chunk, but
+            # an active chunk's other subs do walk them — so the
+            # skipped branch must fill the region with the ⊕-identity,
+            # not leave garbage
+            ident = {"sum": 0.0, "min": 1e30, "max": -1e30}[reduce_kind]
+            xc = jax.lax.cond(
+                jnp.any(vact),
+                lambda: _aux_call(plan_arrays[5:7], aux_static, x2,
+                                  interpret),
+                lambda: jnp.full((hc, LANE), ident, jnp.float32))
+        else:
+            xc = _aux_call(plan_arrays[5:7], aux_static, x2, interpret)
         x2 = jnp.concatenate([x2, xc], axis=0)
-    sparse = sent is not None
-    if sparse:
-        if sent.shape[0] < h_src * LANE:
-            sent = jnp.pad(sent, (0, h_src * LANE - sent.shape[0]))
-        if h > h_src:
-            # virtual-row activity = the aux gather applied to the sent
-            # mask itself (a position is active iff its source is), so
-            # frontier chunk skipping keeps working for diverted edges
-            # (id-local frontiers — the road/mesh class — stay
-            # compacted in virtual space because entries are
-            # sender-sorted per group).  Any superset would also be
-            # CORRECT (inactive senders' values are identity-filled
-            # upstream); this is the exact mask at the cost of one
-            # extra aux pass per direction.
-            from .pallas_compact import _aux_call
-            sentf = (sent[: h_src * LANE].astype(jnp.float32)
-                     .reshape(h_src, LANE))
-            sc = _aux_call(plan_arrays[5:7], aux_static, sentf,
-                           interpret)
-            sent = jnp.concatenate(
-                [sent[: h_src * LANE], sc.reshape(-1) > 0])
 
     if x2_hbm is None:
         x2_hbm = h > VMEM_X2_MAX_ROWS and not interpret
@@ -946,8 +1012,23 @@ def _spmv2u_call(plan_arrays, plan_static, x, reduce_kind, process,
             kb_s, blk_s, pk_s, po_s = kb, blkid, pk, po
             val_s = val
         if sparse:
-            act, eff = _chunk_activity_u(sent[: h * LANE], kb_s, classes,
-                                         h, nc_s, S)
+            if act_pair is not None:
+                alo, ahi = act_pair
+                if multi:
+                    alo, ahi = alo[k], ahi[k]
+            else:
+                # caller without plan-precomputed ranges (stacked dist
+                # tile plans): decode kind/base in-trace
+                wlen = jnp.asarray(np.array([16] + list(classes)),
+                                   jnp.int32)
+                kd = (kb_s >> KB_KIND_SHIFT) & 15
+                bs = (kb_s & ((1 << 22) - 1)) << 3
+                alo = jnp.where(kd == 0, 0, bs)
+                ahi = jnp.minimum(alo + jnp.take(wlen, kd), h)
+                padm = (kb_s & KB_PAD) != 0
+                alo = jnp.where(padm, 0, alo)
+                ahi = jnp.where(padm, 0, ahi)
+            act, eff = _chunk_activity_u(pref, alo, ahi, nc_s, S)
             operands = (kb_s, blk_s, act, eff)
         else:
             operands = (kb_s, blk_s)
@@ -1005,12 +1086,16 @@ def plan_call_args(plan: Spmv2uPlan, use_val: bool = True):
         if not isinstance(aux.kb, jnp.ndarray):   # one-time device upload
             aux.kb = jnp.asarray(aux.kb)
             aux.pk = jnp.asarray(aux.pk)
+            aux.vlo = jnp.asarray(aux.vlo)
+            aux.vhi = jnp.asarray(aux.vhi)
         arrays = (plan.kb, plan.blkid, plan.pk, plan.po,
-                  plan.val if use_val else None, aux.kb, aux.pk)
+                  plan.val if use_val else None, aux.kb, aux.pk,
+                  aux.vlo, aux.vhi, plan.act_lo, plan.act_hi)
         aux_static = (aux.h, aux.hc, aux.W, aux.naux, aux.rows)
     else:
         arrays = (plan.kb, plan.blkid, plan.pk, plan.po,
-                  plan.val if use_val else None)
+                  plan.val if use_val else None, plan.act_lo,
+                  plan.act_hi)
         aux_static = None
     static = (plan.h, plan.wr, plan.nb, plan.nc, plan.n_pad,
               plan.classes, plan.rows, plan.splits, h_src, aux_static)
