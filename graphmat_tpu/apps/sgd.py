@@ -212,6 +212,9 @@ def _main(argv=None):
     print(f"RMSE error = {rmse0:.6f} per edge (before)")
     print(f"Time = {(time.time() - t0) * 1e3:.3f} ms")
     print(f"RMSE error = {rmse1:.6f} per edge (after)")
+    # first vertices' latent factors, 2 decimals (src/SGD.cpp:244-249)
+    for i in range(min(10, g.n)):
+        print(f"{i + 1} : " + " ".join(f" {v:.2f}" for v in lv[i]))
     return 0
 
 
