@@ -82,6 +82,11 @@ class CompactAux:
     # rows carry vlo == vhi == 0 (never active).
     vlo: Any = None       # i32[hc]
     vhi: Any = None       # i32[hc]
+    # granule-overlap matrix over SOURCE granules (bf16 on device):
+    # vact = (act_vm @ gact_src) > 0 — the matmul form of the [vlo,vhi)
+    # range test (TPU 1D gathers cost ~26 ns/index; see pallas_spmv2u
+    # ACT_GRAN).  None above the size cap.
+    act_vm: Any = None    # bool/bf16 [hc, ceil(h/ACT_GRAN)]
 
 
 def _build_aux(src_of_pos: np.ndarray, h: int, W: int,
@@ -216,6 +221,18 @@ def divert_stragglers(s: np.ndarray, r: np.ndarray, n_recv_pad: int,
     vhi[empty] = 0
     aux.vlo = vlo.astype(np.int32)
     aux.vhi = vhi.astype(np.int32)
+    from .pallas_spmv2u import ACT_GRAN, ACT_GM_MAX_ENTRIES
+    ngran = -(-h // ACT_GRAN)
+    if aux.hc * ngran <= ACT_GM_MAX_ENTRIES:
+        glo = aux.vlo // ACT_GRAN
+        ghi = np.maximum(-(-aux.vhi // ACT_GRAN), glo)
+        mm = np.zeros((aux.hc, ngran + 1), np.int8)
+        rowsq = np.arange(aux.hc)
+        np.add.at(mm, (rowsq, glo), 1)
+        np.add.at(mm, (rowsq, ghi), -1)
+        mm[np.asarray(empty)] = 0
+        aux.act_vm = np.ascontiguousarray(
+            np.cumsum(mm[:, :-1], axis=1) > 0)
     s_new = s.copy()
     s_new[div] = h * LANE + pos_of_u[inv]
     h_ext = h + aux.hc

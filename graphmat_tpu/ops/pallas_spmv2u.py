@@ -93,6 +93,8 @@ KB_PREV = 1 << 23
 KB_KIND_SHIFT = 24
 KB_PAD = 1 << 28      # sub is all-pad slots: never activates its chunk
 KB_PIPE = 1 << 29
+ACT_GRAN = 32         # activity-matrix granule rows (one sub-window)
+ACT_GM_MAX_ENTRIES = 16_000_000   # ~32 MB bf16 cap for act_gm
 # SMEM holds the scalar-prefetch arrays within a 1 MB budget; beyond
 # this many chunks the grid splits into multiple pallas_calls at block
 # boundaries (see _compute_splits)
@@ -124,6 +126,7 @@ class Spmv2uPlan:
     h_src: int = 0        # source operand rows (= h when aux is None)
     act_lo: Any = None    # i32[nc*S] per-sub activity gather-range start
     act_hi: Any = None    # i32[nc*S] per-sub activity gather-range end
+    act_gm: Any = None    # bf16[nc*S, ceil(h/ACT_GRAN)] granule overlap
 
 
 def _compute_splits(blkid_np, nb, nc_seg=NC_SEG):
@@ -181,6 +184,25 @@ def _mark_pad_subs(plan):
     hi[pad] = 0
     plan.act_lo = lo.astype(np.int32)
     plan.act_hi = hi.astype(np.int32)
+    # granule-overlap activity matrix: a TPU 1D gather costs ~26 ns PER
+    # INDEX (measured: 153 us for the 5816-sub take at RMAT-20), so the
+    # sparse path's activity test replaces its gathers with one matmul
+    # against this plan-static multi-hot matrix over ACT_GRAN-row
+    # granules: sub j is active iff any granule overlapping its gather
+    # range holds an active row.  Skipped above ACT_GM_MAX_ENTRIES —
+    # large plans amortize the gather cost over a much bigger kernel.
+    ngran = -(-plan.h // ACT_GRAN)
+    if len(kb) * ngran <= ACT_GM_MAX_ENTRIES:
+        glo = lo // ACT_GRAN
+        ghi = np.maximum((hi + ACT_GRAN - 1) // ACT_GRAN, glo)
+        m = np.zeros((len(kb), ngran + 1), np.int8)
+        np.add.at(m, (np.arange(len(kb)), glo), 1)
+        np.add.at(m, (np.arange(len(kb)), ghi), -1)
+        m[pad] = 0
+        gm = np.cumsum(m[:, :-1], axis=1) > 0   # bool [nsub, ngran]
+        plan.act_gm = np.ascontiguousarray(gm)  # uploaded as bf16
+    else:
+        plan.act_gm = None
     return plan
 
 
@@ -201,6 +223,8 @@ def _apply_splits(plan):
         plan.val = jnp.asarray(plan.val)
         plan.act_lo = jnp.asarray(plan.act_lo)
         plan.act_hi = jnp.asarray(plan.act_hi)
+        if plan.act_gm is not None:
+            plan.act_gm = jnp.asarray(plan.act_gm, jnp.bfloat16)
         return plan
     S = max(plan.rows // SUBR, 1)
     segs = plan.splits
@@ -227,6 +251,10 @@ def _apply_splits(plan):
                         for (c0, b0, c1) in bounds)
     plan.act_hi = tuple(jnp.asarray(ahi[c0 * S:c1 * S])
                         for (c0, b0, c1) in bounds)
+    if plan.act_gm is not None:
+        agm = np.asarray(plan.act_gm)
+        plan.act_gm = tuple(jnp.asarray(agm[c0 * S:c1 * S], jnp.bfloat16)
+                            for (c0, b0, c1) in bounds)
     return plan
 
 
@@ -908,10 +936,17 @@ def _spmv2u_call(plan_arrays, plan_static, x, reduce_kind, process,
     aux_static = plan_static[9] if len(plan_static) > 9 else None
     kb, blkid, pk, po, val = plan_arrays[:5]
     use_val = val is not None
-    n_base = 9 if len(plan_static) > 9 and plan_static[9] is not None \
-        else 5
-    act_pair = (plan_arrays[n_base:n_base + 2]
-                if len(plan_arrays) > n_base + 1 else None)
+
+    def _arr(i):
+        return plan_arrays[i] if len(plan_arrays) > i else None
+    # fixed layout (plan_call_args): 5-6 aux kb/pk, 7-8 vlo/vhi,
+    # 9-10 act_lo/act_hi, 11 act_gm, 12 act_vm; dist tile callers pass
+    # only the first 5 and get the in-trace fallbacks
+    aux_arrs = (_arr(5), _arr(6))
+    vlo_a, vhi_a = _arr(7), _arr(8)
+    act_pair = ((_arr(9), _arr(10))
+                if _arr(9) is not None else None)
+    act_gm_a, act_vm_a = _arr(11), _arr(12)
     G = wr // LANE
     GA = 2 * G if want_got else G
     S = max(rows // SUBR, 1)
@@ -919,27 +954,49 @@ def _spmv2u_call(plan_arrays, plan_static, x, reduce_kind, process,
     sparse = sent is not None
     pref = None
     vact = None
+    gact_f = None
     if sparse:
         if sent.shape[0] < h_src * LANE:
             sent = jnp.pad(sent, (0, h_src * LANE - sent.shape[0]))
-        rowact = jnp.any(sent[: h_src * LANE].reshape(h_src, LANE),
-                         axis=1).astype(jnp.int32)
-        pref = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                                jnp.cumsum(rowact)])
-        if h > h_src:
-            # virtual-row activity: each compact row carries its real
-            # entries' source-row range [vlo, vhi) (host-precomputed),
-            # so activity is one prefix-range test over the source
-            # row-activity — a tight superset of the exact per-lane
-            # mask (supersets are CORRECT: inactive senders' values are
-            # identity-filled upstream).  This replaced an exact aux
-            # Pallas pass per direction per iteration (PERF round 4).
-            vlo, vhi = plan_arrays[7], plan_arrays[8]
-            vact = (jnp.take(pref, vhi) - jnp.take(pref, vlo)) > 0
-            # extend the prefix over the virtual rows: pref_ext[h_src+j]
-            # = pref[h_src] + (# active virtual rows < j)
-            pref = jnp.concatenate(
-                [pref, pref[-1] + jnp.cumsum(vact.astype(jnp.int32))])
+        sentm = sent[: h_src * LANE].reshape(h_src, LANE)
+        use_gm = (act_gm_a is not None
+                  and (h == h_src or act_vm_a is not None))
+        if use_gm:
+            # matmul activity (the fast path): granule activity vector
+            # ⊗ plan-static overlap matrix.  A TPU 1D gather costs
+            # ~26 ns/index, so the take-based range test below cost
+            # ~0.27 ms/level at RMAT-20 — the single largest BFS
+            # per-level fixed cost (PERF round 4 microbench).
+            ngran_src = h_src // ACT_GRAN
+            gact = jnp.any(sentm.reshape(ngran_src, ACT_GRAN * LANE),
+                           axis=1)
+            if h > h_src:
+                gsrc_f = gact.astype(jnp.bfloat16)
+                vact = jnp.matmul(
+                    act_vm_a, gsrc_f,
+                    preferred_element_type=jnp.float32) > 0
+                hcg = (h - h_src) // ACT_GRAN
+                gact = jnp.concatenate(
+                    [gact, jnp.any(vact.reshape(hcg, ACT_GRAN),
+                                   axis=1)])
+            gact_f = gact.astype(jnp.bfloat16)
+        else:
+            rowact = jnp.any(sentm, axis=1).astype(jnp.int32)
+            pref = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                    jnp.cumsum(rowact)])
+            if h > h_src:
+                # virtual-row activity: each compact row carries its
+                # real entries' source-row range [vlo, vhi), so
+                # activity is one prefix-range test over the source
+                # row-activity — a tight superset of the exact
+                # per-lane mask (supersets are CORRECT: inactive
+                # senders' values are identity-filled upstream)
+                vact = (jnp.take(pref, vhi_a)
+                        - jnp.take(pref, vlo_a)) > 0
+                # extend the prefix over the virtual rows
+                pref = jnp.concatenate(
+                    [pref,
+                     pref[-1] + jnp.cumsum(vact.astype(jnp.int32))])
     if aux_static is not None:
         # hypersparse compaction: materialize the virtual compact rows
         # (one cheap gather pass per super-block) and extend the operand
@@ -955,11 +1012,10 @@ def _spmv2u_call(plan_arrays, plan_static, x, reduce_kind, process,
             ident = {"sum": 0.0, "min": 1e30, "max": -1e30}[reduce_kind]
             xc = jax.lax.cond(
                 jnp.any(vact),
-                lambda: _aux_call(plan_arrays[5:7], aux_static, x2,
-                                  interpret),
+                lambda: _aux_call(aux_arrs, aux_static, x2, interpret),
                 lambda: jnp.full((hc, LANE), ident, jnp.float32))
         else:
-            xc = _aux_call(plan_arrays[5:7], aux_static, x2, interpret)
+            xc = _aux_call(aux_arrs, aux_static, x2, interpret)
         x2 = jnp.concatenate([x2, xc], axis=0)
 
     if x2_hbm is None:
@@ -1012,23 +1068,34 @@ def _spmv2u_call(plan_arrays, plan_static, x, reduce_kind, process,
             kb_s, blk_s, pk_s, po_s = kb, blkid, pk, po
             val_s = val
         if sparse:
-            if act_pair is not None:
-                alo, ahi = act_pair
-                if multi:
-                    alo, ahi = alo[k], ahi[k]
+            if gact_f is not None:
+                gm_s = act_gm_a[k] if multi else act_gm_a
+                sub_act = jnp.matmul(
+                    gm_s, gact_f,
+                    preferred_element_type=jnp.float32) > 0
+                cact = jnp.any(sub_act.reshape(nc_s, S), axis=1)
+                idxs = jnp.arange(nc_s, dtype=jnp.int32)
+                eff = jnp.maximum(
+                    jax.lax.cummax(jnp.where(cact, idxs, -1)), 0)
+                act = cact.astype(jnp.int32)
             else:
-                # caller without plan-precomputed ranges (stacked dist
-                # tile plans): decode kind/base in-trace
-                wlen = jnp.asarray(np.array([16] + list(classes)),
-                                   jnp.int32)
-                kd = (kb_s >> KB_KIND_SHIFT) & 15
-                bs = (kb_s & ((1 << 22) - 1)) << 3
-                alo = jnp.where(kd == 0, 0, bs)
-                ahi = jnp.minimum(alo + jnp.take(wlen, kd), h)
-                padm = (kb_s & KB_PAD) != 0
-                alo = jnp.where(padm, 0, alo)
-                ahi = jnp.where(padm, 0, ahi)
-            act, eff = _chunk_activity_u(pref, alo, ahi, nc_s, S)
+                if act_pair is not None:
+                    alo, ahi = act_pair
+                    if multi:
+                        alo, ahi = alo[k], ahi[k]
+                else:
+                    # caller without plan-precomputed ranges (stacked
+                    # dist tile plans): decode kind/base in-trace
+                    wlen = jnp.asarray(np.array([16] + list(classes)),
+                                       jnp.int32)
+                    kd = (kb_s >> KB_KIND_SHIFT) & 15
+                    bs = (kb_s & ((1 << 22) - 1)) << 3
+                    alo = jnp.where(kd == 0, 0, bs)
+                    ahi = jnp.minimum(alo + jnp.take(wlen, kd), h)
+                    padm = (kb_s & KB_PAD) != 0
+                    alo = jnp.where(padm, 0, alo)
+                    ahi = jnp.where(padm, 0, ahi)
+                act, eff = _chunk_activity_u(pref, alo, ahi, nc_s, S)
             operands = (kb_s, blk_s, act, eff)
         else:
             operands = (kb_s, blk_s)
@@ -1088,14 +1155,17 @@ def plan_call_args(plan: Spmv2uPlan, use_val: bool = True):
             aux.pk = jnp.asarray(aux.pk)
             aux.vlo = jnp.asarray(aux.vlo)
             aux.vhi = jnp.asarray(aux.vhi)
+            if aux.act_vm is not None:
+                aux.act_vm = jnp.asarray(aux.act_vm, jnp.bfloat16)
         arrays = (plan.kb, plan.blkid, plan.pk, plan.po,
                   plan.val if use_val else None, aux.kb, aux.pk,
-                  aux.vlo, aux.vhi, plan.act_lo, plan.act_hi)
+                  aux.vlo, aux.vhi, plan.act_lo, plan.act_hi,
+                  plan.act_gm, aux.act_vm)
         aux_static = (aux.h, aux.hc, aux.W, aux.naux, aux.rows)
     else:
         arrays = (plan.kb, plan.blkid, plan.pk, plan.po,
-                  plan.val if use_val else None, plan.act_lo,
-                  plan.act_hi)
+                  plan.val if use_val else None, None, None, None,
+                  None, plan.act_lo, plan.act_hi, plan.act_gm, None)
         aux_static = None
     static = (plan.h, plan.wr, plan.nb, plan.nc, plan.n_pad,
               plan.classes, plan.rows, plan.splits, h_src, aux_static)

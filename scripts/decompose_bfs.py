@@ -111,22 +111,47 @@ def main():
     S = max(rows // u.SUBR, 1)
     kb = arrays[0]
 
-    n_base = 9 if aux_static is not None else 5
+    use_gm = (len(arrays) > 11 and arrays[11] is not None
+              and (h == h_src or arrays[12] is not None))
+    print(f"activity path: {'matmul (act_gm)' if use_gm else 'takes'}",
+          flush=True)
 
     @jax.jit
     def acteff_chain(arrays, sent0):
         def one(sent, _):
-            rowact = jnp.any(sent[: h_src * u.LANE].reshape(
-                h_src, u.LANE), axis=1).astype(jnp.int32)
-            pref = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                                    jnp.cumsum(rowact)])
-            if h > h_src and aux_static is not None:
-                vlo, vhi = arrays[7], arrays[8]
-                vact = (jnp.take(pref, vhi) - jnp.take(pref, vlo)) > 0
-                pref = jnp.concatenate(
-                    [pref, pref[-1] + jnp.cumsum(vact.astype(jnp.int32))])
-            act, eff = u._chunk_activity_u(pref, arrays[n_base],
-                                           arrays[n_base + 1], nc, S)
+            sentm = sent[: h_src * u.LANE].reshape(h_src, u.LANE)
+            if use_gm:
+                ngran_src = h_src // u.ACT_GRAN
+                gact = jnp.any(sentm.reshape(
+                    ngran_src, u.ACT_GRAN * u.LANE), axis=1)
+                if h > h_src:
+                    vact = jnp.matmul(
+                        arrays[12], gact.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32) > 0
+                    hcg = (h - h_src) // u.ACT_GRAN
+                    gact = jnp.concatenate(
+                        [gact, jnp.any(vact.reshape(hcg, u.ACT_GRAN),
+                                       axis=1)])
+                sub_act = jnp.matmul(
+                    arrays[11], gact.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32) > 0
+                cact = jnp.any(sub_act.reshape(nc, S), axis=1)
+                idxs = jnp.arange(nc, dtype=jnp.int32)
+                act = jnp.maximum(
+                    jax.lax.cummax(jnp.where(cact, idxs, -1)), 0)
+            else:
+                rowact = jnp.any(sentm, axis=1).astype(jnp.int32)
+                pref = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                        jnp.cumsum(rowact)])
+                if h > h_src and aux_static is not None:
+                    vlo, vhi = arrays[7], arrays[8]
+                    vact = (jnp.take(pref, vhi)
+                            - jnp.take(pref, vlo)) > 0
+                    pref = jnp.concatenate(
+                        [pref,
+                         pref[-1] + jnp.cumsum(vact.astype(jnp.int32))])
+                act, eff = u._chunk_activity_u(pref, arrays[9],
+                                               arrays[10], nc, S)
             # chain dependence through act
             return sent ^ (act.sum() < -1), 0.0
         out, _ = jax.lax.scan(one, sent0, None, length=reps)
