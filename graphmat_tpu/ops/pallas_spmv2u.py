@@ -939,14 +939,23 @@ def _spmv2u_call(plan_arrays, plan_static, x, reduce_kind, process,
 
     def _arr(i):
         return plan_arrays[i] if len(plan_arrays) > i else None
-    # fixed layout (plan_call_args): 5-6 aux kb/pk, 7-8 vlo/vhi,
-    # 9-10 act_lo/act_hi, 11 act_gm, 12 act_vm; dist tile callers pass
-    # only the first 5 and get the in-trace fallbacks
-    aux_arrs = (_arr(5), _arr(6))
-    vlo_a, vhi_a = _arr(7), _arr(8)
-    act_pair = ((_arr(9), _arr(10))
-                if _arr(9) is not None else None)
-    act_gm_a, act_vm_a = _arr(11), _arr(12)
+    # compact layout (trailing slots absent rather than None — shard_map
+    # specs cannot carry Nones): with aux, 5-6 aux kb/pk, 7-8 vlo/vhi,
+    # then act_lo/act_hi [+ act_gm, act_vm]; without aux the act slots
+    # start at 5.  Callers passing only the first 5 (legacy dist tile
+    # stacks) get the in-trace decode fallbacks.
+    has_aux = len(plan_static) > 9 and plan_static[9] is not None
+    if has_aux:
+        aux_arrs = (plan_arrays[5], plan_arrays[6])
+        vlo_a, vhi_a = _arr(7), _arr(8)
+        ab = 9
+    else:
+        aux_arrs = None
+        vlo_a = vhi_a = None
+        ab = 5
+    act_pair = ((_arr(ab), _arr(ab + 1))
+                if _arr(ab) is not None else None)
+    act_gm_a, act_vm_a = _arr(ab + 2), _arr(ab + 3)
     G = wr // LANE
     GA = 2 * G if want_got else G
     S = max(rows // SUBR, 1)
@@ -1159,13 +1168,16 @@ def plan_call_args(plan: Spmv2uPlan, use_val: bool = True):
                 aux.act_vm = jnp.asarray(aux.act_vm, jnp.bfloat16)
         arrays = (plan.kb, plan.blkid, plan.pk, plan.po,
                   plan.val if use_val else None, aux.kb, aux.pk,
-                  aux.vlo, aux.vhi, plan.act_lo, plan.act_hi,
-                  plan.act_gm, aux.act_vm)
+                  aux.vlo, aux.vhi, plan.act_lo, plan.act_hi)
+        if plan.act_gm is not None and aux.act_vm is not None:
+            arrays = arrays + (plan.act_gm, aux.act_vm)
         aux_static = (aux.h, aux.hc, aux.W, aux.naux, aux.rows)
     else:
         arrays = (plan.kb, plan.blkid, plan.pk, plan.po,
-                  plan.val if use_val else None, None, None, None,
-                  None, plan.act_lo, plan.act_hi, plan.act_gm, None)
+                  plan.val if use_val else None, plan.act_lo,
+                  plan.act_hi)
+        if plan.act_gm is not None:
+            arrays = arrays + (plan.act_gm,)
         aux_static = None
     static = (plan.h, plan.wr, plan.nb, plan.nc, plan.n_pad,
               plan.classes, plan.rows, plan.splits, h_src, aux_static)

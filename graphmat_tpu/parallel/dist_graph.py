@@ -400,30 +400,42 @@ class DistGraph:
                                    plans[0].n_send_pad, eidx)
         return self._pallas_plans[key]
 
-    def pallas_tile_plans2u(self, receiver: str, wr: int = 4096):
+    def pallas_tile_plans2u(self, receiver: str, wr: int = 4096,
+                            compact=None, build_kw=None):
         """Stacked per-tile v2u (unified) plans — one plan set serves
-        every scalar reduce kind on the mesh."""
-        key = ("v2u", receiver, wr)
+        every scalar reduce kind on the mesh.
+
+        ``compact``: per-tile hypersparse compaction (the DCSC analog —
+        2D tiling is exactly what makes tiles hypersparse,
+        ``DCSCTile.h:70-76``).  Default "auto" enables it per tile
+        beyond ``H_COMPACT_MIN`` source rows; tiles' aux plans pad to a
+        common (naux, hc) so the stacked static stays uniform (pad aux
+        chunks chain their window loads and write rows no slot
+        references; tiles that did not compact get all-pad aux)."""
+        import os as _os
+        if compact is None:
+            env = _os.environ.get("GRAPHMAT_DIST_COMPACT")
+            compact = "auto" if env is None else env not in ("0", "")
+        bkw = dict(build_kw or {})
+        key = ("v2u", receiver, wr, str(compact), str(sorted(bkw.items())))
         if key in self._pallas_plans:
             return self._pallas_plans[key]
         if receiver not in self._host_tiles:
             raise ValueError(f"no host tiles for receiver={receiver}")
         from ..ops.pallas_spmv2u import build_spmv2u_plan
         R, C, S = self.R, self.C, self.S
-        # compact=False: each tile holds ~1/(R*C) of the edges (below the
-        # hypersparse-compaction payoff) and pad_stack cannot stack
-        # per-tile aux plans.  Tile builds run thread-parallel — the
-        # native planner releases the GIL for the heavy phases (the
-        # reference builds tiles inside an OpenMP region, DCSCTile.h:252).
+        # Tile builds run thread-parallel — the native planner releases
+        # the GIL for the heavy phases (the reference builds tiles
+        # inside an OpenMP region, DCSCTile.h:252).
         from concurrent.futures import ThreadPoolExecutor
-        import os as _os
         tiles = self._host_tiles[receiver]
         workers = max(1, min(len(tiles), _os.cpu_count() or 1))
         with ThreadPoolExecutor(workers) as ex:
             plans = list(ex.map(
                 lambda t: build_spmv2u_plan(t[0], t[1], t[2], R * S,
                                             wr=wr, n_recv=C * S,
-                                            compact=False), tiles))
+                                            compact=compact, **bkw),
+                tiles))
         # segmented plans store kb/pk/po/val as per-segment tuples, which
         # pad_stack below cannot stack — fail here with the real reason
         # rather than a cryptic np.asarray error (per-tile blkid streams
@@ -434,9 +446,11 @@ class DistGraph:
                 f"(segmented into {len(p.splits)}); use a larger mesh or wr"
         nc_max = max(p.nc for p in plans)
         nb = plans[0].nb
+        h_src = plans[0].h_src or plans[0].h
         assert all(p.classes == plans[0].classes for p in plans)
+        assert all((p.h_src or p.h) == h_src for p in plans)
 
-        from ..ops.pallas_spmv2u import SUBR
+        from ..ops.pallas_spmv2u import KB_SAME, LANE, SUBR
         subs = max(plans[0].rows // SUBR, 1)   # kb entries per chunk
 
         def pad_stack(name, fill, pad_blk=False, scale=1):
@@ -463,10 +477,55 @@ class DistGraph:
             jax.device_put(pad_stack("po", wr_eff), sh),  # pad out-lane
             jax.device_put(pad_stack("val", 0), sh),
         )
+        aux_static = None
+        have_aux = any(p.aux is not None for p in plans)
+        if have_aux:
+            auxs = [p.aux for p in plans if p.aux is not None]
+            w_aux = auxs[0].W
+            aux_rows = auxs[0].rows
+            assert all(a.W == w_aux and a.rows == aux_rows for a in auxs)
+            hc_max = max(a.hc for a in auxs)
+            naux_max = hc_max // aux_rows
+            s_aux = aux_rows // SUBR
+            lane_pk = np.tile(np.arange(LANE, dtype=np.int32),
+                              (aux_rows, 1))
+            akb, apk, avlo, avhi = [], [], [], []
+            for p in plans:
+                a = p.aux
+                kb_t = np.full(naux_max * s_aux, KB_SAME, np.int32)
+                pk_t = np.tile(lane_pk, (naux_max, 1, 1))
+                vlo_t = np.zeros(hc_max, np.int32)
+                vhi_t = np.zeros(hc_max, np.int32)
+                if a is not None:
+                    kb_t[: a.naux * s_aux] = np.asarray(a.kb)
+                    pk_t[: a.naux] = np.asarray(a.pk)
+                    vlo_t[: a.hc] = np.asarray(a.vlo)
+                    vhi_t[: a.hc] = np.asarray(a.vhi)
+                akb.append(kb_t)
+                apk.append(pk_t)
+                avlo.append(vlo_t)
+                avhi.append(vhi_t)
+            arrays = arrays + (
+                jax.device_put(np.stack(akb), sh),
+                jax.device_put(np.stack(apk), sh),
+                jax.device_put(np.stack(avlo), sh),
+                jax.device_put(np.stack(avhi), sh),
+                jax.device_put(pad_stack("act_lo", 0, scale=subs), sh),
+                jax.device_put(pad_stack("act_hi", 0, scale=subs), sh),
+            )
+            aux_static = (h_src, hc_max, w_aux, naux_max, aux_rows)
+            h_static = h_src + hc_max
+        else:
+            arrays = arrays + (
+                jax.device_put(pad_stack("act_lo", 0, scale=subs), sh),
+                jax.device_put(pad_stack("act_hi", 0, scale=subs), sh),
+            )
+            h_static = plans[0].h
         got = np.stack([np.asarray(p.got_static) for p in plans])
         got_d = jax.device_put(got, sh)
-        static = (plans[0].h, wr_eff, nb, nc_max, plans[0].n_pad,
-                  plans[0].classes, plans[0].rows, ((0, 0),))
+        static = (h_static, wr_eff, nb, nc_max, plans[0].n_pad,
+                  plans[0].classes, plans[0].rows, ((0, 0),), h_src,
+                  aux_static)
         eidx = (pad_stack("eidx", -1)
                 if all(p.eidx is not None for p in plans) else None)
         self._pallas_plans[key] = (arrays, static, got_d,

@@ -298,7 +298,10 @@ class DistEngine:
                 static, n_send_pad = self._pplan_static_for(recv)
                 local = tuple(a[0] for a in arrays)
                 if v2 and not sem.uses_edge_value:
-                    local = local[:-1] + (None,)   # skip the val stream
+                    # skip the val stream (slot 4 in the v2u layout; the
+                    # legacy v2/v2m stacks still keep val last)
+                    vi = 4 if v3 else len(local) - 1
+                    local = local[:vi] + (None,) + local[vi + 1:]
                 sent_arg = None
                 if v2 and sent_bool_col is not None:
                     sent_arg = sent_bool_col

