@@ -4,23 +4,23 @@ Emits one JSON line per workload, then ONE final combined line (the
 driver's record) whose headline metric stays PageRank GTEPS/chip and
 whose ``workloads`` dict carries the full per-workload records:
 
-* ``pagerank``  — sum kernel, dense frontier, 50 fixed iterations
+* ``pagerank``  — sum kernel, dense frontier, 200 fixed iterations
   (reference: ``src/PageRank.cpp:82-112``).
 * ``bfs``       — min kernel, ACTIVE_ONLY frontier, until-convergence,
-  chained restarts from 16 sources inside ONE dispatch (Graph500-style
-  TEPS = nnz per BFS / time; the axon tunnel costs ~130 ms per dispatch,
-  so a single 7-iteration BFS would measure host latency, not the chip).
+  chained restarts from 64 sources inside ONE dispatch (Graph500
+  aggregate TEPS over traversed-component edge counts; chaining
+  amortizes the ~25 ms tunnel dispatch latency).
   Reference: ``src/BFS.cpp:83-97``.
 * ``sssp``      — min kernel WITH the edge-value stream, dense
   all-vertex relaxation, 50 fixed iterations (the reference's SSSP is
-  all-active Bellman-Ford, ``src/SSSP.cpp:73-79``; fixed-count extra
+  all-active Bellman-Ford, ``src/SSSP.cpp:73-79``; 200 fixed extra
   iterations are value no-ops, so distances stay correct).
 * ``sgd``       — K=20 collaborative filtering on the vec2 kernel, the
-  PERF.md 1M-rating protocol (60K users x 20K items), 20 engine
+  PERF.md 1M-rating protocol (60K users x 20K items), 60 engine
   iterations per dispatch + RMSE before/after
   (reference: ``src/SGD.cpp:95-117,170-200``).
 * ``lda``       — K=20 topic model on the vec2 kernel, 1M tokens over a
-  30K x 10K doc-term matrix, 10 iterations + log-likelihood trajectory
+  30K x 10K doc-term matrix, 30 iterations + log-likelihood trajectory
   (reference: ``src/LDA.cpp:263-345``).
 * ``tc``        — TriangleCounting, degree-bucketed scalable path on the
   shared RMAT graph, undirected edges/s
@@ -29,7 +29,7 @@ whose ``workloads`` dict carries the full per-workload records:
 Every workload reports median-of-5 with the per-rep list — the axon
 tunnel swings ±15-20% per run, so the BENCH_r* record needs the spread.
 
-Env knobs: GRAPHMAT_BENCH_SCALE (default 20), GRAPHMAT_BENCH_ITERS (50),
+Env knobs: GRAPHMAT_BENCH_SCALE (default 20), GRAPHMAT_BENCH_ITERS (200),
 GRAPHMAT_BENCH_EDGEFACTOR (16), GRAPHMAT_BENCH_REPS (5),
 GRAPHMAT_BENCH_WORKLOADS (comma list; default all four).
 """
@@ -43,7 +43,13 @@ import traceback
 import numpy as np
 
 SCALE = int(os.environ.get("GRAPHMAT_BENCH_SCALE", "20"))
-ITERS = int(os.environ.get("GRAPHMAT_BENCH_ITERS", "50"))
+# 200 iterations per dispatch: the axon tunnel costs ~25 ms of host
+# dispatch+fetch latency per measured run (PERF.md round 4 calibration:
+# wall = 25 ms + iters * slope), which at the former 50 iterations
+# inflated per-iteration time ~20%.  The metric is sustained per-edge
+# throughput; the fixed tunnel cost is a harness artifact, amortized
+# here to ~3%.
+ITERS = int(os.environ.get("GRAPHMAT_BENCH_ITERS", "200"))
 EDGE_FACTOR = int(os.environ.get("GRAPHMAT_BENCH_EDGEFACTOR", "16"))
 REPS = int(os.environ.get("GRAPHMAT_BENCH_REPS", "5"))
 BFS_SOURCES = int(os.environ.get("GRAPHMAT_BENCH_BFS_SOURCES", "64"))
@@ -160,40 +166,71 @@ def bench_bfs(e, g):
     import jax
     import jax.numpy as jnp
 
-    from graphmat_tpu.apps.bfs import BFSProgram, INF_DEPTH, init_bfs_graph
+    from graphmat_tpu import Graph
+    from graphmat_tpu.apps.bfs import (BFSFastProgram, BFSProgram,
+                                       INF_DEPTH, INF_KEY, KEY_BIAS,
+                                       build_bfs_shortcuts,
+                                       init_bfs_graph, run_bfs)
     from graphmat_tpu.core.runtime import Engine
 
-    init_bfs_graph(g, 1)     # template vp (ids, INF depths)
-    eng = Engine(BFSProgram(), g)
+    # ---- kernel 1 (timed separately, reported in config): whisker
+    # shortcut preprocessing + graph/plan build over the augmented edges
+    t0 = time.time()
+    e_aug, pred0, ind1 = build_bfs_shortcuts(e)
+    gf = Graph(e_aug, build_in_edges=False, permute="degree")
+    kernel1_s = time.time() - t0
+    bits = max(int(np.ceil(np.log2(gf.n_pad))), 1)
+    prog = BFSFastProgram(bits)
+    gf.init_vertexproperty(key=np.int32(INF_KEY))
+    eng = Engine(prog, gf)
     structure = eng._structure()
-    id_plane = g.vp["id"]
-    parent0 = jnp.full(g.n_pad, -1, jnp.int32)
-    iota = jnp.arange(g.n_pad, dtype=jnp.int32)
+    iota = jnp.arange(gf.n_pad, dtype=jnp.int32)
 
-    # out-degree plane in internal order (for per-component edge counts)
-    deg_int = np.zeros(g.n_pad, np.int64)
-    odeg = np.bincount(e.src - 1, minlength=g.n)
-    if g.perm is None:
-        deg_int[: g.n] = odeg
+    # ORIGINAL out-degree plane in gf's internal order (component edge
+    # counts must not include the synthetic shortcut edges)
+    deg_int = np.zeros(gf.n_pad, np.int64)
+    odeg = np.bincount(e.src - 1, minlength=gf.n)
+    if gf.perm is None:
+        deg_int[: gf.n] = odeg
     else:
-        deg_int[g.perm] = odeg
+        deg_int[np.asarray(gf.perm)] = odeg
     deg_plane = jnp.asarray(deg_int.astype(np.int64))
+    # forced parents for shortcut targets (in-deg-1), internal order
+    pred_plane_np = np.zeros(gf.n_pad, np.int64)
+    ind1_plane_np = np.zeros(gf.n_pad, bool)
+    if gf.perm is None:
+        pred_plane_np[: gf.n] = np.maximum(pred0, 0)
+        ind1_plane_np[: gf.n] = ind1
+    else:
+        pred_plane_np[np.asarray(gf.perm)] = np.maximum(pred0, 0)
+        ind1_plane_np[np.asarray(gf.perm)] = ind1
+    pred_plane = jnp.asarray(pred_plane_np.astype(np.int32))
+    ind1_plane = jnp.asarray(ind1_plane_np)
 
     @jax.jit
     def bfs_many(structure, sources0):
         def one(carry, src0):
-            vp = {"depth": jnp.where(iota == src0, 0,
-                                     jnp.int32(INF_DEPTH)),
-                  "parent": parent0, "id": id_plane}
+            vp = {"key": jnp.where(iota == src0,
+                                   jnp.int32(KEY_BIAS) + src0,
+                                   jnp.int32(INF_KEY))}
             active = iota == src0
             it, _st, vpo, _a, _c = eng._run_conv(
-                structure, jnp.int32(1), vp, active, jnp.int32(128))
-            reach_mask = vpo["depth"] != INF_DEPTH
+                structure, jnp.int32(0), vp, active, jnp.int32(128))
+            key = vpo["key"]
+            reach_mask = key < INF_KEY
+            # BFS-tree output: depth + parent (shortcut winners take
+            # their forced unique predecessor)
+            kz = jnp.where(reach_mask, key - KEY_BIAS, 0)
+            parent = jnp.where(ind1_plane, pred_plane,
+                               kz & ((1 << bits) - 1))
             reached = jnp.sum(reach_mask.astype(jnp.int32))
             m_k = jnp.sum(jnp.where(reach_mask, deg_plane, 0))
-            return carry + it, (it, reached, m_k)
-        tot, (its, reached, m_ks) = jax.lax.scan(one, jnp.int32(0),
-                                                 sources0)
+            # fold parent/depth into a checksum so the tree OUTPUT stays
+            # in the timed computation (not dead-code-eliminated)
+            chk = jnp.max(parent) + jnp.max(kz >> bits)
+            return carry + it, (it, reached, m_k, chk)
+        tot, (its, reached, m_ks, _) = jax.lax.scan(
+            one, jnp.int32(0), sources0)
         return tot, its, reached, m_ks
 
     # Graph500 kernel-2 sampling: distinct keys, degree >= 1, uniform
@@ -204,6 +241,17 @@ def bench_bfs(e, g):
                    replace=len(cand) < BFS_SOURCES).astype(np.int32))
     tot, its, reached, m_ks = jax.block_until_ready(
         bfs_many(structure, sources))
+
+    # validation (outside timing): the classic level-synchronous BFS
+    # must agree on depths for the first source
+    src0_ext = (int(np.flatnonzero(np.asarray(gf.perm)
+                                   == int(sources[0]))[0]) + 1
+                if gf.perm is not None else int(sources[0]) + 1)
+    d_ref, _p, _i = run_bfs(g, src0_ext)
+    gf.init_vertexproperty(key=np.int32(INF_KEY))
+    from graphmat_tpu.apps.bfs import run_bfs_fast
+    d_fast, _pf, _nf = run_bfs_fast(gf, src0_ext, pred0, ind1)
+    assert (d_fast == d_ref).all(), "fast BFS depths diverge from classic"
 
     def once():
         t0 = time.time()
@@ -224,6 +272,10 @@ def bench_bfs(e, g):
                        "counts / total time (aggregate TEPS; harmonic "
                        "mean needs per-search host timing — see "
                        "docstring)",
+         "algorithm": "packed-key min-plus with whisker shortcuts "
+                      "(kernel-1 preprocessing; depths validated vs "
+                      "the classic level loop)",
+         "kernel1_build_s": round(kernel1_s, 2),
          "iters_per_bfs": [int(x) for x in its_np],
          "component_medges": [round(float(x) / 1e6, 2) for x in m_np],
          "reached_median": int(np.median(reached_np))},
@@ -304,7 +356,7 @@ def bench_sgd():
     g = Graph(el)
     prog = SGDProgram(k=K)
 
-    sgd_iters = 20
+    sgd_iters = 60   # amortizes the ~25 ms tunnel dispatch to ~2%
     init_sgd_graph(g, K)
     g.set_all_active()
     rmse_before = rmse_per_edge(g, k=K)
@@ -335,6 +387,7 @@ def bench_sgd():
         "sgd_cf_edge_updates_per_s", mups, "M upd/s", 92.9,
         {"graph": f"ratings {nu}x{ni}", "nnz": nr, "k": K,
          "iters": sgd_iters,
+         "per_iter_note": "60 iters/dispatch amortizes ~25ms tunnel latency",
          "rmse_before": round(float(rmse_before), 6),
          "rmse_after": round(float(rmse_after), 6),
          "baseline": "round-3 same-session pre-rework vec2: 92.9M upd/s"},
@@ -367,7 +420,7 @@ def bench_lda():
     cnt = np.minimum(rng.zipf(2.0, ntok), 50).astype(np.float64)
     el = EdgeList(src=docs, dst=terms, val=cnt, m=n, n=n)
     g = Graph(el)
-    lda_iters = 10
+    lda_iters = 30   # amortizes the ~25 ms tunnel dispatch
 
     def loglik(global_n):
         eng_ll = Engine(LDALLProgram(jnp.asarray(global_n), 5.0, nterms,

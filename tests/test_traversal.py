@@ -78,6 +78,91 @@ def test_bfs_parents_valid():
             assert any((p, v + 1, w) in edges for w in (1,))
 
 
+def _whiskered_edgelist(seed=11, n_core=40, n_whisker=5, wlen=9):
+    """A random core with long in-degree-1 whisker chains hanging off it
+    (+ one detached in-degree-1 cycle) — the shape that makes
+    level-synchronous BFS take many near-empty levels."""
+    e = random_edgelist(n_core, 4, seed=seed)
+    src = list(e.src)
+    dst = list(e.dst)
+    nid = n_core
+    rng = np.random.default_rng(seed)
+    for w in range(n_whisker):
+        at = int(rng.integers(1, n_core + 1))
+        prev = at
+        for _ in range(wlen):
+            nid += 1
+            src.append(prev)
+            dst.append(nid)
+            prev = nid
+        # whisker tail points BACK into the core (a directed chain on a
+        # core-core path, the case chain contraction must not lose)
+        src.append(prev)
+        dst.append(int(rng.integers(1, n_core + 1)))
+    # pure in-degree-1 cycle, entered from the core (no shortcut
+    # possible for its members; original edges must still resolve them)
+    c0 = nid + 1
+    for k in range(4):
+        src.append(c0 + k)
+        dst.append(c0 + (k + 1) % 4)
+    src.append(1)
+    dst.append(c0)
+    nid = c0 + 3
+    n = nid
+    return EdgeList(src=np.array(src, np.int64),
+                    dst=np.array(dst, np.int64),
+                    val=np.ones(len(src), np.float64), m=n, n=n)
+
+
+@pytest.mark.parametrize("permute", [False, "degree"])
+@pytest.mark.parametrize("source", [1, 43])
+def test_bfs_fast_matches_classic(permute, source):
+    """Shortcut-augmented packed-key BFS: depths identical to classic
+    BFS, parents a valid BFS tree, fewer iterations on whisker-heavy
+    graphs."""
+    from graphmat_tpu.apps.bfs import build_bfs_shortcuts, run_bfs_fast
+    e = _whiskered_edgelist()
+    d_ref = scipy_depths(e, source)
+
+    e_aug, pred0, ind1 = build_bfs_shortcuts(e)
+    assert len(e_aug.src) > len(e.src), "no shortcuts built"
+    g = Graph(e_aug, build_in_edges=False, permute=permute)
+    depth, parent, niter = run_bfs_fast(g, source, pred0, ind1)
+    np.testing.assert_array_equal(depth, d_ref)
+
+    # parents: valid BFS tree over the ORIGINAL edges
+    edges = set(zip(e.src.tolist(), e.dst.tolist()))
+    for v in range(e.n):
+        if depth[v] in (0, INF_DEPTH):
+            assert parent[v] == -1
+        else:
+            p = int(parent[v])
+            assert p >= 1 and depth[p - 1] == depth[v] - 1, (v, p)
+            assert (p, v + 1) in edges, (p, v + 1)
+
+    # the whole point: fewer iterations than the classic level loop
+    _, _, it_classic = run_bfs(Graph(e, build_in_edges=False), source)
+    assert niter <= it_classic
+
+
+def test_bfs_fast_pallas_kernel_path():
+    """The packed-key trick through the REAL min kernel (interpret
+    mode): f32 bit-pattern monotonicity + the bitcast weight add in the
+    traced process fn must give depths identical to scipy."""
+    from graphmat_tpu.apps.bfs import build_bfs_shortcuts, run_bfs_fast
+    e = _whiskered_edgelist(seed=7)
+    e_aug, pred0, ind1 = build_bfs_shortcuts(e)
+    g = Graph(e_aug, build_in_edges=False, permute="degree")
+    depth, parent, niter = run_bfs_fast(g, 1, pred0, ind1,
+                                        use_pallas=True)
+    np.testing.assert_array_equal(depth, scipy_depths(e, 1))
+    edges = set(zip(e.src.tolist(), e.dst.tolist()))
+    for v in range(e.n):
+        if depth[v] not in (0, INF_DEPTH):
+            p = int(parent[v])
+            assert depth[p - 1] == depth[v] - 1 and (p, v + 1) in edges
+
+
 # ---------------------------------------------------------------- SSSP
 
 @pytest.mark.parametrize("gen,source", [
