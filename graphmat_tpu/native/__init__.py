@@ -81,6 +81,10 @@ def load_planner():
         if hasattr(lib, "gm_plan2m_eidx"):
             lib.gm_plan2m_eidx.restype = None
             lib.gm_plan2m_eidx.argtypes = [ctypes.c_void_p, i32p]
+        if hasattr(lib, "gm_argsort_i64"):
+            i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+            lib.gm_argsort_i64.restype = None
+            lib.gm_argsort_i64.argtypes = [i64p, ctypes.c_int64, i64p]
         if hasattr(lib, "gm_plan2u_create"):
             lib.gm_plan2u_create.restype = ctypes.c_void_p
             lib.gm_plan2u_create.argtypes = [

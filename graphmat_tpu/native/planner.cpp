@@ -1870,10 +1870,23 @@ void* gm_plan2u_create(const int32_t* senders, const int32_t* receivers,
     const int32_t W = p->windows[k];
     cellcnt.assign((size_t)nb * nwin[k], 0);
     if (!last) {
-      for (int64_t i = 0; i < e; ++i)
-        if (kind[i] < 0)
-          cellcnt[(receivers[i] / wr) * nwin[k] + ((senders[i] >> 7) / W)]++;
+      // parallel histogram: per-thread partials merged once (the two
+      // passes per class over all edges were serial and dominated the
+      // classification phase at RMAT-23/24)
+#pragma omp parallel
+      {
+        std::vector<int64_t> local(cellcnt.size(), 0);
+#pragma omp for schedule(static) nowait
+        for (int64_t i = 0; i < e; ++i)
+          if (kind[i] < 0)
+            local[(receivers[i] / wr) * nwin[k]
+                  + ((senders[i] >> 7) / W)]++;
+#pragma omp critical
+        for (size_t c = 0; c < cellcnt.size(); ++c)
+          cellcnt[c] += local[c];
+      }
     }
+#pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < e; ++i) {
       if (kind[i] >= 0) continue;
       const int64_t c =
@@ -1889,7 +1902,14 @@ void* gm_plan2u_create(const int32_t* senders, const int32_t* receivers,
   }
 
   std::vector<int64_t> rawcnt(raw_cells, 0);
-  for (int64_t i = 0; i < e; ++i) rawcnt[rawcell[i]]++;
+#pragma omp parallel
+  {
+    std::vector<int64_t> local(raw_cells, 0);
+#pragma omp for schedule(static) nowait
+    for (int64_t i = 0; i < e; ++i) local[rawcell[i]]++;
+#pragma omp critical
+    for (int64_t c = 0; c < raw_cells; ++c) rawcnt[c] += local[c];
+  }
   struct Cell { int64_t raw; int32_t blk, kind, win; };
   std::vector<Cell> cells;
   for (int64_t rc = 0; rc < raw_cells; ++rc) {
@@ -2245,3 +2265,22 @@ void gm_glibc_square_mapping(int64_t m, uint32_t seed, int32_t* mapping) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Parallel int64 argsort (stable): the hypersparse-compaction divert
+// pass needs two big key sorts (unique (super-block, sender) pairs and
+// the per-(group, lane) rank ordering); numpy's introsort is
+// single-threaded and dominated graph build at RMAT-23/24 (PERF.md
+// round 4).  Mirrors the reference's parallel tile sorts
+// (DCSCTile.h:252-309, __gnu_parallel::sort).
+#include <parallel/algorithm>
+
+extern "C" void gm_argsort_i64(const int64_t* key, int64_t n,
+                               int64_t* order_out) {
+  for (int64_t i = 0; i < n; ++i) order_out[i] = i;
+  __gnu_parallel::sort(order_out, order_out + n,
+                       [&](int64_t a, int64_t b) {
+                         return key[a] < key[b]
+                                || (key[a] == key[b] && a < b);
+                       });
+}

@@ -150,10 +150,30 @@ def divert_stragglers(s: np.ndarray, r: np.ndarray, n_recv_pad: int,
     if ndiv == 0:
         return s, None, h
 
-    # unique (super-block, sender) pairs, sorted sb-major / sender-asc
+    # unique (super-block, sender) pairs, sorted sb-major / sender-asc.
+    # np.unique's single-threaded introsort dominated graph build at
+    # RMAT-23/24 — use the native parallel argsort when available
+    # (planner.cpp gm_argsort_i64, the DCSCTile.h:252 parallel-sort
+    # analog) and derive unique/inverse from the sorted run boundaries.
+    def _argsort(k):
+        from ..native import load_planner
+        lib = load_planner()
+        if lib is not None and hasattr(lib, "gm_argsort_i64"):
+            out = np.empty(len(k), np.int64)
+            lib.gm_argsort_i64(np.ascontiguousarray(k, np.int64),
+                               len(k), out)
+            return out
+        return np.argsort(k, kind="stable")
+
     sb = blk[div] // bpsb
     key = (sb << 34) | s[div]
-    uk, inv = np.unique(key, return_inverse=True)
+    order0 = _argsort(key)
+    ks = key[order0]
+    newu = np.r_[True, ks[1:] != ks[:-1]] if len(ks) else \
+        np.zeros(0, bool)
+    uk = ks[newu]
+    inv = np.empty(len(key), np.int64)
+    inv[order0] = np.cumsum(newu) - 1
     usb = uk >> 34
     usrc = uk & ((1 << 34) - 1)
     # group = (sb, aligned w_aux source window).  The layout is
@@ -171,8 +191,8 @@ def divert_stragglers(s: np.ndarray, r: np.ndarray, n_recv_pad: int,
     grp_of_u = np.repeat(np.arange(len(gsize)), gsize)
     lane_u = (usrc & (LANE - 1)).astype(np.int64)
     # rank within (group, lane): entries are (grp, src)-sorted, so sort
-    # by (grp, lane) stably and count runs
-    order2 = np.lexsort((lane_u, grp_of_u))
+    # by (grp, lane) stably (native parallel argsort) and count runs
+    order2 = _argsort(grp_of_u * LANE + lane_u)
     gl = grp_of_u[order2] * LANE + lane_u[order2]
     runb = np.r_[0, np.flatnonzero(gl[1:] != gl[:-1]) + 1, len(uk)]
     rank_sorted = np.arange(len(uk)) - np.repeat(runb[:-1],
@@ -180,8 +200,8 @@ def divert_stragglers(s: np.ndarray, r: np.ndarray, n_recv_pad: int,
     rank = np.empty(len(uk), np.int64)
     rank[order2] = rank_sorted
     # group rows = max lane occupancy, padded to a SUBR multiple
-    gl_cnt = np.zeros(len(gsize) * LANE, np.int64)
-    np.add.at(gl_cnt, grp_of_u * LANE + lane_u, 1)
+    gl_cnt = np.bincount(grp_of_u * LANE + lane_u,
+                         minlength=len(gsize) * LANE)
     grows = -(-gl_cnt.reshape(-1, LANE).max(axis=1) // SUBR) * SUBR
     grows = np.maximum(grows, SUBR)
     goff = np.r_[0, np.cumsum(grows * LANE)]
