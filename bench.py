@@ -142,7 +142,10 @@ def bench_pagerank(e, g):
         "pagerank_gteps_per_chip", gteps, "GTEPS", 1.5,
         {"graph": f"rmat{SCALE}x{EDGE_FACTOR}", "nnz": int(g.nnz),
          "iters": ITERS, "kernel": os.environ.get("GRAPHMAT_KERNEL",
-                                                  "v2u")},
+                                                  "v2u"),
+         "reference_binary_this_host": "GraphMat v2.0 (g++ -O3, "
+             "2 threads): 72.3 ms/iter = 0.22 GTEPS on the same "
+             "RMAT-20 (PERF.md round 4c)"},
         med, rep_s, g.nnz * ITERS / min(rep_s) / 1e9)
     rec["timings_s"]["warmup_compile"] = round(warm_s, 2)
     return rec
@@ -276,6 +279,12 @@ def bench_bfs(e, g):
                       "(kernel-1 preprocessing; depths validated vs "
                       "the classic level loop)",
          "kernel1_build_s": round(kernel1_s, 2),
+         "reference_binary_this_host": "GraphMat v2.0 (g++ -O3, "
+             "2 threads): 225 ms/BFS = 0.034 GTEPS component-TEPS on "
+             "the same RMAT-20 (PERF.md round 4c)",
+         "accounting_change_note": "r03's 0.43 counted full nnz per "
+             "BFS; the honest figure for the r03 code under this "
+             "accounting is ~0.17",
          "iters_per_bfs": [int(x) for x in its_np],
          "component_medges": [round(float(x) / 1e6, 2) for x in m_np],
          "reached_median": int(np.median(reached_np))},
