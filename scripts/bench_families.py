@@ -89,27 +89,36 @@ def main():
               f"build={t_build:.1f}s plan={t_plan:.1f}s", flush=True)
 
         for kind in ("sum", "min"):
-            @jax.jit
-            def chain(arrays, x):
-                def one(x, _):
-                    y = _spmv2u_call(arrays, static, x, kind,
-                                     _identity_process, interp)
-                    ypad = jnp.pad(y, (0, plan.n_send_pad - y.shape[0])) \
-                        if y.shape[0] < plan.n_send_pad \
-                        else y[: plan.n_send_pad]
-                    return ypad * 0.99 + 0.01, 0.0
-                out, _ = jax.lax.scan(one, x, None, length=reps)
-                return out
+            def make_chain(nreps):
+                @jax.jit
+                def chain(arrays, x):
+                    def one(x, _):
+                        y = _spmv2u_call(arrays, static, x, kind,
+                                         _identity_process, interp)
+                        ypad = jnp.pad(y, (0, plan.n_send_pad - y.shape[0])) \
+                            if y.shape[0] < plan.n_send_pad \
+                            else y[: plan.n_send_pad]
+                        return ypad * 0.99 + 0.01, 0.0
+                    out, _ = jax.lax.scan(one, x, None, length=nreps)
+                    return out
+                return chain
 
+            # slope method (PERF round 4a): the tunnel costs ~25 ms per
+            # dispatch+fetch — per-iter = (t(4R) - t(R)) / 3R
             x0 = jnp.ones(plan.n_send_pad, jnp.float32)
-            float(chain(arrays, x0)[0])      # compile + warm
-            best = np.inf
-            for trial in range(3):
-                t0 = time.perf_counter()
-                float(chain(arrays, x0)[0])
-                dt = (time.perf_counter() - t0) / reps
-                if trial:
-                    best = min(best, dt)
+            ts = {}
+            for nreps in (reps, 4 * reps):
+                ch = make_chain(nreps)
+                float(ch(arrays, x0)[0])      # compile + warm
+                best_t = np.inf
+                for trial in range(3):
+                    t0 = time.perf_counter()
+                    float(ch(arrays, x0)[0])
+                    dt = time.perf_counter() - t0
+                    if trial:
+                        best_t = min(best_t, dt)
+                ts[nreps] = best_t
+            best = (ts[4 * reps] - ts[reps]) / (3 * reps)
             gteps = g.nnz / best / 1e9
             results[(fam, kind)] = gteps
             print(json.dumps({"family": fam, "kind": kind,
