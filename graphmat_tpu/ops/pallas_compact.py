@@ -139,16 +139,21 @@ def divert_stragglers(s: np.ndarray, r: np.ndarray, n_recv_pad: int,
     e = len(s)
     if e == 0:
         return s, None, h
+    # int32 working set: the whole-edge-list passes below are numpy
+    # memory-bandwidth bound (~20 sweeps over e elements) — halving the
+    # element width matters more than any of the compute
     s = np.asarray(s, np.int64)
-    blk = np.asarray(r, np.int64) // wr
+    s32 = np.asarray(s, np.int32)
+    blk32 = (np.asarray(r, np.int32) // np.int32(wr))
     nb = max(n_recv_pad // wr, 1)
     nwin = -(-h // w_div)
-    cell = blk * nwin + (s >> 7) // w_div
+    cell = blk32 * np.int32(nwin) + (s32 >> 7) // np.int32(w_div)
     cnt = np.bincount(cell, minlength=nb * nwin)
-    div = (s >= hub) & (cnt[cell] < divert_min)
+    div = (s32 >= hub) & (cnt[cell] < divert_min)
     ndiv = int(div.sum())
     if ndiv == 0:
         return s, None, h
+    blk = blk32[div].astype(np.int64)
 
     # unique (super-block, sender) pairs, sorted sb-major / sender-asc.
     # np.unique's single-threaded introsort dominated graph build at
@@ -165,7 +170,7 @@ def divert_stragglers(s: np.ndarray, r: np.ndarray, n_recv_pad: int,
             return out
         return np.argsort(k, kind="stable")
 
-    sb = blk[div] // bpsb
+    sb = blk // bpsb                        # blk is already div-selected
     key = (sb << 34) | s[div]
     order0 = _argsort(key)
     ks = key[order0]
