@@ -72,29 +72,41 @@ def main():
             return
 
         def timed(debug):
-            @jax.jit
-            def chain(arrays, x):
-                def one(x, _):
-                    y = _spmv2u_call(arrays, static, x, kind,
-                                     _identity_process, False, debug=debug)
-                    ypad = jnp.pad(y, (0, plan.n_send_pad - y.shape[0])) \
-                        if y.shape[0] < plan.n_send_pad \
-                        else y[: plan.n_send_pad]
-                    return ypad * 0.99 + 0.01, 0.0
-                out, _ = jax.lax.scan(one, x, None, length=reps)
-                return out
+            # slope method (PERF round 4a): per-iter = (t(4R)-t(R))/3R —
+            # a single rep count folds the ~25 ms tunnel dispatch tax in
+            def make(nreps):
+                @jax.jit
+                def chain(arrays, x):
+                    def one(x, _):
+                        y = _spmv2u_call(arrays, static, x, kind,
+                                         _identity_process, False,
+                                         debug=debug)
+                        ypad = jnp.pad(
+                            y, (0, plan.n_send_pad - y.shape[0])) \
+                            if y.shape[0] < plan.n_send_pad \
+                            else y[: plan.n_send_pad]
+                        return ypad * 0.99 + 0.01, 0.0
+                    out, _ = jax.lax.scan(one, x, None, length=nreps)
+                    return out
+                return chain
 
             x0 = jnp.ones(plan.n_send_pad, jnp.float32)
-            float(chain(arrays, x0)[0])
-            best = np.inf
-            for trial in range(4):
-                t0 = time.perf_counter()
-                float(chain(arrays, x0)[0])
-                dt = (time.perf_counter() - t0) / reps
-                if trial:
-                    best = min(best, dt)
-                print(f"  {debug or 'full'} trial {trial}: "
-                      f"{dt * 1e3:.2f} ms/iter", flush=True)
+            ts = {}
+            for nreps in (reps, 4 * reps):
+                ch = make(nreps)
+                float(ch(arrays, x0)[0])
+                best_t = np.inf
+                for trial in range(4):
+                    t0 = time.perf_counter()
+                    float(ch(arrays, x0)[0])
+                    dt = time.perf_counter() - t0
+                    if trial:
+                        best_t = min(best_t, dt)
+                ts[nreps] = best_t
+            best = (ts[4 * reps] - ts[reps]) / (3 * reps)
+            print(f"  {debug or 'full'}: {best * 1e3:.2f} ms/iter "
+                  f"(slope; intercept "
+                  f"{(ts[reps] - reps * best) * 1e3:.1f} ms)", flush=True)
             return best
 
         full = timed(None)
