@@ -473,14 +473,14 @@ def bench_lda():
     # each token is touched in both directions per iteration (ALL_EDGES)
     mtoks = 2 * ntok * lda_iters / med / 1e6
     # self-baseline pinned from this round's first same-session TPU
-    # measurement (see PERF.md round 4) — LDA had no BENCH record before
+    # measurement (175.9 M tok/s) — LDA had no BENCH record before
     return _base_record(
-        "lda_token_updates_per_s", mtoks, "M tok/s", 95.0,
+        "lda_token_updates_per_s", mtoks, "M tok/s", 175.9,
         {"graph": f"docterm {ndoc}x{nterms}", "nnz": ntok, "k": K,
          "iters": lda_iters,
          "loglik_init": round(ll_init, 1),
          "loglik_final": round(ll_final, 1),
-         "baseline": "round-4 initial same-session pin: 95 M tok/s"},
+         "baseline": "round-4 initial same-session pin: 175.9 M tok/s"},
         med, rep_s, 2 * ntok * lda_iters / min(rep_s) / 1e6)
 
 
