@@ -87,10 +87,11 @@ def load_planner():
             lib.gm_argsort_i64.argtypes = [i64p, ctypes.c_int64, i64p]
         if hasattr(lib, "gm_plan2u_create"):
             lib.gm_plan2u_create.restype = ctypes.c_void_p
+            i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
             lib.gm_plan2u_create.argtypes = [
                 i32p, i32p, f32p, ctypes.c_int64, ctypes.c_int32,
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i32p,
-                ctypes.c_int32, ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_int32, i64p, ctypes.c_int32,
                 ctypes.c_int32, ctypes.POINTER(ctypes.c_int64)]
             lib.gm_plan2u_fill.restype = None
             lib.gm_plan2u_fill.argtypes = [ctypes.c_void_p, i32p, i32p,

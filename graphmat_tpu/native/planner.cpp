@@ -1832,10 +1832,13 @@ struct UPacker {
 
 extern "C" {
 
+// cell_min is PER WINDOW CLASS (int64[nw]): the flat-degree acceptance
+// rule lowers the threshold for small windows so hub-free graphs (whose
+// cells never reach the hubby default threshold) still get short walks
 void* gm_plan2u_create(const int32_t* senders, const int32_t* receivers,
                        const float* vals, int64_t e, int32_t h, int32_t wr,
                        int32_t nb, int32_t hub, const int32_t* windows,
-                       int32_t nw, int64_t cell_min, int32_t rows,
+                       int32_t nw, const int64_t* cell_min, int32_t rows,
                        int32_t rowmode_min, int64_t* nc_out) {
   auto* p = new Plan2u();
   p->e = e; p->h = h; p->wr = wr; p->nb = nb; p->hub = hub;
@@ -1891,7 +1894,7 @@ void* gm_plan2u_create(const int32_t* senders, const int32_t* receivers,
       if (kind[i] >= 0) continue;
       const int64_t c =
           (receivers[i] / wr) * nwin[k] + ((senders[i] >> 7) / W);
-      if (last || cellcnt[c] >= cell_min) {
+      if (last || cellcnt[c] >= cell_min[k]) {
         kind[i] = 1 + k;
         rawcell[i] = hub_cells + class_cells_ofs[k] + c;
         int32_t base = (int32_t)((c % nwin[k]) * W);

@@ -115,7 +115,12 @@ class Spmv2Plan:
 def _classify(s, r, rblk, h, nb, wr, hub, windows, cell_min):
     """Shared edge classification: (kind, cell key, window base, gather
     row) per edge.  Cell keys are globally unique and sort by
-    (kind, block, window)."""
+    (kind, block, window).  ``cell_min`` may be a per-window sequence
+    (the v2u flat-degree acceptance rule) or a scalar."""
+    if not np.isscalar(cell_min):
+        cms = list(cell_min)
+    else:
+        cms = [cell_min] * len(windows)
     e = len(s)
     kind = np.full(e, -1, np.int64)
     cellk = np.zeros(e, np.int64)
@@ -133,7 +138,7 @@ def _classify(s, r, rblk, h, nb, wr, hub, windows, cell_min):
         cl = rblk * nwin + (s >> 7) // W
         if not last:
             cnt = np.bincount(cl[rem], minlength=nb * nwin)
-            take = rem & (cnt[cl] >= cell_min)
+            take = rem & (cnt[cl] >= cms[wi])
         else:
             take = rem.copy()
         kind[take] = 1 + wi

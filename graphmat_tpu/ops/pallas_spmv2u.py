@@ -127,6 +127,7 @@ class Spmv2uPlan:
     act_lo: Any = None    # i32[nc*S] per-sub activity gather-range start
     act_hi: Any = None    # i32[nc*S] per-sub activity gather-range end
     act_gm: Any = None    # bf16[nc*S, ceil(h/ACT_GRAN)] granule overlap
+    tb: Any = None        # host i32[nc*rows/16] per-tile granule spans (diag)
 
 
 def _compute_splits(blkid_np, nb, nc_seg=NC_SEG):
@@ -150,6 +151,104 @@ def _compute_splits(blkid_np, nb, nc_seg=NC_SEG):
         starts.append((int(cut), int(blkid_np[cut])))
         c0 = cut
     return tuple(starts)
+
+
+def _sort_rows_tile_bounds(plan):
+    """Per-cell row sort by minimum consumed granule + per-tile span
+    bounds (``plan.tb``, host-side).
+
+    Rows within one cell are freely permutable: every row's out-routing
+    is row-local (po's g1/g2 select lanes of the SAME row; row-mode
+    reduces one row), all rows of a cell share the cell's gather
+    window, and cells pad to SUBR-row sub boundaries — so sorting rows
+    by minimum consumed granule makes each sub span as narrow a slice
+    of its window as the layout permits.  Two uses:
+
+    * the per-SUB spans (``_sub_gmin``/``_sub_gmax``) tighten the
+      sparse-path activity ranges in ``_mark_pad_subs`` — a frontier
+      touching only window rows no slot consumes no longer activates
+      the sub (BFS chunk skipping).
+    * ``plan.tb`` records per-TILE spans for plan diagnostics.
+
+    NEGATIVE RESULT (measured, round 4): a kernel variant that walked
+    only ``[glo, ghi)`` per tile via a traced fori_loop LOST 2-3x —
+    the dynamic loop costs several times the static unrolled step, and
+    spans stay wide anyway (mean 65.7 of 128 granules on a 16M-edge
+    uniform graph) because slot lanes are pinned to ``sender & 127``,
+    so the r-th-registration order statistics across 128 lanes spread
+    every 8-row tile over most of its window.  The static class walk
+    stays; flat graphs are served by smaller window classes instead
+    (see ``build_spmv2u_plan``'s flat-cell acceptance rule).
+
+    ``tb`` packing: word ``c*(ntiles/2) + t//2`` holds two tiles as
+    (glo, span-1) byte pairs — granule indices < 256 since W <= 2048.
+    All-pad tiles get (0, 0)."""
+    S = max(plan.rows // SUBR, 1)
+    nc = plan.nc
+    nrows = nc * plan.rows
+    kbu = np.asarray(plan.kb).view(np.uint32)
+    kd_sub = ((kbu >> KB_KIND_SHIFT) & 15).astype(np.int64)
+    base_sub = ((kbu & np.uint32((1 << 22) - 1)).astype(np.int64) << 3)
+    blk_sub = np.repeat(np.asarray(plan.blkid, np.int64), S)
+
+    pkr = np.asarray(plan.pk).reshape(nrows, LANE)
+    u = pkr.view(np.uint32)
+    real = (u & np.uint32((1 << RCF_BITS) - 1)) != plan.wr
+    # the granule a slot CONSUMES is its sender lane's REGISTRATION
+    # (hi2 at lane slo), not the registration at the slot's own lane —
+    # a registered lane is read through slo routing even when its own
+    # slot position is a pad
+    hi2 = (u >> 21).astype(np.int32)
+    slo = ((u >> RCF_BITS) & (LANE - 1)).astype(np.int64)
+    gsel = np.take_along_axis(hi2, slo, axis=1) >> 3
+    BIG = np.int32(1 << 14)
+    gmin_r = np.where(real, gsel, BIG).min(axis=1)
+    gmax_r = np.where(real, gsel, -1).max(axis=1)
+
+    # ---- per-cell stable row sort (window kinds only) ----
+    # run id from consecutive (blk, kind, base) change: two adjacent
+    # subs belong to the same cell iff all three match (cells are
+    # contiguous in the sub stream by construction)
+    ck = (blk_sub << 40) | (kd_sub << 34) | base_sub
+    newc = np.r_[True, ck[1:] != ck[:-1]]
+    run_sub = np.cumsum(newc) - 1                 # [nc*S] monotone
+    row_run = np.repeat(run_sub, SUBR)
+    row_sortable = np.repeat(kd_sub != KIND_HUB, SUBR)
+    idx = np.flatnonzero(row_sortable)
+    if len(idx):
+        order = np.lexsort((gmin_r[idx], row_run[idx]))
+        src = idx[order]
+        if not np.array_equal(src, idx):
+            perm = np.arange(nrows)
+            perm[idx] = src
+            sh = (nc, plan.rows, LANE)
+            plan.pk = np.ascontiguousarray(pkr[perm].reshape(sh))
+            plan.po = np.ascontiguousarray(
+                np.asarray(plan.po).reshape(nrows, LANE)[perm].reshape(sh))
+            plan.val = np.ascontiguousarray(
+                np.asarray(plan.val).reshape(nrows, LANE)[perm].reshape(sh))
+            if getattr(plan, "eidx", None) is not None:
+                plan.eidx = np.ascontiguousarray(
+                    np.asarray(plan.eidx).reshape(nrows, LANE)[perm]
+                    .reshape(sh))
+            gmin_r = gmin_r[perm]
+            gmax_r = gmax_r[perm]
+
+    # ---- packed per-tile bounds ----
+    tmin = gmin_r.reshape(-1, 8).min(axis=1)      # [nc * ntiles]
+    tmax = gmax_r.reshape(-1, 8).max(axis=1)
+    empty_t = tmax < 0
+    glo = np.where(empty_t, 0, tmin).astype(np.uint32)
+    sp1 = np.where(empty_t, 0, tmax - np.where(empty_t, 0, tmin)
+                   ).astype(np.uint32)
+    assert glo.max(initial=0) <= 255 and sp1.max(initial=0) <= 255
+    w = (glo[0::2] | (sp1[0::2] << 8)
+         | (glo[1::2] << 16) | (sp1[1::2] << 24))
+    plan.tb = np.ascontiguousarray(w.view(np.int32))
+
+    plan._sub_gmin = gmin_r.reshape(-1, SUBR).min(axis=1)   # [nc*S]
+    plan._sub_gmax = gmax_r.reshape(-1, SUBR).max(axis=1)
+    return plan
 
 
 def _mark_pad_subs(plan):
@@ -179,6 +278,17 @@ def _mark_pad_subs(plan):
     bs = ((kb & ((1 << 22) - 1)) << 3).astype(np.int64)
     lo = np.where(kd == 0, 0, bs)
     hi = np.minimum(lo + wtab[kd], plan.h)
+    gmin = getattr(plan, "_sub_gmin", None)
+    if gmin is not None:
+        # tighten to the sub's REAL slot granule span (computed by
+        # _sort_rows_tile_bounds): rows outside it are never gathered,
+        # so a frontier touching only them must not activate the sub
+        gmax = plan._sub_gmax
+        have = gmax >= 0
+        lo_t = lo + 8 * np.clip(gmin, 0, 1 << 13)
+        hi_t = np.minimum(lo + 8 * (gmax.astype(np.int64) + 1), hi)
+        lo = np.where(have, np.minimum(lo_t, hi_t), lo)
+        hi = np.where(have, hi_t, hi)
     pad = (kb & np.uint32(KB_PAD)) != 0
     lo[pad] = 0
     hi[pad] = 0
@@ -213,7 +323,7 @@ def _apply_splits(plan):
     every iteration (and double peak HBM), so the split happens once on
     the host.  Per-segment blkid is stored already rebased to the
     segment's first block."""
-    plan = _mark_pad_subs(plan)
+    plan = _mark_pad_subs(_sort_rows_tile_bounds(plan))
     if len(plan.splits) <= 1:
         plan.kb = jnp.asarray(_add_pipeline_bits(
             plan.kb, max(plan.rows // SUBR, 1)))
@@ -413,7 +523,10 @@ def build_spmv2u_plan(senders0: np.ndarray, receivers0: np.ndarray,
                       cell_min: int = 4000, rows: int = 128,
                       rowmode_min: int = ROWMODE_MIN_U,
                       compact: Any = "auto",
-                      compact_kw: dict | None = None) -> Spmv2uPlan:
+                      compact_kw: dict | None = None,
+                      flat_min: int = 1536,
+                      flat_w_min: int = 200,
+                      flat_w_max: int = 384) -> Spmv2uPlan:
     """Pack a 0-based COO edge list into the v2u routed/out-gather layout.
 
     ``compact``: hypersparse operand compaction (the DCSC analog,
@@ -421,7 +534,22 @@ def build_spmv2u_plan(senders0: np.ndarray, receivers0: np.ndarray,
     ``H_COMPACT_MIN`` source rows (overridable via ``GRAPHMAT_COMPACT``
     =0/1), ``True``/``False`` force.  Diverted straggler edges gather
     from per-super-block compacted operand rows appended after the real
-    operand; the kernel itself is unchanged."""
+    operand; the kernel itself is unchanged.
+
+    ``flat_min``/``flat_w_min``/``flat_w_max``: flat-degree acceptance
+    rule — a cell is accepted at a window class ``flat_w_min <= W <=
+    flat_w_max`` already at ``flat_min`` edges (vs ``cell_min``
+    elsewhere).  A hub-free flat degree distribution (uniform-random
+    graphs) spreads every cell below ``cell_min`` at the small
+    windows, which used to push ALL its edges into the W=1024 class
+    and its 128-granule walk: measured 3.30 -> 2.74 ms/iter (sum
+    kernel, 16M-edge uniform, one v5e chip).  A ~40%-full sub at
+    W=256 costs 32 granule walks + pad slots; the same cell merged
+    into a W=1024 cell costs 128 walks — the crossover sits near fill
+    0.375, i.e. 1536 of 4096 slots.  W=160 is EXCLUDED from the rule
+    (``flat_w_min``): its 20-vs-32 walk saving does not cover the same
+    fill loss (same-session A/B 2.89 vs 2.74 ms; PERF round 4).
+    RMAT-20 is unchanged under the rule (1.91 vs 1.92 ms)."""
     if n_recv is None:
         n_recv = n
     h = max(_round_up(_round_up(n, LANE) // LANE, LANE), LANE)
@@ -458,18 +586,22 @@ def build_spmv2u_plan(senders0: np.ndarray, receivers0: np.ndarray,
                                       rows=rows, **ckw)
     norm_windows = sorted({int(min(w, h)) for w in windows}) or [min(2048, h)]
     assert max(norm_windows) <= 2048
+    # flat-degree acceptance: small windows accept cells at flat_min
+    cell_mins = [min(cell_min, flat_min)
+                 if flat_w_min <= w <= flat_w_max else cell_min
+                 for w in norm_windows]
 
     from ..native import load_planner
     lib = load_planner()
     if (lib is not None and e > 0 and hasattr(lib, "gm_plan2u_create")):
         return _build_plan2u_native(
-            lib, s, r, v, e, h, wr, nb, hub, norm_windows, cell_min,
+            lib, s, r, v, e, h, wr, nb, hub, norm_windows, cell_mins,
             n_pad, n_send_pad, receivers0, rows, rowmode_min,
             aux=aux, h_src=h_src)
 
     rblk = r // wr
     kind, cellk, basew, gidx = _classify(s, r, rblk, h, nb, wr, hub,
-                                         norm_windows, cell_min)
+                                         norm_windows, cell_mins)
     order = np.lexsort((s, cellk, kind, rblk))
     so, ro, vo, go = s[order], r[order], v[order], gidx[order]
     ko, co, bo, blko = kind[order], cellk[order], basew[order], rblk[order]
@@ -555,9 +687,12 @@ def _build_plan2u_native(lib, s, r, v, e, h, wr, nb, hub, windows,
     ra = np.ascontiguousarray(r, np.int32)
     va = np.ascontiguousarray(v, np.float32)
     wins = np.ascontiguousarray(windows, np.int32)
+    if np.isscalar(cell_min):
+        cell_min = [cell_min] * len(wins)
+    cms = np.ascontiguousarray(cell_min, np.int64)
     nc_out = ctypes.c_int64()
     handle = lib.gm_plan2u_create(sa, ra, va, e, h, wr, nb, hub, wins,
-                                  len(wins), cell_min, rows, rowmode_min,
+                                  len(wins), cms, rows, rowmode_min,
                                   ctypes.byref(nc_out))
     nc = int(nc_out.value)
     try:
@@ -1039,11 +1174,11 @@ def _spmv2u_call(plan_arrays, plan_static, x, reduce_kind, process,
                             pipeline=pipeline)
     wmax = max(classes) if classes else 8
     if sparse:
-        nmap = lambda i, kbv, bk, a, eff_: (eff_[i], 0, 0)
-        omap = lambda i, kbv, bk, a, eff_: (bk[i], 0, 0)
+        nmap = lambda i, *pf: (pf[3][i], 0, 0)      # eff
+        omap = lambda i, *pf: (pf[1][i], 0, 0)      # blkid
     else:
         nmap = lambda i, *_: (i, 0, 0)
-        omap = lambda i, kbv, blk: (blk[i], 0, 0)
+        omap = lambda i, *pf: (pf[1][i], 0, 0)      # blkid
     chunk_spec = pl.BlockSpec((1, rows, LANE), nmap,
                               memory_space=pltpu.VMEM)
     x2_spec = pl.BlockSpec(memory_space=(pltpu.ANY if x2_hbm

@@ -27,17 +27,36 @@ def main():
     mode = os.environ.get("SWEEP_MODE", "mm")
     scale = int(os.environ.get("SWEEP_SCALE", "20"))
     reps = int(os.environ.get("SWEEP_REPS", "50"))
+    family = os.environ.get("SWEEP_FAMILY", "rmat")
 
-    e = rmat_edgelist(scale, 16, seed=1)
+    if family != "rmat":
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from bench_families import gen_family
+        e = gen_family(family, 16 << scale)
+    else:
+        e = rmat_edgelist(scale, 16, seed=1)
     g = Graph(e, build_in_edges=False, permute="degree")
     senders0, receivers0, vals = g._host_edges["dst"]
     nnz = len(senders0)
 
     if mode in ("usum", "umin"):
         from graphmat_tpu.ops.pallas_spmv2u import (_spmv2u_call,
+                                                    build_spmv2u_plan,
                                                     plan_call_args)
         t0 = time.time()
-        plan = g.pallas_plan2u("dst")
+        env_w = os.environ.get("SWEEP_WINDOWS")
+        env_cm = os.environ.get("SWEEP_CELL_MIN")
+        if env_w or env_cm:
+            kw = {}
+            if env_w:
+                kw["windows"] = tuple(int(x) for x in env_w.split(","))
+            if env_cm:
+                kw["cell_min"] = int(env_cm)
+            plan = build_spmv2u_plan(senders0, receivers0, vals,
+                                     g.n_pad, n_recv=g.n_pad, **kw)
+        else:
+            plan = g.pallas_plan2u("dst")
         print(f"plan build {time.time() - t0:.1f}s nc={plan.nc} "
               f"fill={plan.fill:.3f} wr={plan.wr} h={plan.h} "
               f"h_src={plan.h_src} aux={plan.aux is not None} "
@@ -68,6 +87,20 @@ def main():
                   f"walk={steps/1e6:7.1f}M granule-steps", flush=True)
         print(f"  TOTAL window DMA {tot_dma/1e9:.2f} GB/iter, "
               f"walk {tot_steps/1e6:.1f}M granule-steps/iter", flush=True)
+        tb = (np.concatenate([np.asarray(t) for t in plan.tb])
+              if isinstance(plan.tb, tuple) else np.asarray(plan.tb))
+        if tb is not None and len(tb):
+            tbu = tb.view(np.uint32)
+            sp_all = np.empty(len(tb) * 2, np.int64)
+            sp_all[0::2] = (tbu >> 8) & 255    # tile 2w span-1
+            sp_all[1::2] = (tbu >> 24) & 255   # tile 2w+1 span-1
+            sp_all += 1
+            tile_kd = np.repeat(kd, 4)         # 4 tiles per 32-row sub
+            wt = tile_kd > 0
+            if wt.any():
+                print(f"  bounded walk {sp_all[wt].sum()/1e6:.2f}M "
+                      f"tile-granule-steps (mean span "
+                      f"{sp_all[wt].mean():.1f})", flush=True)
         if os.environ.get("SWEEP_STATS_ONLY"):
             return
 

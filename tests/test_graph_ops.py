@@ -183,7 +183,7 @@ def test_apply_edges_refreshes_segmented_v2u_plan():
     assert isinstance(plan.pk, tuple)
     apply_to_all_edges(g, lambda vs, vd, val: vs["val"] + 5 * vd["val"])
     # still the same (segmented) plan object, val stays a matching tuple
-    assert g._pallas_plans[("v2u", "dst", 256)] is plan
+    assert g._pallas_plans[("v2u", "dst", 256, 128)] is plan
     assert isinstance(plan.val, tuple) and len(plan.val) == len(plan.pk)
     for vk, pkk in zip(plan.val, plan.pk):
         assert vk.shape == pkk.shape
