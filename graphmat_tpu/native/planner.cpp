@@ -1627,7 +1627,9 @@ int64_t gm_rmat_gen(int32_t scale, int64_t nnz, double a, double b, double c,
                     int32_t* src_out, int32_t* dst_out, int32_t* val_out) {
   const double ab = a + b;
   const double c_norm = c / (1.0 - ab);
-  const double b_norm = b / ab;
+  // P(dst=1 | src=0) = b/(a+b): threshold r2 against a/ab (using b/ab
+  // swapped the a and b quadrants — see generators.py::rmat_edgelist)
+  const double a_norm = a / ab;
 
   std::vector<uint64_t> keys(nnz);
 #pragma omp parallel for schedule(static)
@@ -1639,7 +1641,7 @@ int64_t gm_rmat_gen(int32_t scale, int64_t nnz, double a, double b, double c,
       double r1 = (uint32_t)(x >> 32) * 0x1.0p-32;
       double r2 = (uint32_t)x * 0x1.0p-32;
       int sb = r1 > ab;
-      int db = sb ? (r2 > c_norm) : (r2 > b_norm);
+      int db = sb ? (r2 > c_norm) : (r2 > a_norm);
       s = (s << 1) | (uint32_t)sb;
       d = (d << 1) | (uint32_t)db;
     }

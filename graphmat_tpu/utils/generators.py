@@ -112,11 +112,16 @@ def rmat_edgelist(scale: int, edge_factor: int = 16,
     dst = np.zeros(nnz, np.int64)
     ab = a + b
     c_norm = c / (1.0 - ab)
+    # P(dst=1 | src=0) must be b/(a+b) — thresholding r2 against b/ab
+    # instead of a/ab silently swapped the a and b quadrants, producing
+    # RMAT(0.19, 0.57, ...) graphs: sender hubs intact but the diagonal
+    # dominance (community structure) gone — scale-12 triangle count
+    # 1.5K vs the correct ~500K, BFS radius ~24 vs ~7
     for _ in range(scale):
         r1 = rng.random(nnz)
         r2 = rng.random(nnz)
         src_bit = r1 > ab
-        dst_bit = np.where(src_bit, r2 > c_norm, r2 > (b / ab))
+        dst_bit = np.where(src_bit, r2 > c_norm, r2 > (a / ab))
         src = (src << 1) | src_bit
         dst = (dst << 1) | dst_bit
     keep = src != dst

@@ -44,6 +44,29 @@ def test_rmat_invariants(native):
     # power-law skew: hubs far above the median degree
     deg = np.bincount(e.src - 1, minlength=1024)
     assert deg.max() > 10 * max(1.0, float(np.median(deg)))
+    # BOTH endpoints must be skewed: RMAT(0.57,...) concentrates src AND
+    # dst toward low ids (the a-quadrant).  A threshold bug once swapped
+    # the a/b quadrants, pushing receivers toward HIGH ids and killing
+    # the diagonal dominance (clustering) while sender hubs survived
+    deg_in = np.bincount(e.dst - 1, minlength=1024)
+    assert deg_in.max() > 10 * max(1.0, float(np.median(deg_in)))
+    assert deg[:256].sum() > deg[768:].sum()
+    assert deg_in[:256].sum() > deg_in[768:].sum()
+
+
+@pytest.mark.parametrize("native", NATIVE_PARAMS,
+                         ids=["numpy", "native"][:len(NATIVE_PARAMS)])
+def test_rmat_clustering(native):
+    """The generator must produce RMAT clustering, not just hubby
+    degrees: an a-dominant RMAT at scale 10 has tens of thousands of
+    triangles where a same-size uniform graph has ~a hundred (the
+    quadrant-swap bug measured 1.5K at EVERY scale)."""
+    from graphmat_tpu.ops.triangles import count_triangles_bucketed
+    e = rmat_edgelist(10, 8, seed=1, native=native)
+    s0 = (e.src - 1).astype(np.int64)
+    r0 = (e.dst - 1).astype(np.int64)
+    _, tri = count_triangles_bucketed(s0, r0, 1024)
+    assert tri > 10_000, f"RMAT clustering missing: {tri} triangles"
 
 
 @pytest.mark.parametrize("native", NATIVE_PARAMS,
