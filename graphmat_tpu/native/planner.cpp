@@ -1710,6 +1710,10 @@ namespace {
 
 constexpr int kOutK = 2;
 constexpr int kSubR = 32;
+// minimum slots for a row-mode rank row to stay row-mode (see the
+// hot-extraction comment in gm_plan2u_create); mirrored in
+// pallas_spmv2u.ROWMODE_KEEP_MIN
+constexpr int kRowmodeKeepMin = 64;
 constexpr uint32_t kKbSame = 1u << 22;
 constexpr uint32_t kKbPrev = 1u << 23;
 constexpr int kKbKindShift = 24;
@@ -2007,15 +2011,33 @@ void* gm_plan2u_create(const int32_t* senders, const int32_t* receivers,
           int64_t b2 = a + 1;
           while (b2 < m && receivers[rsort[b2]] == receivers[rsort[a]]) ++b2;
           if (b2 - a >= p->rowmode_min) {
+            // rank-r row size = #lanes with > r senders; sizes decay
+            // fast (sender lanes are pinned to sender&127, so ranks
+            // follow the lane-collision order statistics) — keep only
+            // rank rows at least half full (>= kRowmodeKeepMin slots)
+            // and spill the rest to the routed cold pack, whose rows
+            // mix receivers at ~0.88 fill.  Measured on a true RMAT-20
+            // (in-degree hubs): rank rows averaged 0.37 fill and were
+            // 46% of all plan rows before this cut.
             std::fill(lanecnt.begin(), lanecnt.end(), 0);
-            int32_t maxc = 0;
-            for (int64_t t = a; t < b2; ++t) {
-              const int L = senders[rsort[t]] & (kLane - 1);
-              const int32_t rr = lanecnt[L]++;
-              if (rr + 1 > maxc) maxc = rr + 1;
-              rsort[t] |= ((int64_t)(nrm + rr) + 1) << 40;
+            for (int64_t t = a; t < b2; ++t)
+              lanecnt[senders[rsort[t]] & (kLane - 1)]++;
+            int32_t R = 0;
+            for (;;) {
+              int sz = 0;
+              for (int l = 0; l < kLane; ++l) sz += lanecnt[l] > R;
+              if (sz >= kRowmodeKeepMin) ++R; else break;
             }
-            nrm += maxc;
+            if (R) {
+              std::fill(lanecnt.begin(), lanecnt.end(), 0);
+              for (int64_t t = a; t < b2; ++t) {
+                const int L = senders[rsort[t]] & (kLane - 1);
+                const int32_t rr = lanecnt[L]++;
+                if (rr < R)
+                  rsort[t] |= ((int64_t)(nrm + rr) + 1) << 40;
+              }
+              nrm += R;
+            }
           }
           a = b2;
         }

@@ -82,6 +82,8 @@ __all__ = ["Spmv2uPlan", "build_spmv2u_plan", "spmv2u"]
 
 KIND_HUB = 0
 ROWMODE_MIN_U = 129     # in-cell receiver degree that triggers row-mode
+ROWMODE_KEEP_MIN = 64   # min slots for a rank row to stay row-mode
+                        # (mirrored in planner.cpp kRowmodeKeepMin)
 OUT_K = 2               # slots per (row, out-lane)
 SUBR = 32               # rows per sub-window (fill granularity)
 # kb packed scalar: bits [0,22) base>>3; bit 22 same-window-as-pred;
@@ -431,12 +433,17 @@ def _pack_u_cell(sv, rv, vv, gv, iv, blk, wr, rowmode_min=ROWMODE_MIN_U):
            else np.zeros(len(rv), bool))
 
     rm_rows = []
+    spill = []
     if hotset:
         for r0 in sorted(hotset):
             m = rv == r0
             idxs = np.flatnonzero(m)
             # senders must register at distinct lanes within a row:
-            # row index = per-sender-lane running count
+            # row index = per-sender-lane running count.  Keep only
+            # rank rows >= ROWMODE_KEEP_MIN slots (lane-collision order
+            # statistics make higher ranks nearly empty — measured 0.37
+            # avg fill on a true RMAT-20); the rest spill to the cold
+            # routed pack, which mixes receivers at ~0.88 fill
             cnt2: dict = {}
             buckets: dict = {}
             for j in idxs:
@@ -444,7 +451,13 @@ def _pack_u_cell(sv, rv, vv, gv, iv, blk, wr, rowmode_min=ROWMODE_MIN_U):
                 k = cnt2.get(L, 0)
                 cnt2[L] = k + 1
                 buckets.setdefault(k, []).append(j)
+            R = 0
+            while R in buckets and len(buckets[R]) >= ROWMODE_KEEP_MIN:
+                R += 1
             for k in sorted(buckets):
+                if k >= R:
+                    spill.extend(buckets[k])
+                    continue
                 grp = buckets[k]
                 slots = [(sl, int(lanes[j]), int(gv[j]), int(rcfv[j]),
                           float(vv[j]), int(iv[j]))
@@ -469,7 +482,9 @@ def _pack_u_cell(sv, rv, vv, gv, iv, blk, wr, rowmode_min=ROWMODE_MIN_U):
                 return False
         return True
 
-    order = np.flatnonzero(~hot)
+    order = np.concatenate([np.flatnonzero(~hot),
+                            np.asarray(spill, np.int64)]) \
+        if spill else np.flatnonzero(~hot)
     for j in order:
         L, gx = int(lanes[j]), int(gv[j])
         Lr, r0 = int(rlanes[j]), int(rcfv[j])

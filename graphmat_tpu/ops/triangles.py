@@ -130,11 +130,18 @@ def _prep(src0, dst0, n, ladder=(16, 64, 256, 1024, 4096)):
         sl_g, rl_g = sl[sel], rl[sel]
         cs, cr = divmod(int(gk), len(classes))
         Ds, Dr = classes[cs], classes[cr]
-        if Ds * Dr <= 1 << 15:
-            # broadcast-compare group: ~64M fused compares per step
-            B = max(256, min(1 << 16, (1 << 26) // (Ds * Dr)))
+        if Ds * Dr <= _BCAST_MAX:
+            # broadcast-compare group: ~1G fused compares per step.
+            # Broadcast equality is pure VPU throughput and beats the
+            # binary-search path for EVERY class pair on TPU: a
+            # take_along_axis gather costs ~26 ns per element, so the
+            # searches' 2·log2(D) gathered probes ran ~1.7 s per
+            # 16K-edge batch (one group alone needed ~300 s of device
+            # time in a single dispatch, which the runtime kills) where
+            # the dense compare does the same batch in ~2 ms
+            B = max(8, min(1 << 16, (1 << 30) // (Ds * Dr)) // 8 * 8)
         else:
-            # binary-search group: ~64M gather-elements per step
+            # binary-search fallback (D beyond any current class)
             logd = max(max(Ds, Dr) - 1, 1).bit_length()
             B = max(256, min(1 << 16,
                              (1 << 26) // (min(Ds, Dr) * 2 * logd)))
@@ -181,11 +188,16 @@ def count_triangles_bucketed(src0, dst0, n, n_pad=None):
                           np.arange(nacc + 1)).astype(np.int32)
     per_vertex = np.asarray(_count_device(
         tuple(gargs), jnp.asarray(order), jnp.asarray(bnd), nacc))
-    total = int(per_vertex[:n].sum())
+    # int32 device cumsum wraps mod 2^32; boundary DIFFERENCES stay
+    # exact while each per-vertex count < 2^31, but the TOTAL can pass
+    # 2^31 on clustered graphs — sum in int64 on the host
+    total = int(per_vertex[:n].astype(np.int64).sum())
     return per_vertex[:n_pad].astype(np.int32), total
 
 
-_BCAST_MAX = 1 << 15   # Ds*Dr above this switches to binary search
+_BCAST_MAX = 1 << 24   # Ds*Dr above this switches to binary search
+                       # (covers all ladder class pairs: TPU gathers
+                       # are ~26 ns/element, dense compares ~free)
 
 
 @functools.partial(jax.jit, static_argnames=("nacc",))
@@ -209,6 +221,8 @@ def _count_device(gargs, order, bnd, nacc):
             a = Ns[bu]                      # [B, Ds]
             b = Nr[bv]                      # [B, Dr]
             if Ds * Dr <= _BCAST_MAX:
+                if Ds > Dr:      # broadcast the smaller side innermost
+                    a, b = b, a
                 eq = a[:, :, None] == b[:, None, :]
                 eq &= (a != PAD_ID)[:, :, None]
                 cnt = jnp.sum(eq, axis=(1, 2), dtype=jnp.int32)
