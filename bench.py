@@ -515,7 +515,13 @@ def bench_tc(e, g):
         {"graph": f"rmat{SCALE}x{EDGE_FACTOR} undirected",
          "m_undirected": int(len(s0)), "triangles": int(total),
          "baseline": "1 M edges/s nominal (round-1 PERF: RMAT-20 "
-                     "~15 s end-to-end incl. host prep + tunnel)"},
+                     "~15 s end-to-end incl. host prep + tunnel). "
+                     "The corrected RMAT generator (round 4) makes "
+                     "this a real clustered workload (~424M "
+                     "triangles); the reference binary segfaults on "
+                     "this input under the single-rank stub "
+                     "(1.4 s after ingest, 2_10 fixture golden still "
+                     "passes), so no reference-on-host figure exists"},
         med, rep_s, len(s0) / min(rep_s) / 1e6)
 
 
