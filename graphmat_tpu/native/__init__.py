@@ -131,6 +131,21 @@ def load_planner():
                                     i32p]
         lib.gm_tri_destroy.restype = None
         lib.gm_tri_destroy.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "gm_tc_create"):
+            u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+            lib.gm_tc_create.restype = ctypes.c_void_p
+            lib.gm_tc_create.argtypes = [
+                i32p, i32p, ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32)]
+            lib.gm_tc_fill.restype = None
+            lib.gm_tc_fill.argtypes = [ctypes.c_void_p, i32p, i32p, i32p,
+                                       i32p, u32p, i32p, i32p, i32p,
+                                       i32p, i32p]
+            lib.gm_tc_destroy.restype = None
+            lib.gm_tc_destroy.argtypes = [ctypes.c_void_p]
         if hasattr(lib, "gm_rmat_gen"):
             lib.gm_rmat_gen.restype = ctypes.c_int64
             lib.gm_rmat_gen.argtypes = [

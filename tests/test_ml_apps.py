@@ -322,8 +322,9 @@ def test_triangles_bucketed_fixture_2_10():
 
 
 def test_triangles_bucketed_hubs_and_duplicates():
-    """Power-law degrees exercise multiple pad classes; duplicate and
-    self edges must be ignored."""
+    """Power-law degrees; duplicate and self edges must be ignored.
+    Runs both the default (whole graph in core: bitmap-only) and a
+    forced-small core that exercises the tail broadcast path."""
     from graphmat_tpu.ops.triangles import count_triangles_bucketed, _prep
     rng = np.random.default_rng(5)
     n, m = 1500, 60000
@@ -331,15 +332,75 @@ def test_triangles_bucketed_hubs_and_duplicates():
     r = (rng.zipf(1.4, m) - 1) % n
     s = np.r_[s, s[:500], np.arange(50)]       # dupes + self loops
     r = np.r_[r, r[:500], np.arange(50)]
-    mats, groups, _ = _prep(s, r, n)
-    assert len(mats) >= 2                      # multiple pad classes hit
-    tri, total = count_triangles_bucketed(s, r, n)
     A = np.zeros((n, n), bool)
     keep = s != r
     A[s[keep], r[keep]] = True
     A[r[keep], s[keep]] = True
     Ai = A.astype(np.int64)
-    assert total == int(np.trace(Ai @ Ai @ Ai) // 6)
+    want = int(np.trace(Ai @ Ai @ Ai) // 6)
+    tri, total = count_triangles_bucketed(s, r, n)
+    assert total == want
+    assert int(np.asarray(tri).sum()) == want
+    # a small core forces tail-list groups (part 2) to carry real work
+    _dev, aux = _prep(s, r, n, h=64)
+    assert aux["n_groups"] >= 1
+    tri2, total2 = count_triangles_bucketed(s, r, n, h=64)
+    assert total2 == want
+    assert int(np.asarray(tri2).sum()) == want
+
+
+def test_triangles_device_prep_matches_host():
+    """The fully on-device prep (impl='device', the TPU default) and the
+    native/numpy host prep agree — totals and per-vertex counts — across
+    canonical and raw inputs and forced core sizes."""
+    from graphmat_tpu.ops.triangles import count_triangles_bucketed
+    rng = np.random.default_rng(3)
+    n, m = 900, 12000
+    s = rng.integers(0, n, m)
+    r = rng.integers(0, n, m)
+    s = np.r_[s, np.arange(30)]                # self loops
+    r = np.r_[r, np.arange(30)]
+    for h in (None, 64):
+        tri_d, tot_d = count_triangles_bucketed(s, r, n, h=h,
+                                                impl="device")
+        tri_h, tot_h = count_triangles_bucketed(s, r, n, h=h,
+                                                impl="host")
+        assert tot_d == tot_h
+        np.testing.assert_array_equal(np.asarray(tri_d),
+                                      np.asarray(tri_h))
+    # canonical fast path (pre-deduped a < b pairs)
+    key = np.unique(np.minimum(s, r) * n + np.maximum(s, r))
+    key = key[key // n != key % n]
+    a, b = key // n, key % n
+    tri_c, tot_c = count_triangles_bucketed(a, b, n, h=64,
+                                            assume_canonical=True,
+                                            impl="device")
+    assert tot_c == tot_d
+    np.testing.assert_array_equal(np.asarray(tri_c), np.asarray(tri_d))
+
+
+def test_triangles_prep_numpy_matches_native():
+    """The numpy fallback prep and the native gm_tc prep agree on the
+    final counts (native may order receivers differently; totals and
+    per-vertex attributions must match)."""
+    import graphmat_tpu.ops.triangles as T
+    from graphmat_tpu.native import native_available
+    if not native_available():
+        import pytest
+        pytest.skip("no native planner")
+    rng = np.random.default_rng(9)
+    n, m = 700, 9000
+    s = rng.integers(0, n, m)
+    r = rng.integers(0, n, m)
+    tri_nat, tot_nat = T.count_triangles_bucketed(s, r, n, h=128)
+    orig = T._tc_prep_native
+    try:
+        T._tc_prep_native = lambda *a, **k: None
+        tri_np, tot_np = T.count_triangles_bucketed(s, r, n, h=128)
+    finally:
+        T._tc_prep_native = orig
+    assert tot_nat == tot_np
+    np.testing.assert_array_equal(np.asarray(tri_nat), np.asarray(tri_np))
 
 
 def test_lda_permuted_matches_oracle():
