@@ -68,20 +68,29 @@ def _make_lda_init_process_v2(k, dtype):
     randmax = 2 ** 31 - 1
 
     def proc(xv, ev, vpr, extra, rid, block_sum):
-        lane_k = jax.lax.broadcasted_iota(jnp.int32, xv.shape, 1) % 32
+        multi = isinstance(xv, (list, tuple))
+        xv_l = xv if multi else [xv]
+        lane_k = jax.lax.broadcasted_iota(jnp.int32, xv_l[0].shape,
+                                          1) % 32
+        # the LCG advances in GLOBAL topic order across planes so any-K
+        # stays bit-identical with the reference's per-edge rand_r walk
         nxt = ev.astype(jnp.int32)
-        gamma = jnp.zeros(xv.shape, dtype)
-        for j in range(k):
-            nxt = nxt * a + c
-            r = lax.shift_right_logical(nxt, 16) & 2047
-            nxt = nxt * a + c
-            r = (r << 10) ^ (lax.shift_right_logical(nxt, 16) & 1023)
-            nxt = nxt * a + c
-            r = (r << 10) ^ (lax.shift_right_logical(nxt, 16) & 1023)
-            gamma = jnp.where(lane_k == j, (r / randmax).astype(dtype),
-                              gamma)
-        gamma = gamma / block_sum(gamma)
-        return gamma * ev
+        gammas = []
+        for p, _xp in enumerate(xv_l):
+            gamma = jnp.zeros(xv_l[0].shape, dtype)
+            for j in range(32 * p, min(k, 32 * p + 32)):
+                nxt = nxt * a + c
+                r = lax.shift_right_logical(nxt, 16) & 2047
+                nxt = nxt * a + c
+                r = (r << 10) ^ (lax.shift_right_logical(nxt, 16) & 1023)
+                nxt = nxt * a + c
+                r = (r << 10) ^ (lax.shift_right_logical(nxt, 16) & 1023)
+                gamma = jnp.where(lane_k == j - 32 * p,
+                                  (r / randmax).astype(dtype), gamma)
+            gammas.append(gamma)
+        tot = sum(block_sum(g) for g in gammas)
+        outs = [g / tot * ev for g in gammas]
+        return outs if multi else outs[0]
 
     return proc
 
@@ -94,17 +103,26 @@ def _make_lda_process_v2(k, alpha, eta, vocab_size, dtype):
     import jax
 
     def proc(xv, ev, vpr, extra, rid, block_sum):
-        lane_k = jax.lax.broadcasted_iota(jnp.int32, xv.shape, 1) % 32
-        gn = extra                              # [1, 128], gn tiled per block
-        flag = block_sum(jnp.where(lane_k == k, vpr, 0.0))
+        multi = isinstance(xv, (list, tuple))
+        xv_l = xv if multi else [xv]
+        vpr_l = vpr if multi else [vpr]
+        ex_l = extra if multi else [extra]
+        lane_k = jax.lax.broadcasted_iota(jnp.int32, xv_l[0].shape,
+                                          1) % 32
+        # is_doc flag lives at GLOBAL lane k -> plane k//32, lane k%32
+        flag = block_sum(jnp.where(lane_k == k % 32,
+                                   vpr_l[k // 32], 0.0))
         is_doc = flag > 0.5
         my_off = jnp.where(is_doc, alpha, eta).astype(dtype)
         other_off = jnp.where(is_doc, eta, alpha).astype(dtype)
-        denom = gn + vocab_size * (eta - 1.0)
-        gamma = (vpr + my_off - 1.0) * (xv + other_off - 1.0) / denom
-        gamma = jnp.where(lane_k < k, gamma, 0.0)
-        gamma = gamma / block_sum(gamma)
-        return gamma * ev
+        gammas = []
+        for p, (xp, vp_, gn) in enumerate(zip(xv_l, vpr_l, ex_l)):
+            denom = gn + vocab_size * (eta - 1.0)
+            g = (vp_ + my_off - 1.0) * (xp + other_off - 1.0) / denom
+            gammas.append(jnp.where(32 * p + lane_k < k, g, 0.0))
+        tot = sum(block_sum(g) for g in gammas)
+        outs = [g / tot * ev for g in gammas]
+        return outs if multi else outs[0]
 
     return proc
 
@@ -113,15 +131,24 @@ def _make_lda_ll_process_v2(k, eta, n_k_smoothed, dtype):
     import jax
 
     def proc(xv, ev, vpr, extra, rid, block_sum):
-        lane_k = jax.lax.broadcasted_iota(jnp.int32, xv.shape, 1) % 32
-        nks = extra                       # n_k_smoothed tiled per block
-        valid = lane_k < k
-        phi = jnp.where(valid, (vpr + (eta - 1.0)) / nks, 0.0)
-        theta = jnp.where(valid, xv + (eta - 1.0), 0.0)
-        theta = theta / block_sum(theta)
-        dot = block_sum(phi * theta)
-        p = ev * jnp.log(dot)
-        return jnp.where(lane_k == 0, p, 0.0)
+        multi = isinstance(xv, (list, tuple))
+        xv_l = xv if multi else [xv]
+        vpr_l = vpr if multi else [vpr]
+        ex_l = extra if multi else [extra]
+        lane_k = jax.lax.broadcasted_iota(jnp.int32, xv_l[0].shape,
+                                          1) % 32
+        phis, thetas = [], []
+        for p, (xp, vp_, nks) in enumerate(zip(xv_l, vpr_l, ex_l)):
+            valid = 32 * p + lane_k < k
+            phis.append(jnp.where(valid, (vp_ + (eta - 1.0)) / nks, 0.0))
+            thetas.append(jnp.where(valid, xp + (eta - 1.0), 0.0))
+        th_tot = sum(block_sum(t) for t in thetas)
+        dot = sum(block_sum(ph * th / th_tot)
+                  for ph, th in zip(phis, thetas))
+        out0 = jnp.where(lane_k == 0, ev * jnp.log(dot), 0.0)
+        if not multi:
+            return out0
+        return [out0] + [jnp.zeros_like(out0)] * (len(xv_l) - 1)
 
     return proc
 
@@ -168,8 +195,6 @@ class LDAInitProgram(GraphProgram):
             decode=lambda y: y.astype(self.dtype))
 
     def pallas_vec2_semiring(self):
-        if self.k > 32:
-            return None
         return PallasVec2Semiring(
             k=self.k,
             process=self._vec2_proc,
@@ -243,8 +268,8 @@ class LDAProgram(GraphProgram):
             extra_fn=lambda state: state.reshape(1, -1))
 
     def pallas_vec2_semiring(self):
-        if self.ndoc <= 0 or self.k + 1 > 32:
-            return None
+        if self.ndoc <= 0:
+            return None  # doc/term split unknown (direct engine use)
         return PallasVec2Semiring(
             k=self.k + 1,
             process=self._vec2_proc,
@@ -302,8 +327,6 @@ class LDALLProgram(GraphProgram):
         self.dtype = dtype
 
     def pallas_vec2_semiring(self):
-        if self.k > 32:
-            return None
         nks = self.n_k_smoothed
         return PallasVec2Semiring(
             k=self.k,

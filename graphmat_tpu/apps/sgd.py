@@ -39,6 +39,11 @@ def _sgd_process(xv, ev, vpr, extra, rid):
 
 
 def _sgd_process_v2(xv, ev, vpr, extra, rid, block_sum):
+    # K > 32: xv/vpr are lists of 32-lane planes sharing one kernel
+    # invocation — the rating dot sums the per-plane block_sums
+    if isinstance(xv, (list, tuple)):
+        est = sum(block_sum(x * v) for x, v in zip(xv, vpr))
+        return [x * (ev - est) for x in xv]
     return xv * (ev - block_sum(xv * vpr))
 
 __all__ = ["SGDProgram", "RMSEProgram", "run_sgd", "init_sgd_graph",
@@ -68,8 +73,6 @@ class SGDProgram(GraphProgram):
             needs_vp=True)
 
     def pallas_vec2_semiring(self):
-        if self.k > 32:
-            return None
         return PallasVec2Semiring(
             k=self.k,
             process=_sgd_process_v2,
@@ -101,6 +104,13 @@ def _make_rmse_process_v2(k):
     import jax
 
     def _rmse_process_v2(xv, ev, vpr, extra, rid, block_sum):
+        if isinstance(xv, (list, tuple)):
+            est = sum(block_sum(x * v) for x, v in zip(xv, vpr))
+            err2 = (ev - est) ** 2
+            lane_k = jax.lax.broadcasted_iota(jnp.int32, xv[0].shape,
+                                              1) % 32
+            out0 = jnp.where(lane_k == 0, err2, 0.0)
+            return [out0] + [jnp.zeros_like(out0)] * (len(xv) - 1)
         err2 = (ev - block_sum(xv * vpr)) ** 2
         lane_k = jax.lax.broadcasted_iota(jnp.int32, xv.shape, 1) % 32
         return jnp.where(lane_k == 0, err2, 0.0)
@@ -140,8 +150,6 @@ class RMSEProgram(GraphProgram):
             needs_vp=True)
 
     def pallas_vec2_semiring(self):
-        if self.k > 32:
-            return None
         return PallasVec2Semiring(
             k=self.k,
             process=_make_rmse_process_v2(self.k),

@@ -453,8 +453,10 @@ class Engine:
         return sem.decode(y), got
 
     def _pallas_vec2_directions(self, state, msg, sent, vp, plans):
-        """v2 K-wide vector directions (32-lane edge blocks)."""
-        from ..ops.pallas_spmv_vec2 import KPAD, _spmv_vec2_call
+        """v2 K-wide vector directions (32-lane edge blocks; K > 32 runs
+        ceil(K/32) stacked planes through one shared plan)."""
+        from ..ops.pallas_spmv_vec2 import (KPAD, _pack_planes,
+                                            _spmv_vec2_call)
         prog = self.program
         sem = self._vec2_semiring
         interpret = jax.default_backend() != "tpu"
@@ -464,15 +466,15 @@ class Engine:
         vp_enc = None
         if sem.needs_vp:
             vp_enc = sem.encode_vp(state, vp).astype(jnp.float32)
+        kb = max(1, -(-x.shape[1] // KPAD),
+                 -(-vp_enc.shape[1] // KPAD) if vp_enc is not None else 1)
         extra = sem.extra_fn(state) if sem.extra_fn is not None else None
         ex = None
         if extra is not None:
-            ex = jnp.tile(jnp.pad(extra.reshape(-1),
-                                  (0, KPAD - extra.size)), 4)
-
-        def pad32(a, rows_):
-            return jnp.pad(a, ((0, rows_ - a.shape[0]),
-                               (0, KPAD - a.shape[1]))).reshape(-1)
+            exf = jnp.pad(extra.reshape(-1),
+                          (0, kb * KPAD - extra.size))
+            ex = jnp.concatenate([jnp.tile(exf[p * KPAD:(p + 1) * KPAD],
+                                           4) for p in range(kb)])
 
         y = None
         got = None
@@ -482,12 +484,14 @@ class Engine:
             plan_static = (plan.hs, plan.hr, plan.wr, plan.nb, plan.nc,
                            plan.n_pad, plan.rows, plan.wy, plan.classes,
                            plan.segs)
-            xw = pad32(x, plan.n_send_pad)
-            vw = (pad32(vp_enc, plan.n_pad) if vp_enc is not None
-                  else jnp.zeros(plan.hr * 128, jnp.float32))
+            xw = _pack_planes(x, plan.n_send_pad, kb)
+            vw = (_pack_planes(vp_enc, plan.n_pad, kb)
+                  if vp_enc is not None
+                  else jnp.zeros(kb * plan.hr * 128, jnp.float32))
             y_dir = _spmv_vec2_call(plan_arrays, plan_static, xw, vw, ex,
                                     sem.process, sem.n_splits, interpret,
-                                    ex is not None)[: self._n_pad]
+                                    ex is not None,
+                                    kb=kb)[: self._n_pad]
             g_dir = got_static[: self._n_pad]
             if y is None:
                 y, got = y_dir, g_dir

@@ -475,10 +475,20 @@ def _split_bf16(x, n_splits):
 def _make_vec2_kernel(process: Callable, wr: int, wy: int, rows: int,
                       classes, n_splits: int, has_extra: bool,
                       interpret: bool = False, c0: int = 0,
-                      debug: str | None = None):
+                      debug: str | None = None, kb: int = 1, hs: int = 0,
+                      hr: int = 0):
     """``debug`` (ablation knobs, perf decomposition only — results are
     wrong): 'nogather' skips the sender window walk, 'novp' skips the
-    receiver-vector gather, 'noscatter' skips the scatter matmul."""
+    receiver-vector gather, 'noscatter' skips the scatter matmul.
+
+    ``kb`` is the K-block count (round 5): K > 32 vectors are split into
+    ``kb`` 32-lane planes sharing ONE plan — x4/vp4 stack the planes on
+    the row axis ([kb*hs, 128] / [kb*hr, 128]), the sender/receiver
+    gathers and the scatter loop over planes (per-edge cost scales with
+    the data actually moved), and ``process`` receives LISTS of
+    per-plane tiles so cross-K couplings (SGD's rating dot, LDA's gamma
+    normalization) stay inside one kernel invocation.  Reference analog:
+    any-K ``LatentVector<Size>`` payloads, multinode/spmspv3.h:41-267."""
     ntiles = rows // 8
     wmax = max(classes)
 
@@ -538,7 +548,8 @@ def _make_vec2_kernel(process: Callable, wr: int, wy: int, rows: int,
             # fused (granule, rotation) key: one compare per (g, c) pass
             keys = [((t >> 5) << 2) | (t & 3) for t in idx_tiles]
 
-            # ---- sender gather: DMA window, then 4 rotated copies ----
+            # ---- sender gather: DMA window(s), then 4 rotated copies
+            # per K-plane (plane p occupies wscr rows [p*4*wmax, ...)) --
             prev = jnp.maximum(jc - 1, 0)
             same_win = jnp.logical_and(
                 jc > 0, jnp.logical_and(kind_ref[jc] == kind_ref[prev],
@@ -550,39 +561,49 @@ def _make_vec2_kernel(process: Callable, wr: int, wy: int, rows: int,
 
                     @pl.when(jnp.logical_not(same_win))
                     def _():
-                        if interpret:
-                            wscr_ref[0:W, :] = x4_ref[pl.ds(sb, W), :]
-                        else:
-                            dma = pltpu.make_async_copy(
-                                x4_ref.at[pl.ds(sb, W), :],
-                                wscr_ref.at[0:W, :], dma_sem)
-                            dma.start()
-                            dma.wait()
-                        cur = wscr_ref[0:W, :]
-                        for cidx in range(1, 4):
-                            cur = pltpu.roll(cur, KPAD, 1)
-                            wscr_ref[pl.ds(cidx * wmax, W), :] = cur
-                    xvs = [jnp.zeros((8, LANE), jnp.float32)
-                           for _ in range(ntiles)]
-                    for g in range(W // 8):
-                        for cidx in range(4):
-                            tbl = wscr_ref[cidx * wmax + 8 * g:
-                                           cidx * wmax + 8 * g + 8, :]
-                            kk = (g << 2) | cidx
-                            for t in range(ntiles):
-                                got = jnp.take_along_axis(tbl, subs[t],
-                                                          axis=0)
-                                xvs[t] = jnp.where(keys[t] == kk, got,
-                                                   xvs[t])
-                    return tuple(xvs)
+                        for p in range(kb):
+                            pb = p * 4 * wmax
+                            if interpret:
+                                wscr_ref[pb:pb + W, :] = x4_ref[
+                                    pl.ds(p * hs + sb, W), :]
+                            else:
+                                dma = pltpu.make_async_copy(
+                                    x4_ref.at[pl.ds(p * hs + sb, W), :],
+                                    wscr_ref.at[pb:pb + W, :], dma_sem)
+                                dma.start()
+                                dma.wait()
+                            cur = wscr_ref[pb:pb + W, :]
+                            for cidx in range(1, 4):
+                                cur = pltpu.roll(cur, KPAD, 1)
+                                wscr_ref[pl.ds(pb + cidx * wmax, W),
+                                         :] = cur
+                    out = []
+                    for p in range(kb):
+                        pb = p * 4 * wmax
+                        xvs = [jnp.zeros((8, LANE), jnp.float32)
+                               for _ in range(ntiles)]
+                        for g in range(W // 8):
+                            for cidx in range(4):
+                                tbl = wscr_ref[pb + cidx * wmax + 8 * g:
+                                               pb + cidx * wmax + 8 * g
+                                               + 8, :]
+                                kk = (g << 2) | cidx
+                                for t in range(ntiles):
+                                    got = jnp.take_along_axis(
+                                        tbl, subs[t], axis=0)
+                                    xvs[t] = jnp.where(keys[t] == kk,
+                                                       got, xvs[t])
+                        out.extend(xvs)
+                    return tuple(out)
                 return inner
 
             if debug == "nogather":
-                xv = jnp.full((rows, LANE), 1.0, jnp.float32)
+                xv_l = [jnp.full((rows, LANE), 1.0, jnp.float32)] * kb
             else:
                 branches = [sender_branch(W) for W in classes]
-                xvs = list(jax.lax.switch(kind_ref[jc], branches))
-                xv = jnp.concatenate(xvs, axis=0)      # [rows, 128]
+                flat = list(jax.lax.switch(kind_ref[jc], branches))
+                xv_l = [jnp.concatenate(flat[p * ntiles:(p + 1) * ntiles],
+                                        axis=0) for p in range(kb)]
 
             # ---- receiver-vector gather: per-chunk WYK-row window ----
             rb = pl.multiple_of(rbase_ref[jc], 8)
@@ -591,37 +612,48 @@ def _make_vec2_kernel(process: Callable, wr: int, wy: int, rows: int,
 
             @pl.when(jnp.logical_not(same_vwin))
             def _():
-                if interpret:
-                    vscr_ref[:] = vp4_ref[pl.ds(rb, wy), :]
-                else:
-                    dma_v = pltpu.make_async_copy(
-                        vp4_ref.at[pl.ds(rb, wy), :], vscr_ref, dma_sem)
-                    dma_v.start()
-                    dma_v.wait()
+                for p in range(kb):
+                    if interpret:
+                        vscr_ref[p * wy:(p + 1) * wy, :] = vp4_ref[
+                            pl.ds(p * hr + rb, wy), :]
+                    else:
+                        dma_v = pltpu.make_async_copy(
+                            vp4_ref.at[pl.ds(p * hr + rb, wy), :],
+                            vscr_ref.at[p * wy:(p + 1) * wy, :], dma_sem)
+                        dma_v.start()
+                        dma_v.wait()
             # rcf is block-local; rb is a global VP row base
             blk_rb = rb - jnp.int32(blk_ref[jc]) * (wr // 4)
             idxv = (rcf >> 2) - blk_rb                  # [rows,128]
-            if debug == "novp":
-                vpr = jnp.full((rows, LANE), 1.0, jnp.float32)
-            else:
+            vpr_l = []
+            for p in range(kb):
+                if debug == "novp":
+                    vpr_l.append(jnp.full((rows, LANE), 1.0, jnp.float32))
+                    continue
                 vpr_tiles = []
                 for t in range(ntiles):
                     iv = idxv[8 * t: 8 * t + 8, :]
                     q = jnp.zeros((8, LANE), jnp.float32)
                     for g in range(wy // 8):
                         got = jnp.take_along_axis(
-                            vscr_ref[8 * g: 8 * g + 8, :], iv & 7, axis=0)
+                            vscr_ref[p * wy + 8 * g: p * wy + 8 * g + 8,
+                                     :], iv & 7, axis=0)
                         q = jnp.where((iv >> 3) == g, got, q)
                     vpr_tiles.append(q)
-                vpr = jnp.concatenate(vpr_tiles, axis=0)  # [rows, 128]
+                vpr_l.append(jnp.concatenate(vpr_tiles, axis=0))
 
             # ---- process (per 32-lane edge blocks) ----
             rid = jnp.int32(blk_ref[jc]) * wr + rcf     # global recv id
 
-            extra = extra_ref[0:1, :] if has_extra else None
-            p = process(xv, ev, vpr, extra, rid, block_sum)
-            p = p.astype(jnp.float32)
-            p = jnp.where(rcf < wr, p, 0.0)             # mask pads
+            if kb == 1:
+                extra = extra_ref[0:1, :] if has_extra else None
+                outs = [process(xv_l[0], ev, vpr_l[0], extra, rid,
+                                block_sum)]
+            else:
+                extra_l = ([extra_ref[p:p + 1, :] for p in range(kb)]
+                           if has_extra else None)
+                outs = list(process(xv_l, ev, vpr_l, extra_l, rid,
+                                    block_sum))
 
             # ---- scatter: sublane prefix-sum + range takes.  Column
             # lane of p already belongs to its slot-block, and each
@@ -634,17 +666,6 @@ def _make_vec2_kernel(process: Callable, wr: int, wy: int, rows: int,
             # receiver range following large-magnitude slots cancels
             # (error ~ eps * max |prefix| over the run — bounded by the
             # <=rows-slot run length; same-session A/B in PERF.md).
-            if debug == "noscatter":
-                cur = acc_ref[pl.ds(blk_rb, wy), :]
-                acc_ref[pl.ds(blk_rb, wy), :] = cur + p[0:wy, :]
-                return
-            csum = p                      # inclusive prefix over rows
-            sh = 1
-            while sh < rows:
-                csum = csum + jnp.concatenate(
-                    [jnp.zeros((sh, LANE), jnp.float32), csum[:-sh]],
-                    axis=0)
-                sh *= 2
             renc = jnp.broadcast_to(
                 rcwt_ref[0, pl.ds(gc % 8, 1), :], (wy, LANE))
             wrow = jax.lax.broadcasted_iota(jnp.int32, (wy, LANE), 0)
@@ -653,27 +674,43 @@ def _make_vec2_kernel(process: Callable, wr: int, wy: int, rows: int,
             lo = encv & 63
             hi1 = (encv >> 6) & 63
 
-            def pref(t):                  # sum p[0..t-1], t in [0, 32]
-                # cross-sublane gather decomposed into 8-row granules
-                # (Mosaic's gather only spans one granule)
-                tm = jnp.maximum(t - 1, 0)
-                tiles = []
-                for to in range(wy // 8):
-                    tt = tm[8 * to: 8 * to + 8, :]
-                    sub = tt & 7
-                    gsel = tt >> 3
-                    q = jnp.zeros((8, LANE), jnp.float32)
-                    for g in range(rows // 8):
-                        got = jnp.take_along_axis(
-                            csum[8 * g: 8 * g + 8, :], sub, axis=0)
-                        q = jnp.where(gsel == g, got, q)
-                    tiles.append(q)
-                out = jnp.concatenate(tiles, axis=0)
-                return jnp.where(t > 0, out, 0.0)
+            for p in range(kb):
+                pp = outs[p].astype(jnp.float32)
+                pp = jnp.where(rcf < wr, pp, 0.0)       # mask pads
+                arow = p * (wr // 4) + blk_rb
+                if debug == "noscatter":
+                    cur = acc_ref[pl.ds(arow, wy), :]
+                    acc_ref[pl.ds(arow, wy), :] = cur + pp[0:wy, :]
+                    continue
+                csum = pp                 # inclusive prefix over rows
+                sh = 1
+                while sh < rows:
+                    csum = csum + jnp.concatenate(
+                        [jnp.zeros((sh, LANE), jnp.float32), csum[:-sh]],
+                        axis=0)
+                    sh *= 2
 
-            contrib = pref(hi1) - pref(lo)
-            cur = acc_ref[pl.ds(blk_rb, wy), :]
-            acc_ref[pl.ds(blk_rb, wy), :] = cur + contrib
+                def pref(t, csum=csum):   # sum pp[0..t-1], t in [0, 32]
+                    # cross-sublane gather decomposed into 8-row
+                    # granules (Mosaic's gather spans one granule)
+                    tm = jnp.maximum(t - 1, 0)
+                    tiles = []
+                    for to in range(wy // 8):
+                        tt = tm[8 * to: 8 * to + 8, :]
+                        sub = tt & 7
+                        gsel = tt >> 3
+                        q = jnp.zeros((8, LANE), jnp.float32)
+                        for g in range(rows // 8):
+                            got = jnp.take_along_axis(
+                                csum[8 * g: 8 * g + 8, :], sub, axis=0)
+                            q = jnp.where(gsel == g, got, q)
+                        tiles.append(q)
+                    out = jnp.concatenate(tiles, axis=0)
+                    return jnp.where(t > 0, out, 0.0)
+
+                contrib = pref(hi1) - pref(lo)
+                cur = acc_ref[pl.ds(arow, wy), :]
+                acc_ref[pl.ds(arow, wy), :] = cur + contrib
 
         for k in range(GC):
             one_chunk(k)
@@ -695,9 +732,9 @@ def _make_vec2_kernel(process: Callable, wr: int, wy: int, rows: int,
 
 @functools.partial(jax.jit, static_argnames=("plan_static", "process",
                                               "n_splits", "interpret",
-                                              "has_extra", "debug"))
+                                              "has_extra", "debug", "kb"))
 def _spmv_vec2_call(plan_arrays, plan_static, x, vp, extra, process,
-                    n_splits, interpret, has_extra, debug=None):
+                    n_splits, interpret, has_extra, debug=None, kb=1):
     if len(plan_static) > 9:
         segs = plan_static[9]
         base_static = plan_static[:9]
@@ -712,24 +749,25 @@ def _spmv_vec2_call(plan_arrays, plan_static, x, vp, extra, process,
                               (b1 - b0) * wr, rows, wy, classes)
                 outs.append(_spmv_vec2_seg(sub, seg_static, x, vp, extra,
                                            process, n_splits, interpret,
-                                           has_extra, b0, c0, debug))
+                                           has_extra, b0, c0, debug, kb))
             y = jnp.concatenate(outs, axis=0)
             return y[: n_pad]
         plan_static = base_static
     return _spmv_vec2_seg(plan_arrays, plan_static, x, vp, extra, process,
-                          n_splits, interpret, has_extra, 0, 0, debug)
+                          n_splits, interpret, has_extra, 0, 0, debug, kb)
 
 
 def _spmv_vec2_seg(plan_arrays, plan_static, x, vp, extra, process,
                    n_splits, interpret, has_extra, b0=0, c0=0,
-                   debug=None):
+                   debug=None, kb=1):
     hs, hr, wr, nb, nc, n_pad, rows, wy, classes = plan_static
     kindid, blkid, sbase, rbase, pk, valp, rcwt = plan_arrays
-    x4 = x.reshape(hs, LANE)
-    vp4 = vp.reshape(hr, LANE)
+    x4 = x.reshape(kb * hs, LANE)
+    vp4 = vp.reshape(kb * hr, LANE)
 
     kernel = _make_vec2_kernel(process, wr, wy, rows, classes, n_splits,
-                               has_extra, interpret, c0, debug)
+                               has_extra, interpret, c0, debug, kb, hs,
+                               hr)
     wmax = max(classes)
     assert nc % GC == 0 and c0 % GC == 0, \
         "vec2 plans must be GC-aligned (see _align_chunk_groups)"
@@ -747,45 +785,66 @@ def _spmv_vec2_seg(plan_arrays, plan_static, x, vp, extra, process,
     operands = [kindid, blkid, sbase, rbase, pk, valp, rcwt, x4, vp4]
     if has_extra:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        operands.append(extra.reshape(1, LANE))
+        operands.append(extra.reshape(kb, LANE))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(nc // GC,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, wr // 4, LANE),
+        out_specs=pl.BlockSpec((1, kb * (wr // 4), LANE),
                                lambda i, kind, blk, sb, rb:
                                (blk[i * GC] - b0, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((wr // 4, LANE), jnp.float32),
-                        pltpu.VMEM((4 * wmax, LANE), jnp.float32),
-                        pltpu.VMEM((wy, LANE), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((kb * (wr // 4), LANE), jnp.float32),
+                        pltpu.VMEM((kb * 4 * wmax, LANE), jnp.float32),
+                        pltpu.VMEM((kb * wy, LANE), jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
     )
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, wr // 4, LANE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb, kb * (wr // 4), LANE),
+                                       jnp.float32),
         interpret=interpret,
     )(*operands)
-    # [nb, wr/4, 128] -> vertex-major [n_pad, 32]
-    return out.reshape(-1, KPAD)[:n_pad]
+    if kb == 1:
+        # [nb, wr/4, 128] -> vertex-major [n_pad, 32]
+        return out.reshape(-1, KPAD)[:n_pad]
+    # [nb, kb*wr/4, 128] -> [n_pad, kb*32] (plane p -> columns 32p..)
+    out = out.reshape(nb, kb, wr // 4, LANE)
+    planes = [out[:, p].reshape(-1, KPAD)[:n_pad] for p in range(kb)]
+    return jnp.concatenate(planes, axis=1)
+
+
+def _pack_planes(a, target_rows, kb):
+    """[n, K] -> flat [kb * rows4 * 128] plane-stacked vec2 layout
+    (plane p packs columns 32p..32p+31, four vertices per 128-lane
+    row)."""
+    a = jnp.asarray(a, jnp.float32)
+    a = jnp.pad(a, ((0, target_rows - a.shape[0]),
+                    (0, kb * KPAD - a.shape[1])))
+    # [rows4, kb, 128] per plane rows: vertex v -> row v//4, lanes
+    # (v%4)*32..: reshape via [rows4, 4, kb, 32]
+    a = a.reshape(target_rows // 4, 4, kb, KPAD)
+    a = jnp.transpose(a, (2, 0, 1, 3))      # [kb, rows4, 4, 32]
+    return a.reshape(-1)
 
 
 def spmv_vec2(plan: SpmvVec2Plan, x, process: Callable, vp_receiver,
               extra=None, interpret: bool = False, n_splits: int = 2):
     """K-wide 3-operand SpMV: ``y[r, :] += process(x[s], ev, vp[r], ...)``.
 
-    ``x``/``vp_receiver``: f32[n, K<=32]; returns f32[n_pad, 32] (first K
-    columns meaningful).  ``process(xv, ev, vpr, extra, rid, block_sum)``
-    works on [rows, 128] tiles (32-lane edge blocks).
+    ``x``/``vp_receiver``: f32[n, K]; returns f32[n_pad, 32*ceil(K/32)]
+    (first K columns meaningful).  For K <= 32
+    ``process(xv, ev, vpr, extra, rid, block_sum)`` works on [rows, 128]
+    tiles (32-lane edge blocks); for K > 32 ``xv``/``vpr`` (and
+    ``extra``) are LISTS of ceil(K/32) such tiles and the return is a
+    matching list — cross-plane couplings (dot products,
+    normalizations) are ordinary python sums over the list inside one
+    kernel invocation.
     """
-    def pad32(a, target_rows):
-        a = jnp.asarray(a, jnp.float32)
-        k = a.shape[1]
-        a = jnp.pad(a, ((0, target_rows - a.shape[0]), (0, KPAD - k)))
-        return a.reshape(-1)
-
-    xw = pad32(x, plan.n_send_pad)
-    vw = pad32(vp_receiver, plan.n_pad)
+    kb = max(1, -(-x.shape[1] // KPAD),
+             -(-jnp.asarray(vp_receiver).shape[1] // KPAD))
+    xw = _pack_planes(x, plan.n_send_pad, kb)
+    vw = _pack_planes(vp_receiver, plan.n_pad, kb)
     plan_arrays = (plan.kindid, plan.blkid, plan.sbase, plan.rbase,
                    plan.pk, plan.valp, plan.rcwt)
     plan_static = (plan.hs, plan.hr, plan.wr, plan.nb, plan.nc,
@@ -793,7 +852,10 @@ def spmv_vec2(plan: SpmvVec2Plan, x, process: Callable, vp_receiver,
                    plan.segs)
     ex = None
     if extra is not None:
-        ex = jnp.tile(jnp.pad(jnp.asarray(extra, jnp.float32),
-                              (0, KPAD - len(extra))), SLOTS)
+        exf = jnp.pad(jnp.asarray(extra, jnp.float32).reshape(-1),
+                      (0, kb * KPAD - len(extra)))
+        ex = jnp.concatenate([jnp.tile(exf[p * KPAD:(p + 1) * KPAD],
+                                       SLOTS) for p in range(kb)])
     return _spmv_vec2_call(plan_arrays, plan_static, xw, vw, ex, process,
-                           n_splits, interpret, extra is not None)
+                           n_splits, interpret, extra is not None,
+                           kb=kb)

@@ -137,8 +137,8 @@ class DistEngine:
                 use_pallas = True
                 self.use_pallas_vec2 = True
             elif on_tpu and vec_semiring is not None:
-                # v1 vec fallback: K > 32 or ACTIVE_ONLY vector programs
-                # (the vec2 layout caps K at 32 and needs ALL_VERTICES)
+                # v1 vec fallback: ACTIVE_ONLY vector programs (vec2
+                # needs ALL_VERTICES; any K now runs vec2 via planes)
                 use_pallas = True
                 self.use_pallas_vec = True
             else:
@@ -432,8 +432,12 @@ class DistEngine:
             return sem.decode(y), got
 
         def vec2_partials(state, msg, sent, vp, structure):
-            """K-wide local tile multiply (vec2 kernel) + mesh reduce."""
-            from ..ops.pallas_spmv_vec2 import KPAD, _spmv_vec2_call
+            """K-wide local tile multiply (vec2 kernel) + mesh reduce.
+            K > 32 runs ceil(K/32) stacked planes through one shared
+            tile plan (round 5; the dist K>32 route used to fall back
+            to the v1 vec kernel)."""
+            from ..ops.pallas_spmv_vec2 import (KPAD, _pack_planes,
+                                                _spmv_vec2_call)
             prog = self.program
             sem = self._vec2_semiring
             interpret = jax.default_backend() != "tpu"
@@ -445,16 +449,18 @@ class DistEngine:
             if sem.needs_vp:
                 vpe = sem.encode_vp(state, vp).astype(jnp.float32)
                 vp_row = lax.all_gather(vpe, COL_AXIS, tiled=True)
+            kb = max(1, -(-x.shape[1] // KPAD),
+                     -(-vp_row.shape[1] // KPAD)
+                     if vp_row is not None else 1)
             extra = sem.extra_fn(state) if sem.extra_fn is not None \
                 else None
             ex = None
             if extra is not None:
-                ex = jnp.tile(jnp.pad(extra.reshape(-1),
-                                      (0, KPAD - extra.size)), 4)
-
-            def pad32(a, rows_):
-                return jnp.pad(a, ((0, rows_ - a.shape[0]),
-                                   (0, KPAD - a.shape[1]))).reshape(-1)
+                exf = jnp.pad(extra.reshape(-1),
+                              (0, kb * KPAD - extra.size))
+                ex = jnp.concatenate(
+                    [jnp.tile(exf[p * KPAD:(p + 1) * KPAD], 4)
+                     for p in range(kb)])
 
             y = None
             gotf = None
@@ -463,14 +469,15 @@ class DistEngine:
                 static, n_send_pad = self._pplan_static_for(recv)
                 n_pad_t = static[5]
                 local = tuple(a[0] for a in arrays)
-                xw = pad32(x_col, n_send_pad)
-                vw = (pad32(vp_row, n_pad_t) if vp_row is not None
-                      else jnp.zeros(static[1] // 1 * 0 + static[5] // 4
-                                     * 128, jnp.float32))
+                xw = _pack_planes(x_col, n_send_pad, kb)
+                vw = (_pack_planes(vp_row, n_pad_t, kb)
+                      if vp_row is not None
+                      else jnp.zeros(kb * (static[5] // 4) * 128,
+                                     jnp.float32))
                 y_dir = _spmv_vec2_call(local, static, xw, vw, ex,
                                         sem.process, sem.n_splits,
-                                        interpret,
-                                        ex is not None)[:n_row_local]
+                                        interpret, ex is not None,
+                                        kb=kb)[:n_row_local]
                 g_dir = got_static[0][:n_row_local].astype(jnp.float32)
                 if y is None:
                     y, gotf = y_dir, g_dir

@@ -171,3 +171,89 @@ def test_graphmat_debug_validates_vec2_plan(monkeypatch):
         pass
     else:
         raise AssertionError("corrupted plan passed validation")
+
+
+def test_vec2_k40_planes_match_numpy():
+    """K=40 runs two stacked 32-lane planes through ONE shared vec2
+    plan; the SGD dot couples planes inside the kernel (round 5)."""
+    from graphmat_tpu.ops.pallas_spmv_vec2 import (build_spmv_vec2_plan,
+                                                   spmv_vec2)
+    e = random_edgelist(300, 5, seed=13, weight_range=5)
+    s0, r0, v = e.src - 1, e.dst - 1, e.val
+    n = max(e.m, e.n)
+    plan = build_spmv_vec2_plan(s0, r0, v, n)
+    k = 40
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((n, k)).astype(np.float32)
+    vp = rng.standard_normal((n, k)).astype(np.float32)
+
+    def proc(xvs, ev, vprs, extra, rid, block_sum):
+        est = sum(block_sum(a * b) for a, b in zip(xvs, vprs))
+        return [a * (ev - est) for a in xvs]
+
+    y = np.asarray(spmv_vec2(plan, jnp.asarray(x), proc, jnp.asarray(vp),
+                             interpret=True))
+    assert y.shape[1] == 64
+    est = np.sum(x[s0].astype(np.float64) * vp[r0], axis=1)
+    p = x[s0] * (v - est)[:, None]
+    expect = np.zeros((plan.n_pad, k))
+    np.add.at(expect, r0, p)
+    np.testing.assert_allclose(y[: plan.n_pad, :k], expect, rtol=2e-3,
+                               atol=2e-3)
+    np.testing.assert_allclose(y[:, k:], 0.0, atol=1e-6)
+
+
+def test_engine_vec2_k40_sgd_matches_xla():
+    """Full K=40 SGD through the engine's vec2 K-plane path."""
+    from graphmat_tpu import Graph
+    from graphmat_tpu.apps.sgd import SGDProgram, init_sgd_graph
+    from graphmat_tpu.core.runtime import Engine
+    from graphmat_tpu.io.edgelist import load_edgelist
+    e = load_edgelist("data/ratings7.bin.mtx")
+
+    def run(use_pallas):
+        g = Graph(e)
+        init_sgd_graph(g, k=40)
+        g.set_all_active()
+        eng = Engine(SGDProgram(step=0.001, k=40), g,
+                     use_pallas=use_pallas)
+        if use_pallas:
+            assert eng.use_pallas_vec2
+        eng.run(iterations=4)
+        return g.vp_numpy()["lv"]
+
+    np.testing.assert_allclose(run(True), run(False), rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_engine_vec2_k40_lda_matches_xla():
+    """K=40 LDA (init + 2 iterations + the K+1 is_doc flag plane)
+    through the vec2 K-plane path vs the XLA engine."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_ml_apps import bipartite_edges
+    from graphmat_tpu import Graph
+    from graphmat_tpu.apps.lda import run_lda
+
+    from graphmat_tpu.core import runtime as rt
+
+    ndoc, nterms, k = 5, 7, 40
+    e = bipartite_edges(ndoc, nterms, seed=23)
+    N1, gN1, ll1 = run_lda(Graph(e), ndoc, nterms, k=k, iterations=2)
+
+    orig_init = rt.Engine.__init__
+
+    def patched(self, program, graph, ctx=None, use_pallas=None):
+        if use_pallas is None and \
+                program.pallas_vec2_semiring() is not None:
+            use_pallas = True
+        orig_init(self, program, graph, ctx=ctx, use_pallas=use_pallas)
+    rt.Engine.__init__ = patched
+    try:
+        N2, gN2, ll2 = run_lda(Graph(e), ndoc, nterms, k=k, iterations=2)
+    finally:
+        rt.Engine.__init__ = orig_init
+    np.testing.assert_allclose(N2, N1, rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(gN2, gN1, rtol=3e-4)
+    assert abs(ll2 - ll1) < 1e-2 * max(1.0, abs(ll1))
