@@ -529,9 +529,75 @@ def bench_tc(e, g):
         med, rep_s, len(s0) / min(rep_s) / 1e6)
 
 
+def bench_families(rmat_gteps):
+    """Graph-family floor record (round-5 #8): the uniform-random
+    family through the SAME engine protocol as the pagerank headline,
+    with its ratio vs that headline — the builder's >= 2/3-of-RMAT bar
+    becomes machine-visible instead of living in PERF.md prose.
+    Uniform is the adversarial family for the v2u layout: no hubs, so
+    every edge rides a full window cell at binomial-lane-max fill
+    (PERF.md round 5c decomposition)."""
+    import jax
+    import jax.numpy as jnp
+
+    from graphmat_tpu import Graph
+    from graphmat_tpu.apps.pagerank import (PageRankProgram,
+                                            init_pagerank_graph)
+    from graphmat_tpu.core.runtime import Engine
+    from graphmat_tpu.io.edgelist import EdgeList
+
+    rng = np.random.default_rng(11)
+    n = 1 << SCALE
+    m = EDGE_FACTOR * n
+    el = EdgeList(src=rng.integers(1, n + 1, m),
+                  dst=rng.integers(1, n + 1, m),
+                  val=rng.integers(1, 256, m).astype(np.float64),
+                  m=n, n=n)
+    g = Graph(el, build_in_edges=False, permute="degree")
+    deg = np.bincount(el.src - 1, minlength=n).astype(np.int32)
+
+    def setup():
+        init_pagerank_graph(g)
+        gvp = dict(g.vp)
+        full = np.zeros(g.n_pad, np.int32)
+        if g.perm is None:
+            full[:n] = deg
+        else:
+            full[g.perm] = deg
+        gvp["degree"] = jnp.asarray(full)
+        g.vp = gvp
+        g.set_all_active()
+        jax.block_until_ready(list(g.vp.values()) + [g.active])
+        float(jnp.sum(g.vp["pagerank"][:1]))
+
+    setup()
+    eng = Engine(PageRankProgram(), g)
+    eng.run(iterations=ITERS)          # compile + warm
+
+    def once():
+        setup()
+        t0 = time.time()
+        eng.run(iterations=ITERS)
+        return time.time() - t0
+
+    med, rep_s = _median_reps(once, reps=min(REPS, 3))
+    gteps = g.nnz * ITERS / med / 1e9
+    ratio = gteps / rmat_gteps if rmat_gteps else 0.0
+    return _base_record(
+        "uniform_pagerank_gteps_per_chip", gteps, "GTEPS",
+        2.0 / 3.0 * rmat_gteps if rmat_gteps else 1.0,
+        {"graph": f"uniform {1 << SCALE} x{EDGE_FACTOR}",
+         "nnz": int(g.nnz), "iters": ITERS,
+         "ratio_vs_rmat_pagerank": round(ratio, 3),
+         "bar": ">= 2/3 of the RMAT pagerank headline",
+         "note": "same engine protocol as the pagerank record"},
+        med, rep_s, g.nnz * ITERS / min(rep_s) / 1e9)
+
+
 def main() -> int:
     sel = os.environ.get("GRAPHMAT_BENCH_WORKLOADS",
-                         "pagerank,bfs,sssp,sgd,lda,tc").split(",")
+                         "pagerank,bfs,sssp,sgd,lda,tc,families"
+                         ).split(",")
     records = {}
     shared = {}
 
@@ -574,6 +640,9 @@ def main() -> int:
         guarded("lda", bench_lda)
     if "tc" in sel and g is not None:
         guarded("tc", lambda: bench_tc(e, g))
+    if "families" in sel:
+        guarded("families", lambda: bench_families(
+            records.get("pagerank", {}).get("value", 0.0)))
 
     import jax
     head = records.get("pagerank", {})

@@ -91,7 +91,7 @@ def load_planner():
             lib.gm_plan2u_create.argtypes = [
                 i32p, i32p, f32p, ctypes.c_int64, ctypes.c_int32,
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i32p,
-                ctypes.c_int32, i64p, ctypes.c_int32,
+                ctypes.c_int32, i64p, i32p, ctypes.c_int32,
                 ctypes.c_int32, ctypes.POINTER(ctypes.c_int64)]
             lib.gm_plan2u_fill.restype = None
             lib.gm_plan2u_fill.argtypes = [ctypes.c_void_p, i32p, i32p,

@@ -1710,6 +1710,27 @@ namespace {
 
 constexpr int kOutK = 2;
 constexpr int kSubR = 32;
+constexpr int kStiles = kSubR / 8;   // kernel tiles per 32-row sub
+constexpr int kBandExtra = 4;        // band overlap granules (see python
+                                     // _band_ranges — kept in lockstep)
+
+// Banded-walk geometry for flat cells: tile k of every sub walks only
+// granules [starts[k], starts[k] + wgb) of the W-row window.  The
+// packer restricts tile k's rows to those granules, so the kernel's
+// static band walk replaces the full W/8-granule sweep (uniform-random
+// graphs measured 43% of kernel time in the walk, PERF round 5).
+static inline void band_ranges(int Wg, int* starts, int* wgb_out) {
+  // small windows need wide bands (spill risk at dense flat cells);
+  // large windows hold sparse remainder cells — narrow bands (see
+  // python _band_ranges)
+  int wgb = std::max(Wg / 2, Wg / kStiles + kBandExtra);
+  if (wgb > Wg) wgb = Wg;
+  for (int k = 0; k < kStiles; ++k)
+    starts[k] = (kStiles == 1 || Wg == wgb) ? 0
+        : (int)(((int64_t)k * (Wg - wgb) * 2 + (kStiles - 1))
+                / (2 * (kStiles - 1)));
+  *wgb_out = wgb;
+}
 // minimum slots for a row-mode rank row to stay row-mode (see the
 // hot-extraction comment in gm_plan2u_create); mirrored in
 // pallas_spmv2u.ROWMODE_KEEP_MIN
@@ -1732,6 +1753,7 @@ struct Plan2u {
   std::vector<int32_t> cell_blk;
   std::vector<int32_t> sub_kind, sub_base;   // per global sub
   std::vector<int32_t> ck_blk;               // per chunk
+  std::vector<char> cell_banded;             // per final cell
   int64_t nc = 0;
   const int32_t* s = nullptr;
   const int32_t* r = nullptr;
@@ -1841,10 +1863,15 @@ extern "C" {
 // cell_min is PER WINDOW CLASS (int64[nw]): the flat-degree acceptance
 // rule lowers the threshold for small windows so hub-free graphs (whose
 // cells never reach the hubby default threshold) still get short walks
+// banded_cls (int32[nw], may be null): classes whose cells pack in the
+// banded-walk layout (tile k of each sub holds only granules of its
+// static band; no row-mode rows).  A flagged cell with a row-mode-hot
+// receiver falls back to the normal routed pack for that cell.
 void* gm_plan2u_create(const int32_t* senders, const int32_t* receivers,
                        const float* vals, int64_t e, int32_t h, int32_t wr,
                        int32_t nb, int32_t hub, const int32_t* windows,
-                       int32_t nw, const int64_t* cell_min, int32_t rows,
+                       int32_t nw, const int64_t* cell_min,
+                       const int32_t* banded_cls, int32_t rows,
                        int32_t rowmode_min, int64_t* nc_out) {
   auto* p = new Plan2u();
   p->e = e; p->h = h; p->wr = wr; p->nb = nb; p->hub = hub;
@@ -1979,6 +2006,7 @@ void* gm_plan2u_create(const int32_t* senders, const int32_t* receivers,
   p->edge_row.resize(e);
   p->cell_nrows.assign(nfc, 0);
   p->cell_ncold.assign(nfc, 0);
+  p->cell_banded.assign(nfc, 0);
 #pragma omp parallel
   {
     UPacker packer;
@@ -1986,6 +2014,10 @@ void* gm_plan2u_create(const int32_t* senders, const int32_t* receivers,
     std::vector<char> hot;
     std::vector<int32_t> rmrow;      // rm row (local) per edge, -1 cold
     std::vector<int32_t> lanecnt(kLane);
+    std::vector<int8_t> bandof;
+    std::vector<int64_t> beo;
+    std::vector<int32_t> brow;
+    std::vector<char> bhot;
 #pragma omp for schedule(dynamic, 8)
     for (int64_t q = 0; q < (int64_t)nfc; ++q) {
       const int64_t lo = p->cell_edge_start[q];
@@ -1995,6 +2027,126 @@ void* gm_plan2u_create(const int32_t* senders, const int32_t* receivers,
       std::stable_sort(eo, eo + m, [&](int64_t a, int64_t b) {
         return senders[a] < senders[b];
       });
+      const int32_t ckind = final_cells[q].kind;
+      if (ckind > 0 && banded_cls && banded_cls[ckind - 1]) {
+        // banded eligibility: no row-mode-hot receiver in the cell
+        bool any_hot = false;
+        if (m >= p->rowmode_min) {
+          rsort.assign(eo, eo + m);
+          std::stable_sort(rsort.begin(), rsort.end(),
+                           [&](int64_t a, int64_t b) {
+                             return receivers[a] < receivers[b];
+                           });
+          int64_t a = 0;
+          while (a < (int64_t)m && !any_hot) {
+            int64_t b2 = a + 1;
+            while (b2 < (int64_t)m
+                   && receivers[rsort[b2]] == receivers[rsort[a]]) ++b2;
+            if (b2 - a >= p->rowmode_min) any_hot = true;
+            a = b2;
+          }
+        }
+        if (!any_hot) {
+          const int32_t W = p->windows[ckind - 1];
+          int starts[kStiles], wgb;
+          band_ranges(W / 8, starts, &wgb);
+          // 2-choice band assignment on the BINDING loads: a band's row
+          // count is max(per-sender-lane, per-out-lane) occupancy, so
+          // the choice among covering bands minimizes that pair (plain
+          // total-count balancing measured fill 0.26 — the quartered
+          // per-band population makes the binomial lane max/mean ratio
+          // the constraint, not the totals)
+          bandof.assign(m, 0);
+          int32_t sload[kStiles][kLane];
+          int32_t rload[kStiles][kLane];
+          std::memset(sload, 0, sizeof(sload));
+          std::memset(rload, 0, sizeof(rload));
+          // pass 1 assigns single-candidate (exclusive-granule) edges
+          // so the shared-region balancing sees the forced loads
+          int64_t bcnt[kStiles] = {0};
+          for (int pass = 0; pass < 2; ++pass) {
+            for (int64_t j = 0; j < m; ++j) {
+              const int g = p->gidx[eo[j]] >> 3;
+              int ncand = 0, cand[kStiles];
+              for (int k = 0; k < kStiles; ++k)
+                if (starts[k] <= g && g < starts[k] + wgb)
+                  cand[ncand++] = k;
+              if ((pass == 0) != (ncand <= 1)) continue;
+              const int L = senders[eo[j]] & (kLane - 1);
+              const int Lr = receivers[eo[j]] & (kLane - 1);
+              int best = -1;
+              int64_t bestc = 0;
+              for (int q2 = 0; q2 < ncand; ++q2) {
+                const int k = cand[q2];
+                const int32_t ml = std::max(sload[k][L], rload[k][Lr]);
+                // >= 8 rows of lane load would spill the cell into a
+                // second, mostly-empty sub level: last resort
+                const int64_t c = ((int64_t)(ml >= 8) << 40)
+                                  | ((int64_t)ml << 24) | bcnt[k];
+                if (best < 0 || c < bestc) { best = k; bestc = c; }
+              }
+              if (best < 0) best = g * kStiles / std::max(W / 8, 1);
+              if (best >= kStiles) best = kStiles - 1;
+              bandof[j] = (int8_t)best;
+              sload[best][L]++;
+              rload[best][Lr]++;
+              bcnt[best]++;
+            }
+          }
+          const int64_t wrblk = (int64_t)final_cells[q].blk * wr;
+          int64_t nsub8 = 1;
+          std::vector<int64_t> rows_k(kStiles);
+          std::vector<std::vector<int64_t>> bidx(kStiles);
+          std::vector<std::vector<int32_t>> brows(kStiles);
+          for (int k = 0; k < kStiles; ++k) bidx[k].clear();
+          for (int64_t j = 0; j < m; ++j)
+            bidx[bandof[j]].push_back(j);
+          for (int k = 0; k < kStiles; ++k) {
+            const int64_t mk = (int64_t)bidx[k].size();
+            if (!mk) { rows_k[k] = 0; continue; }
+            beo.resize(mk);
+            for (int64_t t = 0; t < mk; ++t) beo[t] = eo[bidx[k][t]];
+            bhot.assign(mk, 0);
+            brows[k].resize(mk);
+            rows_k[k] = packer.pack(beo.data(), mk, bhot.data(),
+                                    senders, receivers, wrblk,
+                                    brows[k].data());
+            const int64_t s8 = (rows_k[k] + 7) / 8;
+            if (s8 > nsub8) nsub8 = s8;
+          }
+          // per-cell fallback: banded only when it costs no extra sub
+          // levels vs the normal routed pack (exclusive-granule lane
+          // collisions occasionally force a 9th row, which would spill
+          // the whole cell into a second, mostly-empty sub)
+          bool keep_banded = true;
+          if (nsub8 > 1) {
+            bhot.assign(m, 0);
+            brow.resize(m);
+            const int64_t nrows_norm = packer.pack(
+                eo, m, bhot.data(), senders, receivers, wrblk,
+                brow.data());
+            if ((nrows_norm + kSubR - 1) / kSubR < nsub8) {
+              keep_banded = false;
+              for (int64_t j = 0; j < m; ++j)
+                p->edge_row[lo + j] = brow[j];
+              p->cell_nrows[q] = nrows_norm;
+              p->cell_ncold[q] = nrows_norm;
+            }
+          }
+          if (keep_banded) {
+            for (int k = 0; k < kStiles; ++k)
+              for (int64_t t = 0; t < (int64_t)bidx[k].size(); ++t) {
+                const int32_t rb = brows[k][t];
+                p->edge_row[lo + bidx[k][t]] =
+                    (int32_t)((rb / 8) * kSubR + k * 8 + rb % 8);
+              }
+            p->cell_nrows[q] = nsub8 * kSubR;
+            p->cell_ncold[q] = p->cell_nrows[q];
+            p->cell_banded[q] = 1;
+          }
+          continue;
+        }
+      }
       // hot receivers: in-cell degree >= rowmode_min; rm row assignment
       // keyed by edge id in the high bits of a receiver-sorted copy
       rsort.assign(eo, eo + m);
@@ -2090,6 +2242,7 @@ void* gm_plan2u_create(const int32_t* senders, const int32_t* receivers,
         const int32_t W = p->windows[cl.kind - 1];
         bv = cl.win * W;
         if (bv > h - W) bv = h - W;
+        if (p->cell_banded[qi]) kv = cl.kind + (int32_t)K;
       }
       p->cell_sub_start[qi] = (int64_t)p->sub_kind.size();
       p->cell_blk[qi] = b;

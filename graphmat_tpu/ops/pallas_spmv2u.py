@@ -215,7 +215,10 @@ def _sort_rows_tile_bounds(plan):
     newc = np.r_[True, ck[1:] != ck[:-1]]
     run_sub = np.cumsum(newc) - 1                 # [nc*S] monotone
     row_run = np.repeat(run_sub, SUBR)
-    row_sortable = np.repeat(kd_sub != KIND_HUB, SUBR)
+    # banded subs (kind > K) keep their tile-band row placement — the
+    # kernel's static band walk depends on it
+    K = len(plan.classes)
+    row_sortable = np.repeat((kd_sub != KIND_HUB) & (kd_sub <= K), SUBR)
     idx = np.flatnonzero(row_sortable)
     if len(idx):
         order = np.lexsort((gmin_r[idx], row_run[idx]))
@@ -275,7 +278,8 @@ def _mark_pad_subs(plan):
              == plan.wr).all(axis=1)
     kb[empty] |= np.uint32(KB_PAD)
     plan.kb = kb.view(np.int32)
-    wtab = np.array([16] + list(plan.classes), np.int64)
+    wtab = np.array([16] + list(plan.classes) + list(plan.classes),
+                    np.int64)
     kd = (kb >> KB_KIND_SHIFT) & 15
     bs = ((kb & ((1 << 22) - 1)) << 3).astype(np.int64)
     lo = np.where(kd == 0, 0, bs)
@@ -503,6 +507,130 @@ def _pack_u_cell(sv, rv, vv, gv, iv, blk, wr, rowmode_min=ROWMODE_MIN_U):
     return cold_rows, rm_rows
 
 
+BAND_EXTRA = 4   # band overlap granules (mirrored in planner.cpp)
+
+
+def _band_ranges(W):
+    """Banded-walk geometry (kept in lockstep with planner.cpp
+    ``band_ranges``): tile k of every sub walks only granules
+    [start_k, start_k + wgb) of the W-row window.  Band width is HALF
+    the window (not Wg/stiles + slack): narrow bands leave the two edge
+    bands with wide exclusive granule ranges that cannot rebalance, and
+    the per-band lane-max row count blows past one 8-row tile level
+    (measured fill 0.26 vs 0.44 baseline at Wg/4+4)."""
+    stiles = SUBR // 8
+    Wg = W // 8
+    # small windows (dense flat cells ~2K edges) need wide bands: the
+    # per-band lane-max row count spills past one 8-row tile level
+    # otherwise (measured fill 0.26 at Wg/4+4).  Large windows hold the
+    # sparse remainder cells (small populations, no spill risk) and
+    # dominate the walk at 512-1024 takes/sub — narrow bands there.
+    wgb = min(Wg, max(Wg // 2, Wg // stiles + BAND_EXTRA))
+    if stiles == 1 or Wg == wgb:
+        return tuple((0, wgb) for _ in range(stiles))
+    return tuple(
+        ((k * (Wg - wgb) * 2 + (stiles - 1)) // (2 * (stiles - 1)), wgb)
+        for k in range(stiles))
+
+
+def _pack_u_cold(sv, rv, vv, gv, iv, blk, wr):
+    """The routed cold-row greedy from ``_pack_u_cell`` without hot
+    extraction (helper for the banded pack)."""
+    lanes = (sv & (LANE - 1)).astype(np.int64)
+    rlanes = (rv & (LANE - 1)).astype(np.int64)
+    rcfv = (rv - blk * wr).astype(np.int64)
+    rows = []
+    for j in range(len(sv)):
+        L, gx = int(lanes[j]), int(gv[j])
+        Lr, r0 = int(rlanes[j]), int(rcfv[j])
+        row = None
+        for cand in rows:
+            if len(cand["slots"]) >= LANE:
+                continue
+            reg = cand["reg"]
+            if L in reg and reg[L] != gx:
+                continue
+            out = cand["out"]
+            if Lr in out:
+                orcf, sl = out[Lr]
+                if orcf != r0 or len(sl) >= OUT_K:
+                    continue
+            row = cand
+            break
+        if row is None:
+            row = {"slots": [], "reg": {}, "out": {}}
+            rows.append(row)
+        slot = len(row["slots"])
+        row["slots"].append((slot, L, gx, r0, float(vv[j]), int(iv[j])))
+        row["reg"][L] = gx
+        row["out"].setdefault(Lr, (r0, []))[1].append(slot)
+    return rows
+
+
+def _pack_u_cell_banded(sv, rv, vv, gv, iv, blk, wr, W,
+                        rowmode_min=ROWMODE_MIN_U):
+    """Banded pack for a flat cell: partition edges into per-tile
+    granule bands (greedy 2-choice over the overlapping coverage), pack
+    each band's rows independently, and place band k's rows at tile
+    position k of consecutive subs.  Returns a row list padded to
+    32*nsubs (``None`` = pad row), or ``None`` when a row-mode-hot
+    receiver disqualifies the cell (falls back to the normal pack)."""
+    if len(rv):
+        _, cnt = np.unique(rv, return_counts=True)
+        if cnt.max() >= rowmode_min:
+            return None
+    ranges = _band_ranges(W)
+    stiles = len(ranges)
+    g = (np.asarray(gv) >> 3).astype(np.int64)
+    # 2-choice on the binding loads (max of per-sender-lane and
+    # per-out-lane occupancy — see planner.cpp band assignment)
+    sload = np.zeros((stiles, LANE), np.int64)
+    rload = np.zeros((stiles, LANE), np.int64)
+    lanes = (np.asarray(sv) & (LANE - 1)).astype(np.int64)
+    rlanes = (np.asarray(rv) & (LANE - 1)).astype(np.int64)
+    # pass 1 assigns single-candidate (exclusive-granule) edges so the
+    # shared-region balancing sees the forced loads; otherwise the
+    # granule-sorted arrival front-loads early bands and the last
+    # band's exclusive tail lands on top of an unbalanced base
+    bcnt = np.zeros(stiles, np.int64)
+    bandof = np.zeros(len(sv), np.int64)
+    cands = [[k for k, (s0, w) in enumerate(ranges) if s0 <= gj < s0 + w]
+             or [min(int(gj) * stiles // max(W // 8, 1), stiles - 1)]
+             for gj in g]
+    order = sorted(range(len(sv)), key=lambda j: (len(cands[j]), j))
+    for j in order:
+        best, bestc = -1, (0, 0, 0)
+        for k in cands[j]:
+            ml = max(sload[k, lanes[j]], rload[k, rlanes[j]])
+            # a band at 8 rows of lane load would spill the whole cell
+            # into a second, mostly-empty sub level: treat >= 8 as a
+            # last resort
+            c = (1 if ml >= 8 else 0, ml, bcnt[k])
+            if best < 0 or c < bestc:
+                best, bestc = k, c
+        bandof[j] = best
+        sload[best, lanes[j]] += 1
+        rload[best, rlanes[j]] += 1
+        bcnt[best] += 1
+    band_rows = []
+    for k in range(stiles):
+        sel = np.flatnonzero(bandof == k)
+        band_rows.append(_pack_u_cold(sv[sel], rv[sel], vv[sel],
+                                      gv[sel], iv[sel], blk, wr))
+    nsubs = max([1] + [-(-len(rk) // 8) for rk in band_rows])
+    if nsubs > 1:
+        # per-cell fallback (mirrors planner.cpp): banded only when it
+        # costs no extra sub levels vs the normal routed pack
+        norm = _pack_u_cold(sv, rv, vv, gv, iv, blk, wr)
+        if -(-len(norm) // SUBR) < nsubs:
+            return None
+    out = [None] * (nsubs * SUBR)
+    for k, rk in enumerate(band_rows):
+        for j, row in enumerate(rk):
+            out[(j // 8) * SUBR + k * 8 + j % 8] = row
+    return out
+
+
 def _emit_u_row(row, wr, rowmode=False):
     """Row dict -> (pk[128], po[128], val[128], idx[128]) int32/float32."""
     pk = np.full(LANE, wr, np.int32)
@@ -606,13 +734,22 @@ def build_spmv2u_plan(senders0: np.ndarray, receivers0: np.ndarray,
                  if flat_w_min <= w <= flat_w_max else cell_min
                  for w in norm_windows]
 
+    # banded-walk classes: every window class may pack cells in
+    # per-tile granule bands so the kernel walks a band instead of the
+    # full window (the walk is ~40% of uniform kernel time, and the
+    # big-window remainder classes pay 512-1024 takes/sub).  Cells
+    # where banding would cost an extra sub level (lane collisions in
+    # band-exclusive granules) or that carry row-mode-hot receivers
+    # fall back to the normal pack per cell.
+    banded_cls = [1] * len(norm_windows)
+
     from ..native import load_planner
     lib = load_planner()
     if (lib is not None and e > 0 and hasattr(lib, "gm_plan2u_create")):
         return _build_plan2u_native(
             lib, s, r, v, e, h, wr, nb, hub, norm_windows, cell_mins,
             n_pad, n_send_pad, receivers0, rows, rowmode_min,
-            aux=aux, h_src=h_src)
+            aux=aux, h_src=h_src, banded_cls=banded_cls)
 
     rblk = r // wr
     kind, cellk, basew, gidx = _classify(s, r, rblk, h, nb, wr, hub,
@@ -623,18 +760,30 @@ def build_spmv2u_plan(senders0: np.ndarray, receivers0: np.ndarray,
     io = order.astype(np.int32)
 
     # pack per cell -> (blk, kind, base, [(pk, po, val, idx) rows])
+    K = len(norm_windows)
+    pad_row = {"slots": [], "reg": {}, "out": {}}
     cells_rows = []
     cb = np.r_[0, np.flatnonzero(co[1:] != co[:-1]) + 1, e] if e \
         else np.zeros(1, np.int64)
     for gi in range(len(cb) - 1):
         lo, hi_ = int(cb[gi]), int(cb[gi + 1])
         blk = int(blko[lo])
+        kd = int(ko[lo])
+        if kd > 0 and banded_cls[kd - 1]:
+            rws_b = _pack_u_cell_banded(
+                so[lo:hi_], ro[lo:hi_], vo[lo:hi_], go[lo:hi_],
+                io[lo:hi_], blk, wr, norm_windows[kd - 1], rowmode_min)
+            if rws_b is not None:
+                rws = [_emit_u_row(rw if rw is not None else pad_row, wr)
+                       for rw in rws_b]
+                cells_rows.append((blk, kd + K, int(bo[lo]), rws))
+                continue
         cold, rm = _pack_u_cell(so[lo:hi_], ro[lo:hi_], vo[lo:hi_],
                                 go[lo:hi_], io[lo:hi_], blk, wr,
                                 rowmode_min)
         rws = ([_emit_u_row(rw, wr) for rw in cold]
                + [_emit_u_row(rw, wr, rowmode=True) for rw in rm])
-        cells_rows.append((blk, int(ko[lo]), int(bo[lo]), rws))
+        cells_rows.append((blk, kd, int(bo[lo]), rws))
 
     # sub-window assembly: cells split into SUBR-row subs; blocks pad to
     # a multiple of S subs with cheap HUB pads; S subs form one chunk
@@ -693,7 +842,8 @@ def build_spmv2u_plan(senders0: np.ndarray, receivers0: np.ndarray,
 
 def _build_plan2u_native(lib, s, r, v, e, h, wr, nb, hub, windows,
                          cell_min, n_pad, n_send_pad, receivers0,
-                         rows, rowmode_min, aux=None, h_src=None):
+                         rows, rowmode_min, aux=None, h_src=None,
+                         banded_cls=None):
     """C++/OpenMP v2u plan build (graphmat_tpu/native/planner.cpp)."""
     import ctypes
 
@@ -705,9 +855,12 @@ def _build_plan2u_native(lib, s, r, v, e, h, wr, nb, hub, windows,
     if np.isscalar(cell_min):
         cell_min = [cell_min] * len(wins)
     cms = np.ascontiguousarray(cell_min, np.int64)
+    if banded_cls is None:
+        banded_cls = [0] * len(wins)
+    bnd = np.ascontiguousarray(banded_cls, np.int32)
     nc_out = ctypes.c_int64()
     handle = lib.gm_plan2u_create(sa, ra, va, e, h, wr, nb, hub, wins,
-                                  len(wins), cms, rows, rowmode_min,
+                                  len(wins), cms, bnd, rows, rowmode_min,
                                   ctypes.byref(nc_out))
     nc = int(nc_out.value)
     try:
@@ -836,35 +989,60 @@ def _make_kernel_u(reduce_kind: str, process: Callable, wr: int, h: int,
                         return x2_ref[8 * g: 8 * g + 8, :]
                     return gather_from(tbl, HUB_GRANULES2)
 
+                def make_tbl(W):
+                    """Granule table accessor.  HBM operand: DMA the
+                    window into wscr (pipeline buffers when available).
+                    VMEM-resident operand (h <= VMEM_X2_MAX_ROWS): read
+                    x2 DIRECTLY at the dynamic window base — the wscr
+                    staging copy moved nb * |x2| = 1 GB/iter of
+                    VMEM-to-VMEM traffic on a 16M-edge uniform graph
+                    (every receiver block re-reads the operand), and
+                    was pure waste when x2 already sits in VMEM."""
+                    if boff is not None:
+                        return lambda g: wscr_ref[boff + 8 * g:
+                                                  boff + 8 * g + 8, :]
+                    base = pl.multiple_of(base_v, 8)
+                    if not x2_hbm:
+                        return lambda g: x2_ref[pl.ds(base + 8 * g, 8), :]
+                    if debug != "nodma":   # ablation: walk w/o loads
+                        @pl.when(jnp.logical_not(skip_load))
+                        def _():
+                            dma = pltpu.make_async_copy(
+                                x2_ref.at[pl.ds(base, W), :],
+                                wscr_ref.at[0:W, :], dma_sem[0])
+                            dma.start()
+                            dma.wait()
+                    return lambda g: wscr_ref[8 * g: 8 * g + 8, :]
+
                 def window_branch(W):
                     def inner():
-                        base = pl.multiple_of(base_v, 8)
-
-                        if boff is not None:
-                            # pipeline mode: window already DMA'd into
-                            # the ping-pong buffer at static boff
-                            return gather_from(
-                                lambda g: wscr_ref[boff + 8 * g:
-                                                   boff + 8 * g + 8, :],
-                                W // 8)
-                        if debug != "nodma":   # ablation: walk w/o loads
-                            @pl.when(jnp.logical_not(skip_load))
-                            def _():
-                                if x2_hbm:
-                                    dma = pltpu.make_async_copy(
-                                        x2_ref.at[pl.ds(base, W), :],
-                                        wscr_ref.at[0:W, :], dma_sem[0])
-                                    dma.start()
-                                    dma.wait()
-                                else:
-                                    wscr_ref[0:W, :] = \
-                                        x2_ref[pl.ds(base, W), :]
-                        return gather_from(
-                            lambda g: wscr_ref[8 * g: 8 * g + 8, :], W // 8)
+                        return gather_from(make_tbl(W), W // 8)
                     return inner
 
-                branches = [hub_branch] + [window_branch(W)
-                                           for W in classes]
+                def banded_branch(W):
+                    # flat cells pack tile k's slots inside a static
+                    # granule band; the walk shrinks from W/8 granules
+                    # per tile to the band width (planner guarantees
+                    # the band covers every slot of that tile position)
+                    def inner():
+                        tbl_of = make_tbl(W)
+                        ranges = _band_ranges(W)
+                        xvs = []
+                        for kk, t in enumerate(tsel):
+                            s0, w = ranges[kk % len(ranges)]
+                            q = jnp.zeros((8, LANE), jnp.float32)
+                            for dg in range(w):
+                                gg = s0 + dg
+                                got = jnp.take_along_axis(
+                                    tbl_of(gg), subs[t], axis=0)
+                                q = jnp.where(gsels[t] == gg, got, q)
+                            xvs.append(q)
+                        return tuple(xvs)
+                    return inner
+
+                branches = ([hub_branch]
+                            + [window_branch(W) for W in classes]
+                            + [banded_branch(W) for W in classes])
                 return list(jax.lax.switch(kind_v, branches))
 
             def win_dma_op(kind_t, base_t, boff_t, sem, pred, start):
@@ -888,7 +1066,9 @@ def _make_kernel_u(reduce_kind: str, process: Callable, wr: int, h: int,
                             else:
                                 dma.wait()
                     return go
-                jax.lax.switch(kind_t, [noop] + [mk(W) for W in classes])
+                jax.lax.switch(kind_t, [noop]
+                               + [mk(W) for W in classes]
+                               + [mk(W) for W in classes])
 
             if debug == "nogather":
                 xvs = [jnp.full((8, LANE), 1.0, jnp.float32)
@@ -1245,7 +1425,9 @@ def _spmv2u_call(plan_arrays, plan_static, x, reduce_kind, process,
                 else:
                     # caller without plan-precomputed ranges (stacked
                     # dist tile plans): decode kind/base in-trace
-                    wlen = jnp.asarray(np.array([16] + list(classes)),
+                    # (banded kinds K+1..2K share their class's window)
+                    wlen = jnp.asarray(np.array([16] + list(classes)
+                                                + list(classes)),
                                        jnp.int32)
                     kd = (kb_s >> KB_KIND_SHIFT) & 15
                     bs = (kb_s & ((1 << 22) - 1)) << 3

@@ -98,14 +98,16 @@ def validate_plan2u(plan) -> None:
     kb = np.asarray(plan.kb).view(np.uint32)
     kd = (kb >> KB_KIND_SHIFT) & 15
     bs = (kb & ((1 << 22) - 1)) << 3
-    assert kd.max() <= len(plan.classes), "kind out of range"
+    K = len(plan.classes)
+    assert kd.max() <= 2 * K, "kind out of range"
     assert (bs % 8 == 0).all() and bs.max() <= plan.h, "base out of range"
     assert rcf.min() >= 0 and rcf.max() <= plan.wr, "rcf out of range"
     real = rcf < plan.wr
     assert real.sum() == plan.nnz, \
         f"slot conservation {real.sum()} != {plan.nnz}"
-    # registration rows within each SUB's gather range
-    wtab = np.array([16] + list(plan.classes))
+    # registration rows within each SUB's gather range (banded kinds
+    # K+1..2K share their class's window length)
+    wtab = np.array([16] + list(plan.classes) + list(plan.classes))
     wlen_sub = wtab[kd]                                  # [nc * S]
     wlen = np.repeat(wlen_sub, SUBR).reshape(
         plan.nc, plan.rows)[:, :, None]
@@ -113,6 +115,26 @@ def validate_plan2u(plan) -> None:
     reg_at = np.take_along_axis(hi2, slo, axis=2)
     assert (reg_at < wlen)[real].all(), \
         "routing lane registration out of range"
+    # banded subs: every consumed granule sits inside its tile's band
+    if (kd > K).any():
+        from ..ops.pallas_spmv2u import _band_ranges
+        gsel_all = (reg_at >> 3).reshape(plan.nc * plan.rows // 8, 8,
+                                         128)
+        real_t = real.reshape(plan.nc * plan.rows // 8, 8, 128)
+        kd_tile = np.repeat(kd, SUBR // 8)               # per 8-row tile
+        tile_in_sub = np.tile(np.arange(SUBR // 8),
+                              plan.nc * plan.rows // SUBR)
+        for c in range(1, K + 1):
+            sel = np.flatnonzero(kd_tile == K + c)
+            if not len(sel):
+                continue
+            ranges = _band_ranges(plan.classes[c - 1])
+            for t in sel:
+                s0, w = ranges[tile_in_sub[t]]
+                gs = gsel_all[t][real_t[t]]
+                assert len(gs) == 0 or (
+                    (gs >= s0) & (gs < s0 + w)).all(), \
+                    "banded slot outside its tile band"
     o = np.asarray(plan.po).view(np.uint32)
     orcf = (o & ((1 << RCF_BITS) - 1)).astype(np.int64)
     g1 = ((o >> 21) & 127).astype(np.int64)

@@ -469,3 +469,49 @@ def test_spmv2u_compaction_scattered_senders(kind):
     ref = _oracle(s, r, v, x, n, kind, lambda a, b: a)
     m = np.isfinite(ref)
     np.testing.assert_allclose(y[m], ref[m], rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("kind", ["sum", "min"])
+def test_spmv2u_banded_flat_cells(kind):
+    """Banded-walk cells (round 5): a hub-free uniform graph with the
+    flat acceptance forced low packs cells in per-tile granule bands;
+    results must match the oracle through BOTH builders, and the plan
+    must actually carry banded subs (kind > K)."""
+    from graphmat_tpu.ops import pallas_spmv2u as U
+    n, e = 4096, 40000
+    s, r, v = _rand_graph(n, e, seed=77)
+    x = np.random.default_rng(5).normal(size=n).astype(np.float32)
+
+    def build(native):
+        lib_orig = None
+        import graphmat_tpu.native as nat
+        if not native:
+            lib_orig = nat.load_planner
+            nat.load_planner = lambda: None
+        try:
+            # hub=0-ish: small hub so most edges classify into windows;
+            # flat_min low so uniform cells land in the banded class
+            return build_spmv2u_plan(
+                s, r, v, n, wr=1024, hub=128, windows=(16, 64, 2048),
+                cell_min=100000, flat_min=8, flat_w_min=16,
+                flat_w_max=64, compact=False)
+        finally:
+            if lib_orig is not None:
+                nat.load_planner = lib_orig
+
+    want = _oracle(s, r, v, x, n, kind, lambda xs, vs: xs * vs)
+    K = 3
+    for native in (True, False):
+        plan = build(native)
+        kb = np.asarray(plan.kb).view(np.uint32)
+        kd = (kb >> 24) & 15
+        assert (kd > K).any(), "no banded subs formed"
+        xp = np.zeros(plan.n_send_pad, np.float32)
+        xp[:n] = x
+        y = np.asarray(spmv2u(plan, jnp.asarray(xp), kind,
+                              process=lambda xv, ev: xv * ev,
+                              interpret=True))[:n]
+        mask = want != (0.0 if kind == "sum"
+                        else (np.inf if kind == "min" else -np.inf))
+        np.testing.assert_allclose(y[mask], want[mask], rtol=2e-5,
+                                   atol=2e-5)
