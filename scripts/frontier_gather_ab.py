@@ -97,9 +97,14 @@ def main() -> int:
     args_p, static_p = plan_call_args(plan)
 
     @jax.jit
+    def _enc(active, x):
+        return encode_sent_bit(jnp.where(active, x + 1.0, INF), active)
+
     def windowed(active, x):
-        xs = encode_sent_bit(jnp.where(active, x + 1.0, INF), active)
-        return _spmv2u_call(args_p, static_p, xs, "min",
+        # _spmv2u_call is itself jitted and takes the plan arrays as
+        # ARGUMENTS — an outer jit would bake them into the compile
+        # payload (the axon remote-compile endpoint rejects it at 413)
+        return _spmv2u_call(args_p, static_p, _enc(active, x), "min",
                             _identity_process, False, sent=active)
 
     x = jnp.asarray(rng.standard_normal(n_pad).astype(np.float32))
@@ -126,15 +131,17 @@ def main() -> int:
             print(json.dumps({"density": dens, "path": name,
                               "ms_per_level": round(ms, 3),
                               "F": F, "EB": EB}), flush=True)
-        # correctness cross-check (min-plus over the frontier)
-        yw = np.asarray(windowed(active, x))
-        if isinstance(yw, tuple):
-            yw = np.asarray(yw[0])
+        # correctness: compacted path vs a numpy min-plus oracle (the
+        # windowed output carries the fused got-bit encoding, so it is
+        # not directly comparable bit-for-bit)
         yc = np.asarray(comp(active, x))
-        wm = yw < INF / 2
-        cm = yc < INF / 2
-        assert (wm == cm[: len(wm)]).all(), "got mask mismatch"
-        np.testing.assert_allclose(yw[wm], yc[: len(wm)][wm], rtol=1e-5)
+        want = np.full(n_pad, np.float64(INF))
+        xm = np.asarray(x)
+        am = np.flatnonzero(act_np)
+        sel = np.isin(s_s, am)
+        np.minimum.at(want, r_s[sel], xm[s_s[sel]] + 1.0)
+        wm = want < INF / 2
+        np.testing.assert_allclose(yc[wm], want[wm], rtol=1e-5)
         print(json.dumps({"density": dens,
                           "speedup_compacted": round(
                               recs["windowed"] / recs["compacted"], 2)}),
