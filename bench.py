@@ -525,7 +525,11 @@ def bench_tc(e, g):
                      "Round-4 all-pairs broadcast path measured "
                      "20.8 s (0.755 M edges/s) on this workload; "
                      "round-5 device-prep bitmap split measures "
-                     "4.1-6.0 s same-session (PERF.md round 5a)"},
+                     "4.1-6.0 s same-session (PERF.md round 5a)",
+         "reference_binary_this_host": "GraphMat v2.0 TriangleCounting "
+             "(g++ -O3, 2 threads): 36.4 s compute on the same RMAT-20 "
+             "upper-tri graph, total EXACT match 423937693 "
+             "(PERF.md round 5a, 8.6x)"},
         med, rep_s, len(s0) / min(rep_s) / 1e6)
 
 
