@@ -85,6 +85,9 @@ def load_planner():
             i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
             lib.gm_argsort_i64.restype = None
             lib.gm_argsort_i64.argtypes = [i64p, ctypes.c_int64, i64p]
+        if hasattr(lib, "gm_plan2u_gspan"):
+            lib.gm_plan2u_gspan.restype = None
+            lib.gm_plan2u_gspan.argtypes = [ctypes.c_void_p, i32p, i32p]
         if hasattr(lib, "gm_plan2u_create"):
             lib.gm_plan2u_create.restype = ctypes.c_void_p
             i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")

@@ -2663,3 +2663,40 @@ void gm_tc_fill(void* handle, int32_t* s_all, int32_t* r_all,
 void gm_tc_destroy(void* handle) { delete static_cast<TcPrep*>(handle); }
 
 }  // extern "C"
+
+// Per-ROW consumed-granule spans (gmin/gmax over each row's slots) —
+// the numpy recomputation in _sort_rows_tile_bounds (pk decode + a
+// 22.8M-element take_along_axis at RMAT-20) cost ~3 s of plan build;
+// the fill loop already touches every slot's sender granule.
+extern "C" void gm_plan2u_gspan(void* handle, int32_t* gmin_out,
+                                int32_t* gmax_out) {
+  auto* p = static_cast<Plan2u*>(handle);
+  const int S = p->rows / kSubR > 0 ? p->rows / kSubR : 1;
+  const int64_t nrows = p->nc * (int64_t)p->rows;
+  const size_t nfc = p->cell_nrows.size();
+#pragma omp parallel for schedule(static)
+  for (int64_t t = 0; t < nrows; ++t) {
+    gmin_out[t] = 1 << 14;
+    gmax_out[t] = -1;
+  }
+#pragma omp parallel
+  {
+#pragma omp for schedule(dynamic, 8)
+    for (int64_t q = 0; q < (int64_t)nfc; ++q) {
+      const int64_t lo = p->cell_edge_start[q];
+      const int64_t m = p->cell_edge_start[q + 1] - lo;
+      if (!m) continue;
+      const int64_t s0 = p->cell_sub_start[q];
+      for (int64_t j = lo; j < lo + m; ++j) {
+        const int32_t row = p->edge_row[j];
+        const int64_t sub = s0 + row / kSubR;
+        const int64_t chunk = sub / S;
+        const int64_t fr = chunk * p->rows
+                           + (sub % S) * kSubR + row % kSubR;
+        const int32_t g = p->gidx[p->edge_order[j]] >> 3;
+        if (g < gmin_out[fr]) gmin_out[fr] = g;
+        if (g > gmax_out[fr]) gmax_out[fr] = g;
+      }
+    }
+  }
+}

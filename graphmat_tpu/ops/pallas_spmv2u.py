@@ -194,18 +194,26 @@ def _sort_rows_tile_bounds(plan):
     blk_sub = np.repeat(np.asarray(plan.blkid, np.int64), S)
 
     pkr = np.asarray(plan.pk).reshape(nrows, LANE)
-    u = pkr.view(np.uint32)
-    real = (u & np.uint32((1 << RCF_BITS) - 1)) != plan.wr
-    # the granule a slot CONSUMES is its sender lane's REGISTRATION
-    # (hi2 at lane slo), not the registration at the slot's own lane —
-    # a registered lane is read through slo routing even when its own
-    # slot position is a pad
-    hi2 = (u >> 21).astype(np.int32)
-    slo = ((u >> RCF_BITS) & (LANE - 1)).astype(np.int64)
-    gsel = np.take_along_axis(hi2, slo, axis=1) >> 3
-    BIG = np.int32(1 << 14)
-    gmin_r = np.where(real, gsel, BIG).min(axis=1)
-    gmax_r = np.where(real, gsel, -1).max(axis=1)
+    gspan = getattr(plan, "_gspan", None)
+    if gspan is not None:
+        # computed by the native fill (gm_plan2u_gspan) — the numpy
+        # recomputation below cost ~3 s at RMAT-20 (22.8M-row decode +
+        # take_along_axis)
+        gmin_r, gmax_r = gspan
+        plan._gspan = None
+    else:
+        u = pkr.view(np.uint32)
+        real = (u & np.uint32((1 << RCF_BITS) - 1)) != plan.wr
+        # the granule a slot CONSUMES is its sender lane's REGISTRATION
+        # (hi2 at lane slo), not the registration at the slot's own
+        # lane — a registered lane is read through slo routing even
+        # when its own slot position is a pad
+        hi2 = (u >> 21).astype(np.int32)
+        slo = ((u >> RCF_BITS) & (LANE - 1)).astype(np.int64)
+        gsel = np.take_along_axis(hi2, slo, axis=1) >> 3
+        BIG = np.int32(1 << 14)
+        gmin_r = np.where(real, gsel, BIG).min(axis=1)
+        gmax_r = np.where(real, gsel, -1).max(axis=1)
 
     # ---- per-cell stable row sort (window kinds only) ----
     # run id from consecutive (blk, kind, base) change: two adjacent
@@ -873,6 +881,12 @@ def _build_plan2u_native(lib, s, r, v, e, h, wr, nb, hub, windows,
                            po.reshape(-1), val.reshape(-1))
         eidx = np.empty((nc, rows, LANE), np.int32)
         lib.gm_plan2u_eidx(handle, eidx.reshape(-1))
+        gmin_r = np.empty(nc * rows, np.int32)
+        gmax_r = np.empty(nc * rows, np.int32)
+        if hasattr(lib, "gm_plan2u_gspan"):
+            lib.gm_plan2u_gspan(handle, gmin_r, gmax_r)
+        else:
+            gmin_r = None
     finally:
         lib.gm_plan2u_destroy(handle)
 
@@ -885,10 +899,13 @@ def _build_plan2u_native(lib, s, r, v, e, h, wr, nb, hub, windows,
         splits=_compute_splits(blkid, nb),
         kb=kb, blkid=blkid, pk=pk, po=po, val=val,
         got_static=jnp.asarray(got), eidx=eidx,
-        aux=aux, h_src=(h_src if h_src is not None else h))))
+        aux=aux, h_src=(h_src if h_src is not None else h)),
+        gspan=(None if gmin_r is None else (gmin_r, gmax_r))))
 
 
-def _maybe_validate_u(plan):
+def _maybe_validate_u(plan, gspan=None):
+    if gspan is not None:
+        plan._gspan = gspan
     from ..utils.debug import debug_enabled
     if debug_enabled():
         from ..utils.debug import validate_plan2u
