@@ -515,3 +515,39 @@ def test_spmv2u_banded_flat_cells(kind):
                         else (np.inf if kind == "min" else -np.inf))
         np.testing.assert_allclose(y[mask], want[mask], rtol=2e-5,
                                    atol=2e-5)
+
+
+def test_plan2u_native_gspan_matches_numpy():
+    """The native per-row granule spans (gm_plan2u_gspan) must produce
+    the SAME plan post-processing (row sort, activity ranges, tile
+    bounds) as the numpy recompute they replaced."""
+    import graphmat_tpu.native as nat
+    if not nat.native_available() or \
+            not hasattr(nat.load_planner(), "gm_plan2u_gspan"):
+        pytest.skip("no native gspan")
+    from graphmat_tpu.utils.generators import random_edgelist
+    e = random_edgelist(3000, 8, seed=5)
+    s = (e.src - 1).astype(np.int64)
+    r = (e.dst - 1).astype(np.int64)
+    v = e.val.astype(np.float32)
+    n = max(e.m, e.n)
+    p1 = build_spmv2u_plan(s, r, v, n, wr=1024, compact=False)
+    lib = nat.load_planner()
+
+    class NoGspan:
+        def __getattr__(self, k):
+            if k == "gm_plan2u_gspan":
+                raise AttributeError(k)
+            return getattr(lib, k)
+    orig = nat.load_planner
+    nat.load_planner = lambda: NoGspan()
+    try:
+        p2 = build_spmv2u_plan(s, r, v, n, wr=1024, compact=False)
+    finally:
+        nat.load_planner = orig
+    np.testing.assert_array_equal(np.asarray(p1.act_lo),
+                                  np.asarray(p2.act_lo))
+    np.testing.assert_array_equal(np.asarray(p1.act_hi),
+                                  np.asarray(p2.act_hi))
+    np.testing.assert_array_equal(np.asarray(p1.pk), np.asarray(p2.pk))
+    np.testing.assert_array_equal(np.asarray(p1.tb), np.asarray(p2.tb))
