@@ -22,9 +22,11 @@ whose ``workloads`` dict carries the full per-workload records:
 * ``lda``       — K=20 topic model on the vec2 kernel, 1M tokens over a
   30K x 10K doc-term matrix, 30 iterations + log-likelihood trajectory
   (reference: ``src/LDA.cpp:263-345``).
-* ``tc``        — TriangleCounting, degree-bucketed scalable path on the
-  shared RMAT graph, undirected edges/s
+* ``tc``        — TriangleCounting, core-bitmap device-prep path on the
+  shared RMAT graph, undirected edges/s (each rep a full cold count)
   (reference: ``src/TriangleCounting.cpp:114-156``).
+* ``families``  — uniform-random family floor through the pagerank
+  protocol, ratio vs the RMAT headline (the >= 2/3 bar).
 
 Every workload reports median-of-5 with the per-rep list — the axon
 tunnel swings ±15-20% per run, so the BENCH_r* record needs the spread.

@@ -60,8 +60,9 @@ def run_triangle_counting(graph: Graph, max_degree_pad: int | None = None,
     counts attribute each triangle to its id-middle vertex, exactly as
     ``src/TriangleCounting.cpp``); it materializes a ``[n, max_degree]``
     neighbor matrix.  ``method='bucketed'`` runs the scalable
-    degree-oriented path (``ops.triangles``) — identical total, per-vertex
-    counts at the degree-middle vertex, memory bounded by O(m).
+    degree-oriented core-bitmap path (``ops.triangles``, fully on-device
+    prep) — identical total, per-vertex counts at the degree-minimum
+    vertex, memory bounded by O(m + n*h/8 bitmap).
     ``'auto'`` picks engine for small max degree, bucketed otherwise.
     """
     if method == "auto":
