@@ -13,6 +13,8 @@
 
 #include <algorithm>
 #include <array>
+#include <cstdio>
+#include <cstdlib>
 #include <atomic>
 #include <cstdint>
 #include <cstring>
@@ -1867,12 +1869,22 @@ extern "C" {
 // banded-walk layout (tile k of each sub holds only granules of its
 // static band; no row-mode rows).  A flagged cell with a row-mode-hot
 // receiver falls back to the normal routed pack for that cell.
+static double gm_prof_t0;
+static inline void gm_prof(const char* what) {
+  if (!getenv("GM_PLAN_PROF")) return;
+  const double t = omp_get_wtime();
+  if (what) fprintf(stderr, "[plan2u] %-22s %.2fs\n", what,
+                    t - gm_prof_t0);
+  gm_prof_t0 = t;
+}
+
 void* gm_plan2u_create(const int32_t* senders, const int32_t* receivers,
                        const float* vals, int64_t e, int32_t h, int32_t wr,
                        int32_t nb, int32_t hub, const int32_t* windows,
                        int32_t nw, const int64_t* cell_min,
                        const int32_t* banded_cls, int32_t rows,
                        int32_t rowmode_min, int64_t* nc_out) {
+  gm_prof(nullptr);
   auto* p = new Plan2u();
   p->e = e; p->h = h; p->wr = wr; p->nb = nb; p->hub = hub;
   p->rows = rows; p->rowmode_min = rowmode_min;
@@ -1937,6 +1949,7 @@ void* gm_plan2u_create(const int32_t* senders, const int32_t* receivers,
     }
   }
 
+  gm_prof("classify");
   std::vector<int64_t> rawcnt(raw_cells, 0);
 #pragma omp parallel
   {
@@ -2002,6 +2015,7 @@ void* gm_plan2u_create(const int32_t* senders, const int32_t* receivers,
     p->edge_order[p->cell_edge_start[cellid[i] + 1]++] = i;
   p->cell_edge_start.pop_back();
 
+  gm_prof("cells+bucket");
   // ---- per-cell packing: hot extraction + routed cold pack ----------------
   p->edge_row.resize(e);
   p->cell_nrows.assign(nfc, 0);
@@ -2225,6 +2239,7 @@ void* gm_plan2u_create(const int32_t* senders, const int32_t* receivers,
     }
   }
 
+  gm_prof("pack");
   // ---- sub-window assembly: cells -> 32-row subs; blocks pad to a
   // multiple of S subs with cheap HUB pads; S subs = one chunk ---------
   const int S = rows / kSubR > 0 ? rows / kSubR : 1;
@@ -2267,6 +2282,7 @@ void* gm_plan2u_create(const int32_t* senders, const int32_t* receivers,
   }
   p->nc = (int64_t)p->sub_kind.size() / S;
   *nc_out = p->nc;
+  gm_prof("assembly");
   return p;
 }
 
