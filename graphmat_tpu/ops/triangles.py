@@ -303,9 +303,16 @@ def _tc_stats(uv, n, h, canonical):
     a small stats vector (ncr, rows-per-class, group sizes) the host
     needs to fix jit B's static shapes.  Edges never compact: self
     loops / duplicates become sender-sentinel ``n`` rows that count 0.
-    ``uv`` is the [2, e] stacked raw edge array (one H2D transfer)."""
+    ``uv`` is the raw edge array in ONE H2D transfer: [6, e] uint8
+    byte planes (3 per endpoint) when n <= 2^24 — the upload is the
+    dominant tunnel cost of a cold count — else [2, e] int32."""
     i32 = jnp.int32
-    u, v = uv[0], uv[1]
+    if uv.dtype == jnp.uint8:
+        b = uv.astype(i32)
+        u = b[0] | (b[1] << 8) | (b[2] << 16)
+        v = b[3] | (b[4] << 8) | (b[5] << 16)
+    else:
+        u, v = uv[0], uv[1]
     h_eff = min(h, n)
     core_lo = n - h_eff
     iota_n = jnp.arange(n, dtype=i32)
@@ -502,9 +509,18 @@ def _count_triangles_devprep(src0, dst0, n, n_pad, h, assume_canonical):
     nacc = max(n_pad, n) + 1
     if len(src0) == 0:
         return jnp.zeros(n_pad, jnp.int32), 0
-    uv = np.empty((2, len(src0)), np.int32)
-    uv[0] = src0
-    uv[1] = dst0
+    if n <= (1 << 24):
+        # 6-byte edge packing: 3 byte planes per endpoint (ids < 2^24)
+        uv = np.empty((6, len(src0)), np.uint8)
+        for k, col in ((0, np.asarray(src0, np.int64)),
+                       (3, np.asarray(dst0, np.int64))):
+            uv[k] = col & 255
+            uv[k + 1] = (col >> 8) & 255
+            uv[k + 2] = (col >> 16) & 255
+    else:
+        uv = np.empty((2, len(src0)), np.int32)
+        uv[0] = src0
+        uv[1] = dst0
     out = _tc_stats(jnp.asarray(uv), n, h, bool(assume_canonical))
     s, r, rk_r, iu, iv, gkey, frs, frr, stats = out
     ncr, mats_size, bases, groups = _group_cfg(stats, h, n)
