@@ -33,7 +33,7 @@ tunnel swings ±15-20% per run, so the BENCH_r* record needs the spread.
 
 Env knobs: GRAPHMAT_BENCH_SCALE (default 20), GRAPHMAT_BENCH_ITERS (200),
 GRAPHMAT_BENCH_EDGEFACTOR (16), GRAPHMAT_BENCH_REPS (5),
-GRAPHMAT_BENCH_WORKLOADS (comma list; default all four).
+GRAPHMAT_BENCH_WORKLOADS (comma list; default all seven).
 """
 
 import json
