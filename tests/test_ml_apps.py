@@ -415,3 +415,20 @@ def test_lda_permuted_matches_oracle():
     N, gN, ll = run_lda(g, ndoc, nterms, k=k, iterations=4)
     np.testing.assert_allclose(N, expect, rtol=2e-4, atol=2e-4)
     assert np.isfinite(ll)
+
+
+def test_triangles_unpacked_edge_path():
+    """n > 2^24 ships edges as [2, e] int32 (the 6-byte packing only
+    covers ids below 2^24); both upload layouts must count identically."""
+    from graphmat_tpu.ops.triangles import count_triangles_bucketed
+    rng = np.random.default_rng(2)
+    m = 4000
+    # a small clustered subgraph embedded at ids straddling 2^24
+    base = (1 << 24) - 200
+    s = base + rng.integers(0, 400, m)
+    r = base + rng.integers(0, 400, m)
+    n_big = (1 << 24) + 300                     # forces the int32 path
+    tri_b, tot_b = count_triangles_bucketed(s, r, n_big)
+    tri_s, tot_s = count_triangles_bucketed(s - base, r - base, 500)
+    assert tot_b == tot_s
+    assert int(np.asarray(tri_b)[base:base + 500].sum()) == tot_s
