@@ -58,6 +58,11 @@ class BFSProgram(GraphProgram):
     def do_every_iteration(self, state, vp, it, ctx):
         return state + 1
 
+    def receiver_final(self, state, vp, it):
+        # apply() only ever touches unvisited vertices, so every visited
+        # vertex is final — blocks of visited receivers skip their chunks
+        return vp["depth"] != INF_DEPTH
+
     def pallas_semiring(self):
         # overwrite-reduce realized as min over sender ids (ids < 2**24)
         return PallasSemiring(
@@ -224,6 +229,20 @@ class BFSFastProgram(GraphProgram):
 
     def do_every_iteration(self, state, vp, it, ctx):
         return state
+
+    def receiver_final(self, state, vp, it):
+        # Exact finality for min-plus value iteration: every message
+        # processed in sweep t carries a depth field >= t + 1 (induction:
+        # sweep-t senders changed in sweep t-1, so their key depth is
+        # >= t; each edge adds weight >= 1).  Hence a key whose depth is
+        # <= it can neither improve its depth NOR refine its parent at
+        # sweep it — skipping such receivers is bit-identical, min-id
+        # tie-breaks included.  (Plain "visited" would NOT be exact
+        # here: shortcut edges can deliver early keys that a later,
+        # shorter plain path still improves.)
+        key = vp["key"]
+        depth = (key - jnp.int32(KEY_BIAS)) >> self.bits
+        return (key < jnp.int32(INF_KEY)) & (depth <= it)
 
     def pallas_semiring(self):
         bits = self.bits

@@ -255,6 +255,24 @@ class GraphProgram:
         traceable; runs inside the compiled loop after apply."""
         return state
 
+    def receiver_final(self, state, vp, it):
+        """Optional monotone-finality hint for the sparse kernel path.
+
+        Return a bool[n_pad] mask of receivers whose vertex property can
+        no longer change at sweep ``it`` (0-based), or None (default).
+        The kernel then skips chunks whose receiver block is entirely
+        final — the receiver-side dual of the sender-frontier chunk skip
+        (the reference's y-bitvector early-out inside the multiply,
+        ``singlenode/spmspv.h:64-81``, generalized to dead receivers).
+
+        The mask must be EXACT: every skipped update would have been a
+        no-op, so results (including reduce tie-breaks) are bit-identical
+        with or without the hint.  Only monotone programs whose apply is
+        a no-op once a vertex is final can implement this (e.g. BFS:
+        ``depth < INF``; packed-key BFS: ``key_depth <= it``, since a
+        sweep-``it`` message always carries depth >= it + 1)."""
+        return None
+
     def pallas_semiring(self) -> Optional["PallasSemiring"]:
         """Return a :class:`PallasSemiring` to enable the TPU fast path,
         or None to always use the XLA segment-reduce path."""

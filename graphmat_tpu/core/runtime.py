@@ -277,8 +277,16 @@ class Engine:
                 reduced, got = self._pallas_vec_directions(
                     state, msg, sent, vp, structure["plans"])
             elif self.use_pallas:
+                recv_final = None
+                if self.pallas_version == 3:
+                    recv_final = prog.receiver_final(state, vp, it)
+                    if recv_final is not None:
+                        # pad vertices can never change: count them final
+                        # so tail blocks stay skippable
+                        recv_final = recv_final | ~valid_vertex
                 reduced, got = self._pallas_directions(
-                    state, msg, sent, structure["plans"])
+                    state, msg, sent, structure["plans"],
+                    recv_final=recv_final)
             else:
                 reduced = None
                 got = None
@@ -350,10 +358,13 @@ class Engine:
         self._run_fixed = jax.jit(run_fixed, static_argnums=(4,))
         self._run_conv = jax.jit(run_conv)
 
-    def _pallas_directions(self, state, msg, sent, plans):
+    def _pallas_directions(self, state, msg, sent, plans, recv_final=None):
         """All directions through the Pallas SpMV kernel; returns
         (reduced pytree, got bool[n_pad]).  ``plans`` carries the plan
-        arrays as traced arguments."""
+        arrays as traced arguments.  ``recv_final`` is the program's
+        exact receiver-finality mask (see
+        :meth:`GraphProgram.receiver_final`), honored on the v2u sparse
+        path only."""
         from ..ops.pallas_spmv import _spmv_call
         from ..ops.pallas_spmv2 import _spmv2_call, _spmv2m_call
         from ..ops.pallas_spmv2u import _spmv2u_call
@@ -407,7 +418,10 @@ class Engine:
                     return _spmv2u_call(plan_arrays, plan_static,
                                         xp[: plan.n_send_pad], kd, proc,
                                         interpret, sent=sent_arg,
-                                        want_got=want_got)
+                                        want_got=want_got,
+                                        recv_final=(recv_final
+                                                    if sent_arg is not None
+                                                    else None))
                 if v2 and kd == "sum":
                     ns = getattr(sem, "n_splits", 3)
                     return _spmv2_call(plan_arrays, plan_static,

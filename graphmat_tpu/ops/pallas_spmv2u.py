@@ -1254,7 +1254,7 @@ def _make_kernel_u(reduce_kind: str, process: Callable, wr: int, h: int,
     return kernel
 
 
-def _chunk_activity_u(pref, act_lo, act_hi, nc, S):
+def _chunk_activity_u(pref, act_lo, act_hi, nc, S, alive=None):
     """Per-chunk frontier activity + effective-block routing: a chunk is
     active iff any x2 row in any of its subs' plan-precomputed gather
     ranges ``[act_lo, act_hi)`` is active.  ``pref`` is the inclusive
@@ -1262,9 +1262,13 @@ def _chunk_activity_u(pref, act_lo, act_hi, nc, S):
     compact rows included when the plan carries them).  Pad subs carry
     the empty range (plan build), so this is two takes + a compare —
     the kind/base decode that used to run here per iteration is folded
-    to plan time (PERF round 4)."""
+    to plan time (PERF round 4).  ``alive`` (optional bool[nc]) ANDs a
+    receiver-side gate in before the effective-block routing (see
+    ``recv_final`` in :func:`_spmv2u_call`)."""
     sub_act = (jnp.take(pref, act_hi) - jnp.take(pref, act_lo)) > 0
     cact = jnp.any(sub_act.reshape(nc, S), axis=1)
+    if alive is not None:
+        cact = cact & alive
     idxs = jnp.arange(nc, dtype=jnp.int32)
     eff = jax.lax.cummax(jnp.where(cact, idxs, -1))
     return cact.astype(jnp.int32), jnp.maximum(eff, 0)
@@ -1276,7 +1280,7 @@ def _chunk_activity_u(pref, act_lo, act_hi, nc, S):
                                               "want_got"))
 def _spmv2u_call(plan_arrays, plan_static, x, reduce_kind, process,
                  interpret, debug=None, x2_hbm=None, sent=None,
-                 want_got=False):
+                 want_got=False, recv_final=None):
     h, wr, nb, nc, n_pad, classes, rows = plan_static[:7]
     splits = plan_static[7] if len(plan_static) > 7 else ()
     h_src = plan_static[8] if len(plan_static) > 8 else h
@@ -1374,6 +1378,18 @@ def _spmv2u_call(plan_arrays, plan_static, x, reduce_kind, process,
             xc = _aux_call(aux_arrs, aux_static, x2, interpret)
         x2 = jnp.concatenate([x2, xc], axis=0)
 
+    blk_final = None
+    if sparse and recv_final is not None:
+        # receiver-side chunk gate: a block whose receivers are ALL
+        # final (program-exact no-op guarantee, GraphProgram.
+        # receiver_final) deactivates every chunk targeting it.  Output
+        # rows beyond n_pad are plan padding — count them final.
+        rf = recv_final
+        if rf.shape[0] < nb * wr:
+            rf = jnp.pad(rf, (0, nb * wr - rf.shape[0]),
+                         constant_values=True)
+        blk_final = jnp.all(rf[: nb * wr].reshape(nb, wr), axis=1)
+
     if x2_hbm is None:
         x2_hbm = h > VMEM_X2_MAX_ROWS and not interpret
     # dense double-buffered window pipeline: needs the HBM operand path,
@@ -1424,12 +1440,16 @@ def _spmv2u_call(plan_arrays, plan_static, x, reduce_kind, process,
             kb_s, blk_s, pk_s, po_s = kb, blkid, pk, po
             val_s = val
         if sparse:
+            alive = (None if blk_final is None
+                     else ~jnp.take(blk_final, b0 + blk_s))
             if gact_f is not None:
                 gm_s = act_gm_a[k] if multi else act_gm_a
                 sub_act = jnp.matmul(
                     gm_s, gact_f,
                     preferred_element_type=jnp.float32) > 0
                 cact = jnp.any(sub_act.reshape(nc_s, S), axis=1)
+                if alive is not None:
+                    cact = cact & alive
                 idxs = jnp.arange(nc_s, dtype=jnp.int32)
                 eff = jnp.maximum(
                     jax.lax.cummax(jnp.where(cact, idxs, -1)), 0)
@@ -1453,7 +1473,8 @@ def _spmv2u_call(plan_arrays, plan_static, x, reduce_kind, process,
                     padm = (kb_s & KB_PAD) != 0
                     alo = jnp.where(padm, 0, alo)
                     ahi = jnp.where(padm, 0, ahi)
-                act, eff = _chunk_activity_u(pref, alo, ahi, nc_s, S)
+                act, eff = _chunk_activity_u(pref, alo, ahi, nc_s, S,
+                                             alive=alive)
             operands = (kb_s, blk_s, act, eff)
         else:
             operands = (kb_s, blk_s)

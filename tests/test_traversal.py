@@ -163,6 +163,61 @@ def test_bfs_fast_pallas_kernel_path():
             assert depth[p - 1] == depth[v] - 1 and (p, v + 1) in edges
 
 
+def _early_delivery_edgelist():
+    """Shortcut edges deliver a NON-final key early: z is reached at
+    sweep 2 with depth 4 via the whisker shortcut, then improved to its
+    true depth 3 at sweep 3 via the plain path — after a sweep where
+    EVERY vertex is already visited.  The graph that separates the exact
+    ``key_depth <= it`` receiver-finality condition from the plausible
+    but WRONG ``visited`` one."""
+    #        s(1) -> c1(2) -> c2(3) -> z(7)      (plain path, depth 3)
+    #        s(1) -> w1(4) -> w2(5) -> w3(6) -> z(7)   (whisker chain)
+    #        w1(4) -> c2(3)   (second in-edge: keeps c2 an ANCHOR, so
+    #                          no shortcut reaches it early — its depth-3
+    #                          message to z lands a sweep AFTER z is
+    #                          first visited at depth 4 via w3's shortcut)
+    src = np.array([1, 2, 3, 1, 4, 5, 6, 4], np.int64)
+    dst = np.array([2, 3, 7, 4, 5, 6, 7, 3], np.int64)
+    return EdgeList(src=src, dst=dst, val=np.ones(8, np.float64),
+                    m=7, n=7)
+
+
+def test_bfs_fast_receiver_final_exact(monkeypatch):
+    """receiver_final must be bit-exact: run with the hook, without it,
+    and with the inexact 'visited' variant.  Hook on == hook off
+    (depths AND parents); the 'visited' variant must corrupt z's depth
+    on the early-delivery graph — pinning why the condition is
+    ``key_depth <= it``."""
+    import jax.numpy as jnp
+
+    from graphmat_tpu.apps.bfs import (BFSFastProgram, INF_KEY,
+                                       build_bfs_shortcuts, run_bfs_fast)
+    e = _early_delivery_edgelist()
+    d_ref = scipy_depths(e, 1)
+    assert d_ref[6] == 3          # z's true depth
+    e_aug, pred0, ind1 = build_bfs_shortcuts(e)
+    assert len(e_aug.src) > len(e.src), "no shortcut built"
+
+    def run(hook):
+        if hook is not None:
+            monkeypatch.setattr(BFSFastProgram, "receiver_final", hook)
+        g = Graph(e_aug, build_in_edges=False)
+        out = run_bfs_fast(g, 1, pred0, ind1, use_pallas=True)
+        monkeypatch.undo()
+        return out
+
+    d_on, p_on, _ = run(None)
+    d_off, p_off, _ = run(lambda self, state, vp, it: None)
+    np.testing.assert_array_equal(d_on, d_off)
+    np.testing.assert_array_equal(p_on, p_off)
+    np.testing.assert_array_equal(d_on, d_ref)
+
+    d_vis, _, _ = run(lambda self, state, vp, it:
+                      vp["key"] < jnp.int32(INF_KEY))
+    assert d_vis[6] == 4, \
+        "early-delivery graph no longer exercises the visited-skip hazard"
+
+
 # ---------------------------------------------------------------- SSSP
 
 @pytest.mark.parametrize("gen,source", [
