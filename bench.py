@@ -279,7 +279,9 @@ def bench_bfs(e, g):
                        "docstring)",
          "algorithm": "packed-key min-plus with whisker shortcuts "
                       "(kernel-1 preprocessing; depths validated vs "
-                      "the classic level loop)",
+                      "the classic level loop) + receiver-finality "
+                      "chunk skip (key_depth <= it blocks deactivate, "
+                      "PERF round 5g)",
          "kernel1_build_s": round(kernel1_s, 2),
          "reference_binary_this_host": "GraphMat v2.0 (g++ -O3, "
              "2 threads): 225 ms/BFS = 0.034 GTEPS component-TEPS on "

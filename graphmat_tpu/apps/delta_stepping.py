@@ -66,7 +66,14 @@ class DeltaSteppingProgram(GraphProgram):
     def changed(self, old_vp, new_vp):
         return old_vp["distance"] != new_vp["distance"]
 
-    def pallas_semiring(self):
+    def receiver_final(self, state, vp, it):
+        # settled-bucket invariant (nonnegative weights): any phase-bid
+        # message is >= bid*delta + 1, so a vertex already in a bucket
+        # below bid can never improve — its distance is final for the
+        # whole phase, and it can only have gotten there with a final
+        # distance.  Exact -> bit-identical results; blocks of settled
+        # receivers skip their chunks (see GraphProgram.receiver_final).
+        return vp["bucket"] < state
         return PallasSemiring(
             "min",
             process=lambda xv, ev: xv + ev,

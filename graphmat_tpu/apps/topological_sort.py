@@ -85,6 +85,14 @@ class TopSortProgram(GraphProgram):
     def do_every_iteration(self, state, vp, it, ctx):
         return state + 1
 
+    def receiver_final(self, state, vp, it):
+        # each pred sends exactly once (the iteration after ITS
+        # ordering), and a vertex orders exactly when the last such
+        # message lands — an ordered receiver can never hear again, so
+        # skipping it is trivially exact (cycle members never order,
+        # hence never go final)
+        return vp["topsort_order"] != jnp.int32(INF_ORDER)
+
     def pallas_semiring(self):
         return PallasSemiring(
             "sum",

@@ -256,8 +256,15 @@ class DistEngine:
                                    scatter_dimension=0, tiled=True) > 0
             return reduced, got
 
-        def pallas_partials(state, msg, sent, structure):
-            """Local tile multiply via the Pallas kernel + mesh reduce."""
+        def pallas_partials(state, msg, sent, structure, recv_final=None):
+            """Local tile multiply via the Pallas kernel + mesh reduce.
+
+            ``recv_final`` is the program's exact receiver-finality mask
+            over the LOCAL vp shard (see GraphProgram.receiver_final);
+            one COL all_gather extends it to the tile's row block, and
+            the v2u sparse path then skips chunks whose receiver block
+            is entirely final — identical gating on every device of a
+            mesh row, so the column-fold partials stay consistent."""
             from ..ops.pallas_spmv import _identity_process, _spmv_call
             from ..ops.pallas_spmv2 import _spmv2_call, _spmv2m_call
             from ..ops.pallas_spmv2u import _spmv2u_call
@@ -290,6 +297,10 @@ class DistEngine:
             if not dense:
                 # frontier mask for per-tile chunk skipping (v2 kernels)
                 sent_bool_col = lax.all_gather(sent, ROW_AXIS, tiled=True)
+            recv_final_row = None
+            if v3 and not dense and recv_final is not None:
+                recv_final_row = lax.all_gather(recv_final, COL_AXIS,
+                                                tiled=True)   # [C*S]
 
             y = None
             gotf = None
@@ -318,7 +329,11 @@ class DistEngine:
                         return _spmv2u_call(local, static,
                                             xp[:n_send_pad], kd, proc,
                                             interpret, sent=sent_arg,
-                                            want_got=want_got)
+                                            want_got=want_got,
+                                            recv_final=(recv_final_row
+                                                        if sent_arg
+                                                        is not None
+                                                        else None))
                     if v2 and kd == "sum":
                         ns = getattr(sem, "n_splits", 3)
                         return _spmv2_call(local, static, xp[:n_send_pad],
@@ -508,7 +523,13 @@ class DistEngine:
                 reduced, got = vec_partials(state, msg, sent, vp,
                                             structure)
             elif self.use_pallas:
-                reduced, got = pallas_partials(state, msg, sent, structure)
+                recv_final = None
+                if self.pallas_version == 3:
+                    recv_final = prog.receiver_final(state, vp, it)
+                    if recv_final is not None:
+                        recv_final = recv_final | ~valid_vertex
+                reduced, got = pallas_partials(state, msg, sent, structure,
+                                               recv_final=recv_final)
             else:
                 # column broadcast down the row axis
                 msg_col, sent_col = lax.all_gather((msg, sent), ROW_AXIS,

@@ -418,8 +418,8 @@ def test_lda_permuted_matches_oracle():
 
 
 def test_triangles_unpacked_edge_path():
-    """n > 2^24 ships edges as [2, e] int32 (the 6-byte packing only
-    covers ids below 2^24); both upload layouts must count identically."""
+    """n > 2^24 ships edges as [2, e] int32 (the byte packings only
+    cover ids below 2^24); both upload layouts must count identically."""
     from graphmat_tpu.ops.triangles import count_triangles_bucketed
     rng = np.random.default_rng(2)
     m = 4000
@@ -430,5 +430,24 @@ def test_triangles_unpacked_edge_path():
     n_big = (1 << 24) + 300                     # forces the int32 path
     tri_b, tot_b = count_triangles_bucketed(s, r, n_big)
     tri_s, tot_s = count_triangles_bucketed(s - base, r - base, 500)
+    assert tot_b == tot_s
+    assert int(np.asarray(tri_b)[base:base + 500].sum()) == tot_s
+
+
+def test_triangles_sixbyte_edge_path():
+    """2^20 < n <= 2^24 ships 6-byte planes; n <= 2^20 ships the 5-byte
+    nibble-shared layout.  A subgraph straddling 2^20 (hi nibbles
+    exercised on both endpoints) must count identically through both."""
+    from graphmat_tpu.ops.triangles import count_triangles_bucketed
+    rng = np.random.default_rng(3)
+    m = 4000
+    base = (1 << 20) - 200
+    s = base + rng.integers(0, 400, m)
+    r = base + rng.integers(0, 400, m)
+    n_mid = (1 << 20) + 300                     # forces the 6-byte path
+    tri_b, tot_b = count_triangles_bucketed(s, r, n_mid)
+    # shifted down: ids < 2^20 with nonzero hi nibbles -> 5-byte path
+    tri_s, tot_s = count_triangles_bucketed(s - 4096, r - 4096,
+                                            (1 << 20) - 3000)
     assert tot_b == tot_s
     assert int(np.asarray(tri_b)[base:base + 500].sum()) == tot_s
