@@ -146,8 +146,8 @@ def bench_pagerank(e, g):
          "iters": ITERS, "kernel": os.environ.get("GRAPHMAT_KERNEL",
                                                   "v2u"),
          "reference_binary_this_host": "GraphMat v2.0 (g++ -O3, "
-             "2 threads): 72.3 ms/iter = 0.22 GTEPS on the same "
-             "RMAT-20 (PERF.md round 4c)"},
+             "2 threads): 50.2 ms/iter = 0.32 GTEPS on the same "
+             "corrected RMAT-20 (PERF.md round 5i)"},
         med, rep_s, g.nnz * ITERS / min(rep_s) / 1e9)
     rec["timings_s"]["warmup_compile"] = round(warm_s, 2)
     return rec
@@ -284,8 +284,9 @@ def bench_bfs(e, g):
                       "PERF round 5g)",
          "kernel1_build_s": round(kernel1_s, 2),
          "reference_binary_this_host": "GraphMat v2.0 (g++ -O3, "
-             "2 threads): 225 ms/BFS = 0.034 GTEPS component-TEPS on "
-             "the same RMAT-20 (PERF.md round 4c)",
+             "2 threads): median 82 ms/BFS = 0.194 GTEPS "
+             "component-TEPS on the same corrected RMAT-20 "
+             "(PERF.md round 5i)",
          "accounting_change_note": "r03's 0.43 counted full nnz per "
              "BFS; the honest figure for the r03 code under this "
              "accounting is ~0.17",
