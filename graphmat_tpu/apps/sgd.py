@@ -128,10 +128,15 @@ def _make_rmse_process(k):
 
 
 class RMSEProgram(GraphProgram):
-    """Per-vertex squared error over IN_EDGES (:122-156)."""
+    """Per-vertex squared error over IN_EDGES (:122-156).
+
+    ALL_VERTICES like the reference flow (``setAllActive`` + 1
+    iteration, ``src/SGD.cpp:199-208``) — this also routes the pass
+    onto the vec2 kernel (the ACTIVE_ONLY vec path's v1 kernel hits
+    its scoped-VMEM ceiling near 10M edges, PERF round 5j)."""
 
     order = Direction.IN_EDGES
-    activity = Activity.ACTIVE_ONLY
+    activity = Activity.ALL_VERTICES
     reduce = SUM
     process_requires_vertexprop = True
 

@@ -162,6 +162,21 @@ class Engine:
         if (vec2_semiring is not None
                 and program.activity != Activity.ALL_VERTICES):
             vec2_semiring = None   # vec2 got comes from static structure
+        if vec_semiring is not None and vec2_semiring is None:
+            # the v1 vec kernel keeps its whole [h, 2K*128] bf16 operand
+            # VMEM-resident (no HBM/DMA path) — beyond the scoped-VMEM
+            # budget it is a guaranteed compile-time OOM (measured: 64 MB
+            # at 10M edges x K=20, PERF round 5j).  Fall back to the XLA
+            # segment path, which is slow but scales.
+            xb_bytes = 4 * graph.n_pad * getattr(vec_semiring, "k", 1)
+            if xb_bytes > (14 << 20):
+                import warnings
+                warnings.warn(
+                    f"v1 vec kernel operand ({xb_bytes >> 20} MB bf16) "
+                    "exceeds the VMEM budget; using the XLA fallback — "
+                    "prefer an ALL_VERTICES program with a vec2 semiring "
+                    "at this scale")
+                vec_semiring = None
         self.use_pallas_vec = False
         self.use_pallas_vec2 = False
         if use_pallas is None:

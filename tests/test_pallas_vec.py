@@ -257,3 +257,35 @@ def test_engine_vec2_k40_lda_matches_xla():
     np.testing.assert_allclose(N2, N1, rtol=3e-4, atol=3e-4)
     np.testing.assert_allclose(gN2, gN1, rtol=3e-4)
     assert abs(ll2 - ll1) < 1e-2 * max(1.0, abs(ll1))
+
+
+def test_vec_v1_vmem_guard_falls_back():
+    """An ACTIVE_ONLY K-wide program whose v1 operand would exceed the
+    scoped-VMEM budget must fall back to the XLA path with a warning
+    instead of a compile-time OOM (PERF round 5j: 64 MB at 10M x K=20)."""
+    import warnings
+
+    from graphmat_tpu import Graph
+    from graphmat_tpu.apps.sgd import RMSEProgram
+    from graphmat_tpu.core.runtime import Engine
+    from graphmat_tpu.core.types import Activity
+    from graphmat_tpu.io.edgelist import EdgeList
+
+    n = 200_100                      # n_pad * 4 * k ~ 16 MB > 14 MB
+    src = np.arange(1, 201, dtype=np.int64)
+    dst = np.arange(2, 202, dtype=np.int64)
+    e = EdgeList(src=src, dst=dst, val=np.ones(200), m=n, n=n)
+    g = Graph(e, build_in_edges=True)
+
+    class BigVecOnly(RMSEProgram):
+        activity = Activity.ACTIVE_ONLY   # disqualifies vec2
+
+        def pallas_vec2_semiring(self):
+            return None
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        eng = Engine(BigVecOnly(k=20), g)
+    assert not eng.use_pallas_vec
+    assert any("VMEM budget" in str(x.message) for x in w), \
+        [str(x.message) for x in w]
