@@ -245,9 +245,9 @@ class Engine:
         # captured device arrays become inline constants in the compiled
         # program (hundreds of MB for big graphs).
         if self.use_pallas_vec2:
+            from ..ops.pallas_spmv_vec2 import planv_call_args
             self._plan_args = {
-                recv: ((p.kindid, p.blkid, p.sbase, p.rbase, p.pk,
-                        p.valp, p.rcwt), p.got_static)
+                recv: (planv_call_args(p)[0], p.got_static)
                 for recv, p in self._plans.items()}
         elif self.pallas_version == 3:
             from ..ops.pallas_spmv2u import plan_call_args
@@ -485,7 +485,8 @@ class Engine:
         """v2 K-wide vector directions (32-lane edge blocks; K > 32 runs
         ceil(K/32) stacked planes through one shared plan)."""
         from ..ops.pallas_spmv_vec2 import (KPAD, _pack_planes,
-                                            _spmv_vec2_call)
+                                            _spmv_vec2_call,
+                                            planv_call_args)
         prog = self.program
         sem = self._vec2_semiring
         interpret = jax.default_backend() != "tpu"
@@ -510,9 +511,7 @@ class Engine:
         for recv in _direction_receivers(prog.order):
             plan = self._plans[recv]
             plan_arrays, got_static = plans[recv]
-            plan_static = (plan.hs, plan.hr, plan.wr, plan.nb, plan.nc,
-                           plan.n_pad, plan.rows, plan.wy, plan.classes,
-                           plan.segs)
+            plan_static = planv_call_args(plan)[1]
             xw = _pack_planes(x, plan.n_send_pad, kb)
             vw = (_pack_planes(vp_enc, plan.n_pad, kb)
                   if vp_enc is not None

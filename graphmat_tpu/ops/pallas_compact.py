@@ -48,7 +48,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_spmv2 import LANE, VMEM_X2_MAX_ROWS
 
-__all__ = ["CompactAux", "divert_stragglers", "aux_gather"]
+__all__ = ["CompactAux", "divert_stragglers", "divert_stragglers_vec2",
+           "aux_gather"]
 
 SUBR = 32              # rows per sub-window (matches the v2u granularity)
 KB_SAME = 1 << 22      # sub reuses the previous sub's window (skip DMA)
@@ -61,6 +62,33 @@ W_AUX = 1024
 # showed a win already at RMAT-20 (8192 rows, VMEM operand): 2.54 ->
 # 2.44 ms/iter via slot fill 0.658 -> 0.680 (PERF round 3)
 H_COMPACT_MIN = 8192
+
+# vec2 (K-wide) compaction defaults.  A vec2 operand row holds FOUR
+# vertices (vs 128 in the scalar layout), so windows cover 32x fewer
+# senders per row and hypersparsity bites at ~1/32 the scale; a chunk's
+# capacity is 128 slots fed from a 32-row receiver span, so a cell only
+# saturates fill near ~4096 edges (vs cell_min 512): both thresholds
+# are therefore much higher than the scalar ones.  bpsb is 1 — the
+# ratings-graph regime barely dedups across blocks (measured ~1.2
+# edges/distinct (block, sender) pair at the 10M SGD protocol), and the
+# aux read chain only loads the windows a block's senders touch.
+VEC_DIVERT_MIN = 3072
+VEC_CELL_MIN = 3072
+VEC_H_COMPACT_MIN = 32768     # V4 rows (= 128K vertices)
+KBLK = 32                     # lanes per vec2 vertex entry
+
+
+def _argsort(k: np.ndarray) -> np.ndarray:
+    """Native parallel argsort when available (planner.cpp
+    gm_argsort_i64 — the DCSCTile.h:252 parallel-sort analog);
+    np.argsort dominated graph build at RMAT-23/24 otherwise."""
+    from ..native import load_planner
+    lib = load_planner()
+    if lib is not None and hasattr(lib, "gm_argsort_i64"):
+        out = np.empty(len(k), np.int64)
+        lib.gm_argsort_i64(np.ascontiguousarray(k, np.int64), len(k), out)
+        return out
+    return np.argsort(k, kind="stable")
 
 
 @dataclass
@@ -155,21 +183,8 @@ def divert_stragglers(s: np.ndarray, r: np.ndarray, n_recv_pad: int,
         return s, None, h
     blk = blk32[div].astype(np.int64)
 
-    # unique (super-block, sender) pairs, sorted sb-major / sender-asc.
-    # np.unique's single-threaded introsort dominated graph build at
-    # RMAT-23/24 — use the native parallel argsort when available
-    # (planner.cpp gm_argsort_i64, the DCSCTile.h:252 parallel-sort
-    # analog) and derive unique/inverse from the sorted run boundaries.
-    def _argsort(k):
-        from ..native import load_planner
-        lib = load_planner()
-        if lib is not None and hasattr(lib, "gm_argsort_i64"):
-            out = np.empty(len(k), np.int64)
-            lib.gm_argsort_i64(np.ascontiguousarray(k, np.int64),
-                               len(k), out)
-            return out
-        return np.argsort(k, kind="stable")
-
+    # unique (super-block, sender) pairs, sorted sb-major / sender-asc
+    # (native parallel argsort; unique/inverse from sorted run bounds)
     sb = blk // bpsb                        # blk is already div-selected
     key = (sb << 34) | s[div]
     order0 = _argsort(key)
@@ -264,6 +279,130 @@ def divert_stragglers(s: np.ndarray, r: np.ndarray, n_recv_pad: int,
     return s_new, aux, h_ext
 
 
+def divert_stragglers_vec2(s: np.ndarray, r: np.ndarray, hs: int,
+                           wr: int, wy: int, windows, cell_min: int,
+                           divert_min: int = VEC_DIVERT_MIN,
+                           w_aux: int = W_AUX, rows: int = 128):
+    """Hypersparse compaction for the vec2 (K-wide) operand layout.
+
+    The vec2 analog of :func:`divert_stragglers` — the reference keeps
+    any-K ``LatentVector<Size>`` payloads cache-resident per thread
+    partition (``multinode/spmspv3.h:41-267``); on TPU the equivalent
+    is keeping the sender *windows* dense.  A vec2 operand row V4 holds
+    four vertices' 32-wide vectors (vertex ``v`` -> row ``v//4``,
+    lane-block ``v%4``), so an edge's pseudo-flat position is
+    ``(v//4)*128 + (v%4)*32`` and the compact layout is built at
+    VERTEX granularity: one entry = one 32-lane block, 4 entries per
+    row, lane-block purity (``cpos % 4 == v % 4``) so the aux gather
+    stays a per-lane granule take with no lane routing.
+
+    Divert rule mirrors the plan classifier (same greedy small-window
+    acceptance at ``cell_min``): edges left to the LAST window class
+    whose last-class cell holds under ``divert_min`` edges divert.
+    Regions are per RECEIVER BLOCK (bpsb = 1; see VEC_DIVERT_MIN note),
+    grouped by aligned ``w_aux`` source window so the aux chain loads
+    each touched window once per block.
+
+    Returns ``(s_new, aux, hs_ext)``; ``aux is None`` if nothing
+    diverts.  Virtual ids: ``4*(hs + pos_row) + lane_block``.
+    """
+    e = len(s)
+    if e == 0:
+        return np.asarray(s, np.int64), None, hs
+    w_aux = min(w_aux, hs)         # aux window cannot exceed the operand
+    s = np.asarray(s, np.int64)
+    r = np.asarray(r, np.int64)
+    srow = s >> 2
+    rwin = (r >> 2) // wy
+    nrw = int(rwin.max()) + 1
+    windows = sorted({int(min(w, hs)) for w in windows})
+    remaining = np.ones(e, bool)
+    for W in windows[:-1]:
+        if not remaining.any():
+            break
+        nsw = -(-hs // W)
+        cell = rwin * nsw + srow // W
+        cnt = np.bincount(cell[remaining], minlength=nrw * nsw)
+        remaining &= ~(cnt[cell] >= cell_min)
+    Wl = windows[-1]
+    nswl = -(-hs // Wl)
+    cll = rwin * nswl + srow // Wl
+    cntl = np.bincount(cll[remaining], minlength=nrw * nswl) \
+        if remaining.any() else np.zeros(nrw * nswl, np.int64)
+    div = remaining & (cntl[cll] < divert_min)
+    ndiv = int(div.sum())
+    if ndiv == 0:
+        return s, None, hs
+
+    blk = (r[div] // wr).astype(np.int64)        # bpsb = 1
+    f = (srow[div] << 7) | ((s[div] & 3) << 5)   # pseudo-flat position
+    assert f.max() < (1 << 34)
+    key = (blk << 34) | f
+    order0 = _argsort(key)
+    ks = key[order0]
+    newu = np.r_[True, ks[1:] != ks[:-1]]
+    uk = ks[newu]
+    inv = np.empty(ndiv, np.int64)
+    inv[order0] = np.cumsum(newu) - 1
+    usrc = uk & ((1 << 34) - 1)
+    usb = uk >> 34
+    # group = (block, aligned w_aux source window); entries stack per
+    # (group, lane-block) in sender order
+    gwin = (usrc >> 7) // w_aux
+    assert gwin.max(initial=0) < (1 << 20)
+    gkey = (usb << 20) | gwin
+    gb = np.r_[0, np.flatnonzero(gkey[1:] != gkey[:-1]) + 1, len(uk)]
+    gsize = np.diff(gb)
+    grp_of_u = np.repeat(np.arange(len(gsize)), gsize)
+    lane_u = (usrc & (LANE - 1)).astype(np.int64)   # in {0, 32, 64, 96}
+    order2 = _argsort(grp_of_u * LANE + lane_u)
+    gl = grp_of_u[order2] * LANE + lane_u[order2]
+    runb = np.r_[0, np.flatnonzero(gl[1:] != gl[:-1]) + 1, len(uk)]
+    rank_sorted = np.arange(len(uk)) - np.repeat(runb[:-1],
+                                                 np.diff(runb))
+    rank = np.empty(len(uk), np.int64)
+    rank[order2] = rank_sorted
+    gl_cnt = np.bincount(grp_of_u * LANE + lane_u,
+                         minlength=len(gsize) * LANE)
+    grows = -(-gl_cnt.reshape(-1, LANE).max(axis=1) // SUBR) * SUBR
+    grows = np.maximum(grows, SUBR)
+    goff = np.r_[0, np.cumsum(grows * LANE)]
+    total = int(goff[-1])
+    chunk_unit = rows * LANE
+    total_pad = -(-total // chunk_unit) * chunk_unit
+    pos_of_u = goff[grp_of_u] + rank * LANE + lane_u
+
+    src_of_pos = np.zeros(total_pad, np.int64)
+    src_of_pos[pos_of_u] = usrc
+    pad_mask = np.ones(total_pad, bool)
+    pad_mask[pos_of_u] = False
+    gfirst_row = ((usrc[gb[:-1]] >> 7) // w_aux) * w_aux
+    base_of_pos = np.repeat(gfirst_row, grows * LANE)
+    if total_pad > total:
+        base_of_pos = np.r_[base_of_pos,
+                            np.zeros(total_pad - total, np.int64)]
+    lane_of_pos = np.arange(total_pad, dtype=np.int64) & (LANE - 1)
+    src_of_pos[pad_mask] = (base_of_pos[pad_mask] * LANE
+                            + lane_of_pos[pad_mask])
+    # broadcast each entry's source row across its 32-lane block: an
+    # entry occupies lane b*32 only (lane_u multiples of KBLK); lanes
+    # b*32+1..b*32+31 must fetch the SAME vertex's remaining 31
+    # components — same row, own lane (lane purity preserved; block
+    # pads keep the group-base row on every lane)
+    rowm = (src_of_pos >> 7).reshape(-1, LANE)
+    row_b = np.repeat(rowm[:, ::KBLK], KBLK, axis=1)
+    src_of_pos = (row_b.astype(np.int64) << 7
+                  | lane_of_pos.reshape(-1, LANE)).reshape(-1)
+
+    aux = _build_aux(src_of_pos, hs, w_aux, rows, len(uk))
+    assert (src_of_pos & (LANE - 1) == lane_of_pos).all(), \
+        "vec2 compact layout lost lane purity"
+    pos = pos_of_u[inv]
+    s_new = s.copy()
+    s_new[div] = 4 * (hs + (pos >> 7)) + ((pos & (LANE - 1)) >> 5)
+    return s_new, aux, hs + aux.hc
+
+
 # ------------------------------------------------------------------ kernel
 
 def _make_aux_kernel(W: int, x2_hbm: bool, rows: int):
@@ -312,9 +451,11 @@ def _make_aux_kernel(W: int, x2_hbm: bool, rows: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("aux_static", "interpret",
-                                              "x2_hbm"))
-def _aux_call(aux_arrays, aux_static, x2, interpret, x2_hbm=None):
+def _aux_impl(aux_arrays, aux_static, x2, interpret, x2_hbm=None):
+    """Plain (non-jitted) aux gather — call this from inside an outer
+    jit (a nested-jit call under lax.while_loop trips a lowering-cache
+    KeyError in this jax version); ``_aux_call`` wraps it for direct
+    use."""
     h, hc, W, naux, rows = aux_static
     kb, pk = aux_arrays
     if x2_hbm is None:
@@ -338,6 +479,10 @@ def _aux_call(aux_arrays, aux_static, x2, interpret, x2_hbm=None):
         interpret=interpret,
     )(kb, pk, x2)
     return out.reshape(hc, LANE)
+
+
+_aux_call = functools.partial(jax.jit, static_argnames=(
+    "aux_static", "interpret", "x2_hbm"))(_aux_impl)
 
 
 def aux_gather(aux: CompactAux, x2, interpret: bool = False):

@@ -44,7 +44,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["SpmvVec2Plan", "build_spmv_vec2_plan", "spmv_vec2"]
+__all__ = ["SpmvVec2Plan", "build_spmv_vec2_plan", "planv_call_args",
+           "spmv_vec2"]
 
 LANE = 128
 KPAD = 32                # lanes per edge slot
@@ -61,8 +62,9 @@ def _round_up(x, m):
 @dataclass
 class SpmvVec2Plan:
     n_pad: int           # padded receiver count (multiple of wr)
-    n_send_pad: int      # padded sender count (multiple of 4*128... V4 rows*4)
-    hs: int              # X4 rows (= n_send_pad / 4)
+    n_send_pad: int      # padded SOURCE sender count (= hs_src * 4)
+    hs: int              # EXTENDED X4 rows (hs_src + aux.hc; = hs_src
+                         #   when no compaction)
     hr: int              # VP2/Y2 rows (= n_pad / 4)
     wr: int              # receiver block width
     nb: int
@@ -85,22 +87,37 @@ class SpmvVec2Plan:
     segs: tuple          # ((c0, c1, b0, b1), ...) block-aligned chunk
                          #   ranges, each <= NC_SEG_MAX (SMEM budget)
     got_static: Any      # bool[n_pad]
+    aux: Any = None      # CompactAux: vec2 hypersparse compaction
+    hs_src: int = 0      # SOURCE operand rows (= hs when aux is None)
 
 
 def build_spmv_vec2_plan(senders0, receivers0, vals, n,
                          n_recv: int | None = None, wr: int = 4096,
                          windows=(160, 256, 1024), wy: int = 1024,
                          cell_min: int = 512,
-                         rows: int = 32) -> SpmvVec2Plan:
+                         rows: int = 32, compact="auto",
+                         compact_kw=None) -> SpmvVec2Plan:
     """Pack a 0-based COO edge list into the vec2 chunk layout.
 
     ``wy`` is the *cell-formation* receiver window (wide, for packing);
     each chunk's vp gather/scatter window is the narrow per-chunk
     ``WYK``-row span recorded in ``rbase`` (receiver-sorted walk).
+
+    ``compact``: hypersparse operand compaction (see
+    ``pallas_compact.divert_stragglers_vec2``) — ``'auto'`` turns it on
+    above ``VEC_H_COMPACT_MIN`` source rows (``GRAPHMAT_COMPACT``
+    resolves the auto default like the scalar path); an explicit bool
+    forces it.  When active, ``cell_min`` is raised to ``VEC_CELL_MIN``
+    for EVERY cell: a vec2 chunk only saturates its 128 slots near
+    ~4096 edges per (block, window) cell, so small-window acceptance at
+    the dense-graph threshold would fragment fill on exactly the graphs
+    compaction targets (measured at the 10M-rating SGD protocol,
+    PERF.md round 5j/5k).
     """
     if n_recv is None:
         n_recv = n
     hs = max(_round_up(_round_up(n, 4) // 4, LANE), LANE)
+    hs_src = hs
     n_send_pad = hs * 4
     n_pad = max(_round_up(n_recv, wr), wr)
     nb = n_pad // wr
@@ -111,6 +128,22 @@ def build_spmv_vec2_plan(senders0, receivers0, vals, n,
     v = np.asarray(vals, np.float32)
     assert wr % (4 * wy) == 0 or wy * 4 >= wr
 
+    from .pallas_compact import (VEC_CELL_MIN, VEC_H_COMPACT_MIN,
+                                 divert_stragglers_vec2)
+    import os
+    env_c = os.environ.get("GRAPHMAT_COMPACT")
+    if env_c is not None and compact == "auto":
+        compact = env_c not in ("0", "")
+    if compact == "auto":
+        compact = hs_src >= VEC_H_COMPACT_MIN
+    aux = None
+    if compact and e > 0:
+        ckw = dict(compact_kw or {})
+        ckw.setdefault("w_aux", min(1024, hs_src))
+        cell_min = max(cell_min, ckw.pop("cell_min", VEC_CELL_MIN))
+        s, aux, hs = divert_stragglers_vec2(
+            s, r, hs_src, wr, wy, windows, cell_min, **ckw)
+
     windows = sorted({int(min(w, hs)) for w in windows}) or [min(2048, hs)]
 
     from ..native import load_planner
@@ -118,7 +151,8 @@ def build_spmv_vec2_plan(senders0, receivers0, vals, n,
     if lib is not None and e > 0 and hasattr(lib, "gm_planv_create"):
         return _build_planv_native(lib, s, r, v, e, hs, hr, wr, nb,
                                    windows, cell_min, wy, rows, n_pad,
-                                   n_send_pad, receivers0)
+                                   n_send_pad, receivers0, aux=aux,
+                                   hs_src=hs_src)
     rblk = r // wr
     rwin = (r // 4) // wy          # aligned receiver window id (global)
     srow = s // 4
@@ -255,12 +289,12 @@ def build_spmv_vec2_plan(senders0, receivers0, vals, n,
         rbase=jnp.asarray(rbase_np),
         pk=jnp.asarray(pk), valp=jnp.asarray(valp),
         rcwt=jnp.asarray(rcwt),
-        got_static=jnp.asarray(got)))
+        got_static=jnp.asarray(got), aux=aux, hs_src=hs_src))
 
 
 def _build_planv_native(lib, s, r, v, e, hs, hr, wr, nb, windows,
                         cell_min, wy, rows, n_pad, n_send_pad,
-                        receivers0):
+                        receivers0, aux=None, hs_src=None):
     """C++/OpenMP vec2 plan build (graphmat_tpu/native/planner.cpp)."""
     import ctypes
 
@@ -302,7 +336,8 @@ def _build_planv_native(lib, s, r, v, e, hs, hr, wr, nb, windows,
         sbase=jnp.asarray(sbase), rbase=jnp.asarray(rbase),
         pk=jnp.asarray(pk), valp=jnp.asarray(valp),
         rcwt=jnp.asarray(rcwt2),
-        got_static=jnp.asarray(got)))
+        got_static=jnp.asarray(got), aux=aux,
+        hs_src=(hs_src if hs_src is not None else hs)))
 
 
 def _maybe_validate(plan):
@@ -730,11 +765,44 @@ def _make_vec2_kernel(process: Callable, wr: int, wy: int, rows: int,
     return kernel
 
 
+def planv_call_args(plan: SpmvVec2Plan):
+    """(plan_arrays, plan_static) for ``_spmv_vec2_call`` — appends the
+    compaction aux arrays/static when the plan carries them."""
+    arrays = (plan.kindid, plan.blkid, plan.sbase, plan.rbase,
+              plan.pk, plan.valp, plan.rcwt)
+    static = (plan.hs, plan.hr, plan.wr, plan.nb, plan.nc,
+              plan.n_pad, plan.rows, plan.wy, plan.classes, plan.segs)
+    aux = plan.aux
+    if aux is not None:
+        if not isinstance(aux.kb, jnp.ndarray):   # one-time device upload
+            aux.kb = jnp.asarray(aux.kb)
+            aux.pk = jnp.asarray(aux.pk)
+        arrays = arrays + (aux.kb, aux.pk)
+        static = static + ((aux.h, aux.hc, aux.W, aux.naux, aux.rows),)
+    return arrays, static
+
+
 @functools.partial(jax.jit, static_argnames=("plan_static", "process",
                                               "n_splits", "interpret",
                                               "has_extra", "debug", "kb"))
 def _spmv_vec2_call(plan_arrays, plan_static, x, vp, extra, process,
                     n_splits, interpret, has_extra, debug=None, kb=1):
+    if len(plan_static) > 10:
+        # hypersparse compaction: materialize the virtual compact rows
+        # per K-plane and extend the operand (aux.h source rows ->
+        # plan.hs extended rows; the kernel's plane stride is hs)
+        from .pallas_compact import _aux_impl
+        aux_static = plan_static[10]
+        plan_static = plan_static[:10]
+        aux_arrs = plan_arrays[7:9]
+        plan_arrays = plan_arrays[:7]
+        h_src, hc = aux_static[0], aux_static[1]
+        x4s = x.reshape(kb, h_src, LANE)
+        planes = []
+        for p in range(kb):
+            xc = _aux_impl(aux_arrs, aux_static, x4s[p], interpret)
+            planes.append(jnp.concatenate([x4s[p], xc], axis=0))
+        x = jnp.concatenate(planes, axis=0).reshape(-1)
     if len(plan_static) > 9:
         segs = plan_static[9]
         base_static = plan_static[:9]
@@ -845,11 +913,7 @@ def spmv_vec2(plan: SpmvVec2Plan, x, process: Callable, vp_receiver,
              -(-jnp.asarray(vp_receiver).shape[1] // KPAD))
     xw = _pack_planes(x, plan.n_send_pad, kb)
     vw = _pack_planes(vp_receiver, plan.n_pad, kb)
-    plan_arrays = (plan.kindid, plan.blkid, plan.sbase, plan.rbase,
-                   plan.pk, plan.valp, plan.rcwt)
-    plan_static = (plan.hs, plan.hr, plan.wr, plan.nb, plan.nc,
-                   plan.n_pad, plan.rows, plan.wy, plan.classes,
-                   plan.segs)
+    plan_arrays, plan_static = planv_call_args(plan)
     ex = None
     if extra is not None:
         exf = jnp.pad(jnp.asarray(extra, jnp.float32).reshape(-1),

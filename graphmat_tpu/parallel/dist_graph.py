@@ -541,7 +541,11 @@ class DistGraph:
             raise ValueError(f"no host tiles for receiver={receiver}")
         from ..ops.pallas_spmv_vec2 import build_spmv_vec2_plan
         R, C, S = self.R, self.C, self.S
-        plans = [build_spmv_vec2_plan(s, r, v, R * S, wr=wr, n_recv=C * S)
+        # compact=False: stacked per-tile plans share one static shape;
+        # per-tile aux planes would need v2u-style padded aux stacks
+        # (dist_graph.py:404-447) — not ported to the vec2 tile path
+        plans = [build_spmv_vec2_plan(s, r, v, R * S, wr=wr,
+                                      n_recv=C * S, compact=False)
                  for (s, r, v) in self._host_tiles[receiver]]
         nc_max = max(p.nc for p in plans)
         nb = plans[0].nb

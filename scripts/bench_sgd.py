@@ -58,14 +58,13 @@ def main():
               f"segs={len(plan.segs)}", flush=True)
 
     # ---------------- raw kernel: both directions chained ----------------
-    from graphmat_tpu.ops.pallas_spmv_vec2 import KPAD, _spmv_vec2_call
+    from graphmat_tpu.ops.pallas_spmv_vec2 import (KPAD, _spmv_vec2_call,
+                                                   planv_call_args)
 
     plans = list(eng._plans.values())
     lv = jnp.asarray(np.asarray(g.vp["lv"], np.float32))
-    statics = tuple((p.hs, p.hr, p.wr, p.nb, p.nc, p.n_pad, p.rows,
-                     p.wy, p.classes, p.segs) for p in plans)
-    arrays0 = tuple((p.kindid, p.blkid, p.sbase, p.rbase, p.pk, p.valp,
-                     p.rcwt) for p in plans)
+    statics = tuple(planv_call_args(p)[1] for p in plans)
+    arrays0 = tuple(planv_call_args(p)[0] for p in plans)
     spads = tuple(p.n_send_pad for p in plans)
     npad0 = plans[0].n_pad
     proc = prog.pallas_vec2_semiring().process

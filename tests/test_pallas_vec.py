@@ -289,3 +289,75 @@ def test_vec_v1_vmem_guard_falls_back():
     assert not eng.use_pallas_vec
     assert any("VMEM budget" in str(x.message) for x in w), \
         [str(x.message) for x in w]
+
+
+def test_vec2_compact_matches_direct():
+    """Hypersparse vec2 compaction (round 5k): forced-on divert must
+    reproduce the direct plan bit-for-bit through the SGD ⊗ (virtual
+    compact rows are exact copies of the source vectors; reference
+    analog: any-K payloads staying dense per partition,
+    multinode/spmspv3.h:41-267)."""
+    from graphmat_tpu.ops.pallas_spmv_vec2 import (build_spmv_vec2_plan,
+                                                   spmv_vec2)
+    rng = np.random.default_rng(21)
+    n, e = 4_000, 2_500              # ~0.6 edges/vertex: hypersparse
+    s0 = rng.integers(0, n, e)
+    r0 = rng.integers(0, n, e)
+    v = rng.standard_normal(e).astype(np.float32)
+    k = 8
+    x = rng.standard_normal((n, k)).astype(np.float32)
+    vp = rng.standard_normal((n, k)).astype(np.float32)
+
+    def proc(xv, ev, vpr, extra, rid, block_sum):
+        est = block_sum(xv * vpr)
+        return xv * (ev - est)
+
+    kw = dict(windows=(64, 256), compact_kw=dict(w_aux=256))
+    plan_d = build_spmv_vec2_plan(s0, r0, v, n, compact=False, **kw)
+    assert plan_d.aux is None and plan_d.hs == plan_d.hs_src
+    plan_c = build_spmv_vec2_plan(s0, r0, v, n, compact=True, **kw)
+    assert plan_c.aux is not None, "nothing diverted on a hypersparse graph"
+    assert plan_c.hs == plan_c.hs_src + plan_c.aux.hc
+    assert plan_c.n_send_pad == plan_d.n_send_pad  # SOURCE pack width
+    y_d = np.asarray(spmv_vec2(plan_d, jnp.asarray(x), proc,
+                               jnp.asarray(vp), interpret=True))
+    y_c = np.asarray(spmv_vec2(plan_c, jnp.asarray(x), proc,
+                               jnp.asarray(vp), interpret=True))
+    est = np.sum(x[s0].astype(np.float64) * vp[r0], axis=1)
+    expect = np.zeros((plan_d.n_pad, k))
+    np.add.at(expect, r0, x[s0] * (v.astype(np.float64) - est)[:, None])
+    np.testing.assert_allclose(y_d[:, :k], expect, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(y_c[:, :k], expect, rtol=2e-3, atol=2e-3)
+
+
+def test_vec2_compact_k_planes_and_debug_validate(monkeypatch):
+    """K=40 (two stacked planes) through a compacted plan: the aux
+    gather runs per plane; GRAPHMAT_DEBUG plan validation holds on the
+    extended-operand plan."""
+    from graphmat_tpu.ops.pallas_spmv_vec2 import (build_spmv_vec2_plan,
+                                                   spmv_vec2)
+    monkeypatch.setenv("GRAPHMAT_DEBUG", "1")
+    rng = np.random.default_rng(31)
+    n, e = 3_000, 1_800
+    s0 = rng.integers(0, n, e)
+    r0 = rng.integers(0, n, e)
+    v = rng.standard_normal(e).astype(np.float32)
+    k = 40
+    x = rng.standard_normal((n, k)).astype(np.float32)
+    vp = rng.standard_normal((n, k)).astype(np.float32)
+    plan = build_spmv_vec2_plan(s0, r0, v, n, compact=True,
+                                windows=(64, 256),
+                                compact_kw=dict(w_aux=256))
+    assert plan.aux is not None
+
+    def proc(xvs, ev, vprs, extra, rid, block_sum):
+        est = sum(block_sum(a * b) for a, b in zip(xvs, vprs))
+        return [a * (ev - est) for a in xvs]
+
+    y = np.asarray(spmv_vec2(plan, jnp.asarray(x), proc,
+                             jnp.asarray(vp), interpret=True))
+    est = np.sum(x[s0].astype(np.float64) * vp[r0], axis=1)
+    expect = np.zeros((plan.n_pad, k))
+    np.add.at(expect, r0, x[s0] * (v.astype(np.float64) - est)[:, None])
+    np.testing.assert_allclose(y[: plan.n_pad, :k], expect, rtol=2e-3,
+                               atol=2e-3)
